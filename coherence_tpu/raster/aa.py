@@ -1,0 +1,170 @@
+"""Correlated-matte antialiasing (parity: reference ``polygon.ml:611-750``).
+
+The reference precomputes a 32x32 truncated-Gaussian filter table, rasterizes
+the polygon again at ``res/2 = 16``x scale, and for every fringe pixel sums
+table entries under the scaled coverage mask within the 32x32 footprint —
+i.e. AA coverage is exactly a **stride-16 valid convolution of the scaled
+binary mask with the integer table**.  That is what we compute, on the MXU:
+the mask in bf16 (0/1 exact), the table in bf16 (integers ≤ 255 exact), f32
+accumulation (all partial sums are integers < 2^24, hence exact in any
+order), so the per-pixel counts are bit-identical to the reference's nested
+table lookups.
+
+Opacity extraction follows ``polygon.ml:645-652``:
+``opacity = (count*256 + volume/2) / volume`` with
+``volume = (sum(table) * 256) / 255`` (integer division).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import colour as C
+from . import region, scanline
+from .region import NULL_SPRITE, Shape, Sprite, sprite_of_mask_rgba
+
+# Antialiasing oversampling resolution and softness (polygon.ml:22-26).
+res = 32
+softness = 2.0
+_H = res // 2  # 16: the scale factor of the AA mask (polygon.ml:676)
+
+
+def _make_maintable() -> np.ndarray:
+    """The truncated Gaussian on [-3, 3]^2, x255 (polygon.ml:616-629)."""
+    t = np.zeros((res, res), dtype=np.int64)
+    for x in range(1, res + 1):
+        for y in range(1, res + 1):
+            fx = ((x - 1) * 6.0) / (res - 1) - 3.0
+            fy = ((y - 1) * 6.0) / (res - 1) - 3.0
+            t[x - 1, y - 1] = int(math.exp(-(fx * fx + fy * fy) / softness) * 255.0)
+    return t
+
+
+maintable = _make_maintable()
+
+# Volume under the footprint (polygon.ml:645-647): gaussian 1 res 1 res / 255.
+volume = int(maintable.sum()) * 256 // 255
+
+
+def opacity_of_tableval(t: int) -> int:
+    """polygon.ml:650-652."""
+    return (t + volume // 2) // volume
+
+
+# Convolution kernel: weight at (row offset v, col offset u) within the
+# footprint is maintable[u][v] (see pixel_coverage polygon.ml:694-705: the
+# first table index is x).
+_KERNEL = jnp.asarray(maintable.T[:, :, None, None], dtype=jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _coverage_counts(t_mask, *, h: int, w: int):
+    """Stride-16 valid conv of the scaled mask with the Gaussian table.
+
+    t_mask: bool (16h+16, 16w+16) — scaled samples with origin at scaled
+    coords (16*y0 - 32, 16*x0 - 32) for the pixel box origin (x0, y0).
+    Returns int32 (h, w) table-sum counts (NOT yet x256).
+    """
+    t = t_mask.astype(jnp.bfloat16)[None, :, :, None]
+    out = jax.lax.conv_general_dilated(
+        t,
+        _KERNEL,
+        window_strides=(_H, _H),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    counts = jnp.round(out[0, :, :, 0]).astype(jnp.int32)
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _opacity_from_counts(counts):
+    c256 = counts * 256
+    return (c256 + volume // 2) // volume
+
+
+# Cap on the conv input size before we fall back to row-band chunking.
+_MAX_T_ELEMS = 48 * 1024 * 1024  # bf16 elements (~96 MB)
+
+
+def coverage_opacity(shape_box, scaled) -> jnp.ndarray:
+    """Per-pixel AA opacity (0..255) over the pixel box `shape_box`.
+
+    `scaled` is (sx0, sy0, mask) from scanline.scaled_mask_of_edgelist, in
+    scaled-pixel coordinates, or None for an empty mask.
+    """
+    x0, y0, x1, y1 = shape_box
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if scaled is None:
+        return jnp.zeros((h, w), dtype=jnp.int32)
+    sx0, sy0, smask = scaled
+
+    def band_counts(by0: int, bh: int) -> np.ndarray:
+        """Counts for pixel rows [y0+by0 .. y0+by0+bh-1]."""
+        th, tw = _H * bh + _H, _H * w + _H
+        t = np.zeros((th, tw), dtype=bool)
+        # T origin in scaled coords:
+        tr0 = _H * (y0 + by0) - 2 * _H
+        tc0 = _H * x0 - 2 * _H
+        # Paste smask (origin sy0, sx0) into T, clipped.
+        r_lo = max(tr0, sy0)
+        r_hi = min(tr0 + th, sy0 + smask.shape[0])
+        c_lo = max(tc0, sx0)
+        c_hi = min(tc0 + tw, sx0 + smask.shape[1])
+        if r_lo < r_hi and c_lo < c_hi:
+            t[r_lo - tr0 : r_hi - tr0, c_lo - tc0 : c_hi - tc0] = smask[
+                r_lo - sy0 : r_hi - sy0, c_lo - sx0 : c_hi - sx0
+            ]
+        return _coverage_counts(jnp.asarray(t), h=bh, w=w)
+
+    t_elems = (_H * h + _H) * (_H * w + _H)
+    if t_elems <= _MAX_T_ELEMS:
+        counts = band_counts(0, h)
+    else:
+        band_h = max(1, _MAX_T_ELEMS // ((_H * w + _H) * _H))
+        chunks = []
+        by = 0
+        while by < h:
+            bh = min(band_h, h - by)
+            chunks.append(band_counts(by, bh))
+            by += bh
+        counts = jnp.concatenate(chunks, axis=0)
+    return _opacity_from_counts(counts)
+
+
+@jax.jit
+def _aa_sprite_rgba(mask, opacity, fill_rgba):
+    dissolved = C.dissolve_rgba(fill_rgba, opacity)
+    return jnp.where(mask[..., None], dissolved, 0)
+
+
+def polygon_sprite_edgelist(fill, shp, edges: np.ndarray, winding: str):
+    """AA sprite of an edge list within shape `shp` (polygon.ml:729-746).
+
+    Every pixel of `shp` gets ``dissolve(fill(x, y), opacity)`` where opacity
+    is the Gaussian-filtered coverage of the 16x-scaled polygon.
+    """
+    if shp is None:
+        return NULL_SPRITE
+    scaled = scanline.scaled_mask_of_edgelist(edges, winding, _H)
+    opacity_full = coverage_opacity(shp.box, scaled)
+    H, W = shp.mask.shape
+    w, h = shp.wh
+    opacity = jnp.zeros((H, W), dtype=jnp.int32).at[:h, :w].set(opacity_full)
+    fill_rgba = jnp.asarray(fill.image(shp.box, H, W), dtype=jnp.int32)
+    rgba = _aa_sprite_rgba(shp.mask, opacity, fill_rgba)
+    return Sprite(shp.box, shp.mask, rgba)
+
+
+def polygon_sprite(fill, shp, path):
+    """AA sprite of a path (polygon.ml:748-750)."""
+    from ..geometry.path import edgelist_of_path
+
+    return polygon_sprite_edgelist(fill, shp, edgelist_of_path(path), path.winding)

@@ -1,0 +1,210 @@
+"""Plain and graduated fills (parity: reference ``fill.ml``).
+
+A Fill provides:
+  * ``kind``       — PLAIN fills are translation-invariant, FANCY are not
+                     (fill.ml:26); drives the dirty-region logic.
+  * ``image(box, H, W)`` — the (H, W, 4) int32 premultiplied colour plane for
+                     the pixel grid of ``box`` padded to (H, W); this is the
+                     vectorized ``fillspan`` (fill.ml:44).  Computed on the
+                     host in float64 for bit-parity with the reference's
+                     OCaml doubles, then cached in rendered sprites.
+  * ``single(x, y)`` — ``fillsingle`` (fill.ml:43), one packed colour.
+  * ``transform(t)`` — ``filltransform`` (fill.ml:45).
+  * ``changecolour(f)`` — ``fillchangecolour`` (fill.ml:46).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import numpy as np
+
+from .. import colour as C
+from .. import transform as tr
+
+PLAIN = "plain"
+FANCY = "fancy"
+
+
+# --- exact integer colour helpers on numpy arrays ---------------------------
+
+
+def _div255_np(i):
+    return (i + (i >> 8) + 1) >> 8
+
+
+def _dissolve_np(col: np.ndarray, delta: np.ndarray) -> np.ndarray:
+    """col: (..., 4) int64; delta broadcastable with trailing 1 axis."""
+    scaled = _div255_np(col * delta)
+    return np.where(delta == 0, 0, np.where(delta == 255, col, scaled))
+
+
+def _dissolve_between_np(a, b, alpha):
+    """alpha: (..., 1) int64; a, b: (4,) or broadcastable."""
+    mixed = _dissolve_np(a, alpha) + _dissolve_np(b, 255 - alpha)
+    return np.where(alpha == 0, b, np.where(alpha == 255, a, mixed))
+
+
+def _grid(box, H: int, W: int):
+    x0, y0, _, _ = box
+    ys = (y0 + np.arange(H, dtype=np.int64))[:, None]
+    xs = (x0 + np.arange(W, dtype=np.int64))[None, :]
+    return xs.astype(np.float64), ys.astype(np.float64)
+
+
+class Fill:
+    kind = PLAIN
+
+    def image(self, box, H: int, W: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def single(self, x: int, y: int) -> int:
+        raise NotImplementedError
+
+    def transform(self, t) -> "Fill":
+        return self
+
+    def changecolour(self, f: Callable[[int], int]) -> "Fill":
+        return self
+
+
+class PlainFill(Fill):
+    """fill.ml:62-67."""
+
+    kind = PLAIN
+
+    def __init__(self, colour: int):
+        self.colour = colour
+        self._rgba = np.array(C.rgba_of_colour(colour), dtype=np.int32)
+
+    def image(self, box, H, W):
+        return np.broadcast_to(self._rgba, (H, W, 4))
+
+    def single(self, x, y):
+        return self.colour
+
+    def transform(self, t):
+        return self
+
+    def changecolour(self, f):
+        return PlainFill(f(self.colour))
+
+    def __repr__(self):
+        return f"PlainFill({C.rgba_of_colour(self.colour)})"
+
+
+def plain(colour: int) -> PlainFill:
+    return PlainFill(colour)
+
+
+# Dummy fills (fill.ml:49-57).
+dummy = plain(C.clear)
+
+
+class _DummyFancy(PlainFill):
+    kind = FANCY
+
+
+dummyfancy = _DummyFancy(C.clear)
+
+
+class GradientFill(Fill):
+    """Axial gradient, PDF style with extend flags (fill.ml:77-107)."""
+
+    kind = FANCY
+
+    def __init__(self, p0, p1, ext_s: bool, ext_e: bool, cs: int, ce: int):
+        self.p0, self.p1 = tuple(p0), tuple(p1)
+        self.ext_s, self.ext_e = ext_s, ext_e
+        self.cs, self.ce = cs, ce
+
+    def _alphas(self, xs, ys):
+        """Returns (region, alpha): region 0=start-ext,1=mid,2=end-ext;
+        alpha for the mid region."""
+        (x0, y0), (x1, y1) = self.p0, self.p1
+        bottom = (x1 - x0) ** 2 + (y1 - y0) ** 2
+        xp = ((x1 - x0) * (xs - x0) + (y1 - y0) * (ys - y0)) / bottom
+        alpha = 255 - np.trunc(xp * 255.0).astype(np.int64)
+        return xp, alpha
+
+    def image(self, box, H, W):
+        (x0, y0), (x1, y1) = self.p0, self.p1
+        if (x0, y0) == (x1, y1):
+            return np.zeros((H, W, 4), dtype=np.int32)
+        xs, ys = _grid(box, H, W)
+        xp, alpha = self._alphas(xs, ys)
+        cs = np.array(C.rgba_of_colour(self.cs), dtype=np.int64)
+        ce = np.array(C.rgba_of_colour(self.ce), dtype=np.int64)
+        mid = _dissolve_between_np(cs, ce, alpha[..., None])
+        out = np.where(
+            (xp < 0.0)[..., None],
+            cs if self.ext_s else 0,
+            np.where((xp > 1.0)[..., None], ce if self.ext_e else 0, mid),
+        )
+        return out.astype(np.int32)
+
+    def single(self, x, y):
+        img = self.image((x, y, x, y), 1, 1)[0, 0]
+        return C.colour_of_rgba(*(int(v) for v in img))
+
+    def transform(self, t):
+        f = lambda p: tr.transform(t, p)
+        return GradientFill(f(self.p0), f(self.p1), self.ext_s, self.ext_e, self.cs, self.ce)
+
+    def changecolour(self, f):
+        return GradientFill(self.p0, self.p1, self.ext_s, self.ext_e, f(self.cs), f(self.ce))
+
+
+def gradient(p0, p1, ext_s, ext_e, cs, ce) -> GradientFill:
+    return GradientFill(p0, p1, ext_s, ext_e, cs, ce)
+
+
+class RadialFill(Fill):
+    """Radial gradient (fill.ml:112-140)."""
+
+    kind = FANCY
+
+    def __init__(self, c, p, p2, ext_s: bool, ext_e: bool, cs: int, ce: int):
+        self.c, self.p, self.p2 = tuple(c), tuple(p), tuple(p2)
+        self.ext_s, self.ext_e = ext_s, ext_e
+        self.cs, self.ce = cs, ce
+
+    def image(self, box, H, W):
+        cx, cy = self.c
+        r = math.dist(self.c, self.p)
+        r2 = math.dist(self.c, self.p2)
+        diff = r2 - r
+        xs, ys = _grid(box, H, W)
+        d = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+        cs = np.array(C.rgba_of_colour(self.cs), dtype=np.int64)
+        ce = np.array(C.rgba_of_colour(self.ce), dtype=np.int64)
+        if diff == 0.0:
+            mid = np.broadcast_to(cs, (H, W, 4))
+        else:
+            t = (d - r) / diff
+            alpha = (255 - np.trunc(t * 255.0).astype(np.int64))[..., None]
+            mid = _dissolve_between_np(cs, ce, alpha)
+        out = np.where(
+            (d > r2)[..., None],
+            ce if self.ext_e else 0,
+            np.where((d < r)[..., None], cs if self.ext_s else 0, mid),
+        )
+        return out.astype(np.int32)
+
+    def single(self, x, y):
+        img = self.image((x, y, x, y), 1, 1)[0, 0]
+        return C.colour_of_rgba(*(int(v) for v in img))
+
+    def transform(self, t):
+        f = lambda p: tr.transform(t, p)
+        return RadialFill(
+            f(self.c), f(self.p), f(self.p2), self.ext_s, self.ext_e, self.cs, self.ce
+        )
+
+    def changecolour(self, f):
+        return RadialFill(self.c, self.p, self.p2, self.ext_s, self.ext_e, f(self.cs), f(self.ce))
+
+
+def radial(c, p, p2, ext_s, ext_e, cs, ce) -> RadialFill:
+    return RadialFill(c, p, p2, ext_s, ext_e, cs, ce)
