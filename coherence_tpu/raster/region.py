@@ -219,15 +219,62 @@ def _extract_rgba(rgba, oy, ox, *, h, w, H, W):
     return out.at[:h, :w].set(sub)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
+def _crop_embed_mask(mask, sy, sx, dy, dx, *, h, w, H, W):
+    sub = jax.lax.dynamic_slice(mask, (sy, sx), (h, w))
+    out = jnp.zeros((H, W), dtype=bool)
+    return jax.lax.dynamic_update_slice(out, sub, (dy, dx))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
+def _crop_embed_rgba(rgba, sy, sx, dy, dx, *, h, w, H, W):
+    sub = jax.lax.dynamic_slice(rgba, (sy, sx, 0), (h, w, 4))
+    out = jnp.zeros((H, W, 4), dtype=jnp.int32)
+    return jax.lax.dynamic_update_slice(out, sub, (dy, dx, 0))
+
+
+def _reproject_mask(s: Shape, box: Box, H: int, W: int):
+    """s.mask expressed over `box`'s bucketed (H, W) array (crop + embed)."""
+    ib = box_intersect(s.box, box)
+    if ib is None:
+        return jnp.zeros((H, W), dtype=bool)
+    w, h = box_wh(ib)
+    return _crop_embed_mask(
+        s.mask,
+        ib[1] - s.box[1],
+        ib[0] - s.box[0],
+        ib[1] - box[1],
+        ib[0] - box[0],
+        h=h,
+        w=w,
+        H=H,
+        W=W,
+    )
+
+
+def _reproject_rgba(s: Sprite, box: Box, H: int, W: int):
+    ib = box_intersect(s.box, box)
+    if ib is None:
+        return jnp.zeros((H, W, 4), dtype=jnp.int32)
+    w, h = box_wh(ib)
+    return _crop_embed_rgba(
+        s.rgba,
+        ib[1] - s.box[1],
+        ib[0] - s.box[0],
+        ib[1] - box[1],
+        ib[0] - box[0],
+        h=h,
+        w=w,
+        H=H,
+        W=W,
+    )
+
+
 def _align_masks(a: Shape, b: Shape, box: Box):
-    """Embed both masks into the bucketed array of `box`; returns jnp masks."""
+    """Both masks expressed over the bucketed array of `box`."""
     w, h = box_wh(box)
     H, W = bucket_hw(h, w)
-    ha, wa = a.wh[1], a.wh[0]
-    hb, wb = b.wh[1], b.wh[0]
-    ma = _embed_mask(a.mask, a.box[1] - box[1], a.box[0] - box[0], h=ha, w=wa, H=H, W=W)
-    mb = _embed_mask(b.mask, b.box[1] - box[1], b.box[0] - box[0], h=hb, w=wb, H=H, W=W)
-    return ma, mb
+    return _reproject_mask(a, box, H, W), _reproject_mask(b, box, H, W)
 
 
 @jax.jit
@@ -510,11 +557,7 @@ def caf(op: str, pred: str, a, b):
         if s is None:
             z = jnp.zeros((H, W), dtype=bool)
             return z, jnp.zeros((H, W, 4), dtype=jnp.int32)
-        hs, ws = s.wh[1], s.wh[0]
-        oy, ox = s.box[1] - box[1], s.box[0] - box[0]
-        m = _embed_mask(s.mask, oy, ox, h=hs, w=ws, H=H, W=W)
-        r = _embed_rgba(s.rgba, oy, ox, h=hs, w=ws, H=H, W=W)
-        return m, r
+        return _reproject_mask(s, box, H, W), _reproject_rgba(s, box, H, W)
 
     ma, ra = embed(a)
     mb, rb = embed(b)
