@@ -57,86 +57,102 @@ def opacity_of_tableval(t: int) -> int:
     return (t + volume // 2) // volume
 
 
-# Convolution kernel: weight at (row offset v, col offset u) within the
-# footprint is maintable[u][v] (see pixel_coverage polygon.ml:694-705: the
-# first table index is x).
-_KERNEL = jnp.asarray(maintable.T[:, :, None, None], dtype=jnp.bfloat16)
+# The stride-16 32x32-footprint filter as a matmul: the footprint decomposes
+# into the 2x2 neighbouring 16x16 blocks of the stride lattice, so
+#   coverage[j, k] = sum_{db,da in {0,1}} <B[j+db, k+da, :], Wq[db, da]>
+# where B are the mask's 16x16 blocks flattened to 256-vectors and Wq the
+# kernel quadrants.  One (n, 256) @ (256, 4) matmul per tile — MXU-native on
+# TPU, fast-compiling everywhere, and exact (0/1 inputs, integer weights
+# <= 255, f32 partial sums < 2^24).  Weight at (row offset v, col offset u)
+# is maintable[u][v] (see pixel_coverage polygon.ml:694-705: the first table
+# index is x).
+_K2 = maintable.T  # (v, u)
+_WQ = np.stack(
+    [
+        _K2[0:_H, 0:_H].reshape(-1),
+        _K2[0:_H, _H : 2 * _H].reshape(-1),
+        _K2[_H : 2 * _H, 0:_H].reshape(-1),
+        _K2[_H : 2 * _H, _H : 2 * _H].reshape(-1),
+    ],
+    axis=1,
+)  # (256, 4): quadrant order (db, da) = (0,0), (0,1), (1,0), (1,1)
+_MATMUL_DTYPE = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+_WQ_DEV = jnp.asarray(_WQ, dtype=_MATMUL_DTYPE)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def _coverage_counts(t_mask, *, h: int, w: int):
-    """Stride-16 valid conv of the scaled mask with the Gaussian table.
+    """Gaussian-table coverage sums of the scaled mask.
 
     t_mask: bool (16h+16, 16w+16) — scaled samples with origin at scaled
     coords (16*y0 - 32, 16*x0 - 32) for the pixel box origin (x0, y0).
-    Returns int32 (h, w) table-sum counts (NOT yet x256).
+    Returns int32 (h, w) per-pixel opacities (0..255).
     """
-    t = t_mask.astype(jnp.bfloat16)[None, :, :, None]
-    out = jax.lax.conv_general_dilated(
-        t,
-        _KERNEL,
-        window_strides=(_H, _H),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    counts = jnp.round(out[0, :, :, 0]).astype(jnp.int32)
-    return counts
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _opacity_from_counts(counts):
-    c256 = counts * 256
-    return (c256 + volume // 2) // volume
+    b = t_mask.reshape(h + 1, _H, w + 1, _H).transpose(0, 2, 1, 3)
+    b = b.reshape(h + 1, w + 1, _H * _H).astype(_MATMUL_DTYPE)
+    p = jnp.dot(b, _WQ_DEV, preferred_element_type=jnp.float32)  # (h+1, w+1, 4)
+    cov = p[:h, :w, 0] + p[:h, 1:, 1] + p[1:, :w, 2] + p[1:, 1:, 3]
+    counts = jnp.round(cov).astype(jnp.int32)
+    # opacity_of_tableval fused in (polygon.ml:650-652).
+    return (counts * 256 + volume // 2) // volume
 
 
 # Cap on the conv input size before we fall back to row-band chunking.
 _MAX_T_ELEMS = 48 * 1024 * 1024  # bf16 elements (~96 MB)
 
 
-def coverage_opacity(shape_box, scaled) -> jnp.ndarray:
-    """Per-pixel AA opacity (0..255) over the pixel box `shape_box`.
+def coverage_opacity_bucketed(shape_box, scaled) -> jnp.ndarray:
+    """Per-pixel AA opacity (0..255) over the pixel box `shape_box`, returned
+    at the region bucket size ``bucket_hw(h, w)`` (values beyond the logical
+    extent are zero).
 
     `scaled` is (sx0, sy0, mask) from scanline.scaled_mask_of_edgelist, in
     scaled-pixel coordinates, or None for an empty mask.
+
+    All device shapes are bucketed so XLA compiles one conv per bucket, not
+    one per object.
     """
     x0, y0, x1, y1 = shape_box
     w, h = x1 - x0 + 1, y1 - y0 + 1
+    hb, wb = region.bucket_hw(h, w)
     if scaled is None:
-        return jnp.zeros((h, w), dtype=jnp.int32)
+        return jnp.zeros((hb, wb), dtype=jnp.int32)
     sx0, sy0, smask = scaled
 
-    def band_counts(by0: int, bh: int) -> np.ndarray:
-        """Counts for pixel rows [y0+by0 .. y0+by0+bh-1]."""
-        th, tw = _H * bh + _H, _H * w + _H
+    def band_opacity(by0: int, bh: int):
+        """Opacity for pixel rows [y0+by0 .. y0+by0+bh-1] (bucketed bh)."""
+        th, tw = _H * bh + _H, _H * wb + _H
         t = np.zeros((th, tw), dtype=bool)
-        # T origin in scaled coords:
-        tr0 = _H * (y0 + by0) - 2 * _H
+        tr0 = _H * (y0 + by0) - 2 * _H  # T origin in scaled coords
         tc0 = _H * x0 - 2 * _H
-        # Paste smask (origin sy0, sx0) into T, clipped.
+        # Paste smask (origin sy0, sx0), clipped to the logical extent so the
+        # bucket padding contributes nothing.
         r_lo = max(tr0, sy0)
-        r_hi = min(tr0 + th, sy0 + smask.shape[0])
+        r_hi = min(tr0 + _H * min(bh, h - by0) + _H, sy0 + smask.shape[0])
         c_lo = max(tc0, sx0)
-        c_hi = min(tc0 + tw, sx0 + smask.shape[1])
+        c_hi = min(tc0 + _H * w + _H, sx0 + smask.shape[1])
         if r_lo < r_hi and c_lo < c_hi:
             t[r_lo - tr0 : r_hi - tr0, c_lo - tc0 : c_hi - tc0] = smask[
                 r_lo - sy0 : r_hi - sy0, c_lo - sx0 : c_hi - sx0
             ]
-        return _coverage_counts(jnp.asarray(t), h=bh, w=w)
+        return _coverage_counts(jnp.asarray(t), h=bh, w=wb)
 
-    t_elems = (_H * h + _H) * (_H * w + _H)
+    t_elems = (_H * hb + _H) * (_H * wb + _H)
     if t_elems <= _MAX_T_ELEMS:
-        counts = band_counts(0, h)
-    else:
-        band_h = max(1, _MAX_T_ELEMS // ((_H * w + _H) * _H))
-        chunks = []
-        by = 0
-        while by < h:
-            bh = min(band_h, h - by)
-            chunks.append(band_counts(by, bh))
-            by += bh
-        counts = jnp.concatenate(chunks, axis=0)
-    return _opacity_from_counts(counts)
+        return band_opacity(0, hb)
+    # Chunk by bucketed row bands that tile hb exactly (hb is a power of two).
+    band_h = 8
+    while (_H * band_h * 2 + _H) * (_H * wb + _H) <= _MAX_T_ELEMS and band_h < hb:
+        band_h *= 2
+    chunks = [band_opacity(by, band_h) for by in range(0, hb, band_h)]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def coverage_opacity(shape_box, scaled) -> jnp.ndarray:
+    """Unbucketed (h, w) opacity — convenience for tests."""
+    x0, y0, x1, y1 = shape_box
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    return coverage_opacity_bucketed(shape_box, scaled)[:h, :w]
 
 
 @jax.jit
@@ -154,10 +170,9 @@ def polygon_sprite_edgelist(fill, shp, edges: np.ndarray, winding: str):
     if shp is None:
         return NULL_SPRITE
     scaled = scanline.scaled_mask_of_edgelist(edges, winding, _H)
-    opacity_full = coverage_opacity(shp.box, scaled)
     H, W = shp.mask.shape
-    w, h = shp.wh
-    opacity = jnp.zeros((H, W), dtype=jnp.int32).at[:h, :w].set(opacity_full)
+    opacity = coverage_opacity_bucketed(shp.box, scaled)
+    assert opacity.shape == (H, W), (opacity.shape, shp.mask.shape)
     fill_rgba = jnp.asarray(fill.image(shp.box, H, W), dtype=jnp.int32)
     rgba = _aa_sprite_rgba(shp.mask, opacity, fill_rgba)
     return Sprite(shp.box, shp.mask, rgba)

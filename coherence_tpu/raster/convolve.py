@@ -1,0 +1,234 @@
+"""Convolution kernels over sprites (parity: reference ``convolve.ml``).
+
+Three kernel classes with the reference's exact integer arithmetic:
+
+* ``UnitKernel r``  — box kernel; the reference slides a window in O(1)/pixel
+  (convolve.ml:160-204); here an exact box sum via two 1D passes.
+* ``XYKernel``      — separable (e.g. Gaussian, convolve.ml:57-70): 1D x-pass
+  then 1D y-pass with per-pass integer division and the reference's channel
+  clamping quirk (r and g clamped to alpha, b NOT — convolve.ml:115-119).
+* ``FullKernel``    — dense square kernel.  (The reference's per-point writer
+  has an index bug, convolve.ml:108 writes (y-1, y-1); we implement the
+  intended (y-1, x-1).)
+
+Passes run as XLA convolutions in f32 with integer weights.  When a pass's
+maximum possible accumulator exceeds 2^24 (f32 exact-integer range) the
+weights are split into high/low bytes and two exact convolutions are summed
+in int32, keeping results bit-identical to integer arithmetic at any radius.
+
+Semantics of convolving "within a shape" (convolve.ml:207-232): the x-pass
+writes only pixels inside the shape (reads may come from outside), and the
+y-pass reads that mixed canvas — reproduced with masked selects.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import colour as C
+from . import region
+from .region import NULL_SPRITE, Canvas, Shape, Sprite
+
+
+@dataclass(frozen=True)
+class FullKernel:
+    radius: int
+    total: int
+    values: tuple  # (2r+1, 2r+1) nested tuples of ints
+
+
+@dataclass(frozen=True)
+class XYKernel:
+    radius: int
+    total: int
+    values: tuple  # (2r+1,) ints
+
+
+@dataclass(frozen=True)
+class UnitKernel:
+    radius: int
+
+
+Kernel = Union[FullKernel, XYKernel, UnitKernel]
+
+
+def mkunit(r: int) -> UnitKernel:
+    if r <= 0:
+        raise ValueError("mkunit: radius must be positive")
+    return UnitKernel(r)
+
+
+def mkxy(r: int, f) -> XYKernel:
+    if r <= 0:
+        raise ValueError("mkxy: radius must be positive")
+    vals = tuple(f(i - r) for i in range(2 * r + 1))
+    return XYKernel(r, sum(vals), vals)
+
+
+def mkfull(r: int, f) -> FullKernel:
+    if r <= 0:
+        raise ValueError("mkfull: radius must be positive")
+    rows = tuple(tuple(f(i - r, j - r) for i in range(2 * r + 1)) for j in range(2 * r + 1))
+    return FullKernel(r, sum(map(sum, rows)), rows)
+
+
+def _gaussian(r: int, x: int, y: int) -> int:
+    # convolve.ml:60-64: 4r^2 * exp(-(x/r)^2 - (y/r)^2) / 2, rounded.
+    sq = lambda v: v * v
+    g = math.exp(-(sq(x / r) + sq(y / r))) / 2.0
+    return int(4 * r * r * g + 0.5)
+
+
+def mkgaussian(r: int) -> XYKernel:
+    """Gaussian separable kernel (convolve.ml:67-70)."""
+    return mkxy(r, lambda x: _gaussian(r, x, 0))
+
+
+def radius_of_kernel(k: Kernel) -> int:
+    return k.radius
+
+
+# ---------------------------------------------------------------------------
+# Exact integer 1D/2D convolution via f32 convs (with hi/lo split if needed)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "axis"))
+def _conv1d_exact(img, *, weights: tuple, axis: int):
+    """Exact integer correlation of int32 (H, W, 4) along axis (0=y, 1=x)
+    with SAME zero padding.  weights: tuple of python ints (non-negative)."""
+    w = np.asarray(weights, dtype=np.int64)
+    maxsum = int(np.abs(w).sum()) * 255  # max accumulator per channel
+    x = img.astype(jnp.float32)
+    n = len(weights)
+    pad = (n - 1) // 2
+
+    def conv_with(wvals):
+        k = jnp.asarray(np.asarray(wvals, dtype=np.float32))
+        kern = k.reshape(n, 1, 1, 1) if axis == 0 else k.reshape(1, n, 1, 1)
+        padding = ((pad, pad), (0, 0)) if axis == 0 else ((0, 0), (pad, pad))
+        out = jax.lax.conv_general_dilated(
+            x.transpose(2, 0, 1)[:, :, :, None],  # channels as batch: (4,H,W,1)
+            kern,
+            window_strides=(1, 1),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return out[:, :, :, 0].transpose(1, 2, 0)
+
+    if maxsum < (1 << 24):
+        return jnp.round(conv_with(tuple(int(v) for v in w))).astype(jnp.int32)
+    hi = tuple(int(v) >> 8 for v in w)
+    lo = tuple(int(v) & 0xFF for v in w)
+    out_hi = jnp.round(conv_with(hi)).astype(jnp.int32)
+    out_lo = jnp.round(conv_with(lo)).astype(jnp.int32)
+    return (out_hi << 8) + out_lo
+
+
+@functools.partial(jax.jit, static_argnames=("weights",))
+def _conv2d_exact(img, *, weights: tuple):
+    """Exact integer 2D correlation of int32 (H, W, 4), SAME zero padding."""
+    w = np.asarray(weights, dtype=np.int64)
+    n = w.shape[0]
+    x = img.astype(jnp.float32)
+    pad = (n - 1) // 2
+
+    def conv_with(wvals):
+        k = jnp.asarray(np.asarray(wvals, dtype=np.float32).reshape(n, n, 1, 1))
+        out = jax.lax.conv_general_dilated(
+            x.transpose(2, 0, 1)[:, :, :, None],
+            k,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return out[:, :, :, 0].transpose(1, 2, 0)
+
+    maxsum = int(np.abs(w).sum()) * 255
+    if maxsum < (1 << 24):
+        return jnp.round(conv_with(tuple(map(tuple, w)))).astype(jnp.int32)
+    hi = tuple(tuple(int(v) >> 8 for v in row) for row in w)
+    lo = tuple(tuple(int(v) & 0xFF for v in row) for row in w)
+    return (jnp.round(conv_with(hi)).astype(jnp.int32) << 8) + jnp.round(
+        conv_with(lo)
+    ).astype(jnp.int32)
+
+
+def _setcanvas_xy(sums, total: int):
+    """Integer divide + the reference's channel clamp (convolve.ml:115-119):
+    r, g clamped to alpha; b deliberately NOT (the `min tb tb` quirk)."""
+    q = sums // total
+    ta = q[..., 3]
+    tr = jnp.minimum(ta, q[..., 0])
+    tg = jnp.minimum(ta, q[..., 1])
+    tb = q[..., 2]
+    return jnp.stack([tr, tg, tb, ta], axis=-1)
+
+
+def convolve_canvas(kernel: Kernel, canvas_rgba, shape_mask):
+    """Convolve within shape_mask (bool, same HxW) — convolve.ml:207-232."""
+    c = jnp.asarray(canvas_rgba, jnp.int32)
+    m = shape_mask[..., None]
+    if isinstance(kernel, FullKernel):
+        sums = _conv2d_exact(c, weights=kernel.values)
+        out = sums // kernel.total
+        return jnp.where(m, out, c)
+    if isinstance(kernel, XYKernel):
+        sums_x = _conv1d_exact(c, weights=kernel.values, axis=1)
+        cx = jnp.where(m, _setcanvas_xy(sums_x, kernel.total), c)
+        sums_y = _conv1d_exact(cx, weights=kernel.values, axis=0)
+        return jnp.where(m, _setcanvas_xy(sums_y, kernel.total), cx)
+    # UnitKernel: box blur, plain integer division, no clamping
+    # (convolve.ml:160-204 uses rgba tuples + div4).
+    n = 2 * kernel.radius + 1
+    ones = tuple([1] * n)
+    sums_x = _conv1d_exact(c, weights=ones, axis=1)
+    cx = jnp.where(m, sums_x // n, c)
+    sums_y = _conv1d_exact(cx, weights=ones, axis=0)
+    return jnp.where(m, sums_y // n, cx)
+
+
+def convolve_sprite(kernel: Kernel, sprite):
+    """Flatten -> convolve -> pick up (convolve.ml:239-258)."""
+    if sprite is None:
+        return NULL_SPRITE
+    r = radius_of_kernel(kernel)
+    canvas = region.flatten_sprite(2 * r, sprite, C.clear)
+    shape = region.bloat(r, r, region.shape_of_sprite(sprite))
+    return _convolve_pickup(kernel, canvas, shape, shape)
+
+
+def convolve_sprite_in_shape(kernel: Kernel, sprite, shape, pickup_shape):
+    """Partial variant for filters (convolve.ml:265-296)."""
+    if sprite is None:
+        return NULL_SPRITE
+    r = radius_of_kernel(kernel)
+    canvas = region.flatten_sprite(2 * r, sprite, C.clear)
+    return _convolve_pickup(kernel, canvas, shape, pickup_shape)
+
+
+def _convolve_pickup(kernel: Kernel, canvas: Canvas, shape, pickup_shape):
+    if shape is None or pickup_shape is None:
+        return NULL_SPRITE
+    ox, oy = canvas.origin
+    H, W = canvas.height, canvas.width
+    # Shape mask expressed over the canvas extent.
+    canvas_box = (ox, oy, ox + W - 1, oy + H - 1)
+    wb, hb = region.box_wh(canvas_box)
+    Hb, Wb = region.bucket_hw(hb, wb)
+    m = region._reproject_mask(shape, canvas_box, Hb, Wb)[:H, :W]
+    out = convolve_canvas(kernel, canvas.rgba, m)
+    # Pickup shape must lie within the canvas (guaranteed by flatten border).
+    ps = region.shape_intersection(pickup_shape, region.shape_of_box(canvas_box))
+    if ps is None:
+        return NULL_SPRITE
+    return region.pickup(ps, Canvas(out, canvas.origin))

@@ -193,44 +193,63 @@ def spritecheck(s) -> bool:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
+# The workhorse of box realignment: ``out[r, c] = src[r - dy, c - dx]`` with
+# dynamic offsets and out-of-range reads as zero/False.  Because offsets are
+# *traced* scalars and only the (bucketed) array shapes are static, XLA
+# compiles one kernel per bucket pair — not one per object geometry.
+# Content leakage past the intended logical window is harmless by
+# construction: sources are zero outside their logical extent, and every
+# consumer masks with an operand whose own content is bounded by its box.
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _shift_mask(mask, dy, dx, hv, wv, *, H, W):
+    """out[r, c] = mask[r - dy, c - dx], clipped to out window r < hv, c < wv."""
+    hs, ws = mask.shape
+    iy = jnp.arange(H) - dy
+    ix = jnp.arange(W) - dx
+    vy = (iy >= 0) & (iy < hs) & (jnp.arange(H) < hv)
+    vx = (ix >= 0) & (ix < ws) & (jnp.arange(W) < wv)
+    g = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
+    return g & vy[:, None] & vx[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _shift_rgba(rgba, dy, dx, hv, wv, *, H, W):
+    hs, ws = rgba.shape[:2]
+    iy = jnp.arange(H) - dy
+    ix = jnp.arange(W) - dx
+    vy = (iy >= 0) & (iy < hs) & (jnp.arange(H) < hv)
+    vx = (ix >= 0) & (ix < ws) & (jnp.arange(W) < wv)
+    g = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
+    return jnp.where((vy[:, None] & vx[None, :])[..., None], g, 0)
+
+
 def _embed_mask(mask, oy, ox, *, h, w, H, W):
-    out = jnp.zeros((H, W), dtype=bool)
-    return jax.lax.dynamic_update_slice(out, mask[:h, :w], (oy, ox))
+    # Window (oy + h, ox + w): source content is bounded by its box anyway.
+    return _shift_mask(mask, oy, ox, oy + h, ox + w, H=H, W=W)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
 def _embed_rgba(rgba, oy, ox, *, h, w, H, W):
-    out = jnp.zeros((H, W, 4), dtype=jnp.int32)
-    return jax.lax.dynamic_update_slice(out, rgba[:h, :w], (oy, ox, 0))
+    return _shift_rgba(rgba, oy, ox, oy + h, ox + w, H=H, W=W)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
 def _extract_mask(mask, oy, ox, *, h, w, H, W):
-    sub = jax.lax.dynamic_slice(mask, (oy, ox), (h, w))
-    out = jnp.zeros((H, W), dtype=bool)
-    return out.at[:h, :w].set(sub)
+    return _shift_mask(mask, -oy, -ox, h, w, H=H, W=W)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
 def _extract_rgba(rgba, oy, ox, *, h, w, H, W):
-    sub = jax.lax.dynamic_slice(rgba, (oy, ox, 0), (h, w, 4))
-    out = jnp.zeros((H, W, 4), dtype=jnp.int32)
-    return out.at[:h, :w].set(sub)
+    return _shift_rgba(rgba, -oy, -ox, h, w, H=H, W=W)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
 def _crop_embed_mask(mask, sy, sx, dy, dx, *, h, w, H, W):
-    sub = jax.lax.dynamic_slice(mask, (sy, sx), (h, w))
-    out = jnp.zeros((H, W), dtype=bool)
-    return jax.lax.dynamic_update_slice(out, sub, (dy, dx))
+    # One of (sy, dy) and one of (sx, dx) is always 0 for box intersections,
+    # so the upper-bound window in _shift_mask fully determines the crop.
+    return _shift_mask(mask, dy - sy, dx - sx, dy + h, dx + w, H=H, W=W)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "H", "W"))
 def _crop_embed_rgba(rgba, sy, sx, dy, dx, *, h, w, H, W):
-    sub = jax.lax.dynamic_slice(rgba, (sy, sx, 0), (h, w, 4))
-    out = jnp.zeros((H, W, 4), dtype=jnp.int32)
-    return jax.lax.dynamic_update_slice(out, sub, (dy, dx, 0))
+    return _shift_rgba(rgba, dy - sy, dx - sx, dy + h, dx + w, H=H, W=W)
 
 
 def _reproject_mask(s: Shape, box: Box, H: int, W: int):
@@ -600,19 +619,22 @@ def bloat(rx: int, ry: int, s):
     return Shape(nbox, _dilate(m, rx=rx, ry=ry))
 
 
-@functools.partial(jax.jit, static_argnames=("rx", "ry", "h", "w"))
-def _erode_k(mask, *, rx: int, ry: int, h: int, w: int):
-    # Treat outside-the-logical-extent as uncovered.
-    m = mask[:h, :w].astype(jnp.float32)
+@functools.partial(jax.jit, static_argnames=("rx", "ry"))
+def _erode_k(mask, h, w, *, rx: int, ry: int):
+    # Treat outside-the-logical-(h, w)-extent as uncovered; h, w dynamic.
+    m = mask.astype(jnp.float32)
     out = jax.lax.reduce_window(
         m, jnp.inf, jax.lax.min, (2 * ry + 1, 2 * rx + 1), (1, 1), "SAME"
     )
-    # reduce_window SAME pads with +inf (the init value); near borders the
-    # window sticks out of the array, where coverage must count as 0.
-    yy = jnp.arange(h)
-    xx = jnp.arange(w)
+    # reduce_window SAME pads with +inf (the init value); windows that stick
+    # past the logical extent must count as uncovered.
+    yy = jnp.arange(mask.shape[0])
+    xx = jnp.arange(mask.shape[1])
     interior = (
-        (yy[:, None] >= ry) & (yy[:, None] < h - ry) & (xx[None, :] >= rx) & (xx[None, :] < w - rx)
+        (yy[:, None] >= ry)
+        & (yy[:, None] < h - ry)
+        & (xx[None, :] >= rx)
+        & (xx[None, :] < w - rx)
     )
     return jnp.logical_and(out > 0.0, interior)
 
@@ -624,10 +646,7 @@ def erode(rx: int, ry: int, s):
     if rx == 0 and ry == 0:
         return s
     w, h = box_wh(s.box)
-    eroded = _erode_k(s.mask, rx=rx, ry=ry, h=h, w=w)
-    H, W = s.mask.shape
-    full = jnp.zeros((H, W), dtype=bool).at[:h, :w].set(eroded)
-    return _maybe_null(s.box, full)
+    return _maybe_null(s.box, _erode_k(s.mask, h, w, rx=rx, ry=ry))
 
 
 # ---------------------------------------------------------------------------
@@ -697,8 +716,7 @@ def pickup(shape, canvas: Canvas):
         (canvas.width, canvas.height),
     )
     H, W = shape.mask.shape
-    sub = jax.lax.dynamic_slice(canvas.rgba, (row0, col0, 0), (h, w, 4))
-    rgba = jnp.zeros((H, W, 4), dtype=jnp.int32).at[:h, :w].set(sub)
+    rgba = _shift_rgba(canvas.rgba, -row0, -col0, h, w, H=H, W=W)
     return sprite_of_mask_rgba(shape.box, shape.mask, rgba)
 
 
