@@ -382,22 +382,14 @@ class WindowSystem:
         composited)."""
         if sprite is None or w not in self.framebuffers:
             return
+        from .. import native_lib
+
         fb = self.framebuffers[w]
         ww, hh = sprite.wh
         mask = np.asarray(sprite.mask)[:hh, :ww]
         rgba = np.asarray(sprite.rgba)[:hh, :ww]
         x0, y0, _, _ = sprite.box
-        x0, y0 = x0 + dx, y0 + dy
-        # Clip to the framebuffer.
-        sx0, sy0 = max(0, -x0), max(0, -y0)
-        ex = min(ww, CANVAS_W - x0)
-        ey = min(hh, CANVAS_H - y0)
-        if ex <= sx0 or ey <= sy0:
-            return
-        sub_m = mask[sy0:ey, sx0:ex]
-        sub_c = rgba[sy0:ey, sx0:ex, :3].astype(np.uint8)
-        tgt = fb[y0 + sy0 : y0 + ey, x0 + sx0 : x0 + ex]
-        tgt[sub_m] = sub_c[sub_m]
+        native_lib.blit_masked_rgb(fb, rgba, mask, y0 + dy, x0 + dx)
 
     def plot_shape(self, w, dx, dy, colour, shape) -> None:
         if shape is None:

@@ -839,6 +839,21 @@ def spriteof_filter(lmo, lower, whole_scene, obj, idset, objects_below, shptoren
         )
         r = blend_prime(scenerendered, filtered, alpha_in_update)
         e = shapeonly_of_basicshape(obj)
+        if pdf_filter_debug_active:
+            # The filter debug page layout of render.ml:1117-1130.
+            from ..utils import debugpdf as D
+
+            D.add_debug_shape(shptorender)
+            D.add_debug_shape(scene_torender, dx=300)
+            D.add_debug_sprite(scene_rendered, dx=600)
+            D.add_debug_sprite(filtered, dx=900)
+            D.add_debug_sprite(alpha_in_update, dx=1200)
+            D.add_debug_shape(pixels_finished, dy=300)
+            D.add_debug_shape(pixels_for_normal, dx=300, dy=300)
+            D.add_debug_sprite(scenerendered, dx=600, dy=300)
+            D.add_debug_sprite(r, dx=900, dy=300)
+            D.add_debug_shape(e, dx=1200, dy=300)
+            D.write_debug_page("Filter")
         return r, e
     finally:
         if setanyfilter:
@@ -952,13 +967,27 @@ def renderobj(lmo, lower, obj: Obj, objects_below, whole_scene, ua, master_updat
 
 def render_scene(lmo, lower, ua, objlist, whole_scene, master_update):
     """Front-to-back fold with early termination (render.ml:1310-1335)."""
+    from ..utils import profiling
+
     u, a = ua
     for k, obj in enumerate(objlist):
         if u is NULL_SHAPE:
+            profiling.counter("render.early_exit")
+            if pdf_debug_active and not underanyfilter:
+                from ..utils import debugpdf as D
+
+                D.add_debug_sprite(a)
+                D.write_debug_page("Final result of render_scene")
             return a, lower, u
+        profiling.counter("render.objects_visited")
         u, a, lower = renderobj(
             lmo, lower, obj, list(objlist[k + 1 :]), whole_scene, (u, a), master_update
         )
+    if pdf_debug_active and not underanyfilter:
+        from ..utils import debugpdf as D
+
+        D.add_debug_sprite(a)
+        D.write_debug_page("Final result of render_scene")
     return a, lower, u
 
 
