@@ -14,9 +14,22 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-
 import numpy as np
+
+
+def _setup_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
+
+
+_setup_cache()
 
 
 def build():

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 # Persistent compilation cache: XLA recompiles are the dominant test cost.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# (This JAX build ignores the env vars, so configure programmatically.)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
