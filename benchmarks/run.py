@@ -1,0 +1,245 @@
+"""BASELINE.md benchmark configs (python benchmarks/run.py [1-5|all]).
+
+Each config prints one JSON line.  Timings force completion with scalar
+readbacks (the axon transport's block_until_ready does not block).
+
+  1  static lion 512x512, CPU backend (cold and cached render)
+  2  100 overlapping opaque/translucent shapes: front-to-back HSR compositing
+  3  animated sprite over static lion at 1080p (== bench.py headline)
+  4  blur/convolve filter over a 1080p frame
+  5  4K frame, 1000 primitives: full composite + dirty-window recomposite
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _cache_cfg():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def emit(metric, value, unit, baseline, extra=None):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 3) if baseline else None,
+                "extra": extra or {},
+            }
+        )
+    )
+
+
+def config1():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _cache_cfg()
+    import jax.numpy as jnp
+
+    import coherence_tpu.colour as C
+    import coherence_tpu.transform as tr
+    from coherence_tpu.raster import region
+    from coherence_tpu.scene import cache, examples as E, render as R
+
+    lion = E.smalllion()
+    xmin, xmax, ymin, ymax = R.bounds_of_basicshape(lion)
+    scale = 512.0 / max(xmax - xmin, ymax - ymin)
+    obj = R.transform_renderobject_many(
+        [
+            tr.Translate(0.0, 512.0),
+            tr.Scale((0.0, 0.0), 1.0, -1.0),
+            tr.Scale((0.0, 0.0), scale, scale),
+            tr.Translate(-xmin, -ymin),
+        ],
+        lion,
+    )
+    shape = region.shape_of_box((1, 1, 512, 512))
+    t0 = time.time()
+    spr = R.render_simple_scene([obj], shape)
+    int(jnp.sum(spr.rgba))
+    cold = time.time() - t0
+    t0 = time.time()
+    spr = R.render_simple_scene([obj], shape)
+    int(jnp.sum(spr.rgba))
+    warm = time.time() - t0
+    emit(
+        "lion512_cpu_cached_render_ms",
+        warm * 1000,
+        "ms",
+        None,
+        {"cold_s": round(cold, 1)},
+    )
+
+
+def config2():
+    _cache_cfg()
+    import jax
+    import jax.numpy as jnp
+
+    from coherence_tpu.raster import pallas_compositor as PC
+
+    rng = np.random.default_rng(0)
+    K, H, W = 100, 1088, 1920
+    layers4 = np.zeros((K, H, W, 4), np.int32)
+    for k in range(K):
+        x0, y0 = rng.integers(0, W - 600), rng.integers(0, H - 500)
+        w, h = rng.integers(150, 600), rng.integers(150, 500)
+        a = 255 if k % 2 == 0 else 128
+        col = (rng.integers(0, 256, 3) * a) // 255
+        layers4[k, y0 : y0 + h, x0 : x0 + w, :3] = col
+        layers4[k, y0 : y0 + h, x0 : x0 + w, 3] = a
+    layers = PC.pack_rgba(jnp.asarray(layers4))
+    bg = PC.pack_rgba(
+        jnp.asarray(
+            np.concatenate(
+                [np.full((H, W, 3), 255), np.full((H, W, 1), 255)], -1
+            ),
+            jnp.int32,
+        )
+    )
+    f = jax.jit(PC.composite_layers_xla)
+    x = f(bg, layers)
+    int(jnp.sum(x >> 24))
+    n = 30
+    t0 = time.time()
+    x = bg
+    for _ in range(n):
+        x = f(x, layers)
+    int(jnp.sum(x >> 24))
+    dt = time.time() - t0
+    fps = n / dt
+    emit("hsr_100layers_1080p_fps", fps, "fps", 60.0, {"layers": K})
+
+
+def config3():
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")],
+        capture_output=True,
+        text=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    print(line)
+
+
+def config4():
+    _cache_cfg()
+    import jax
+    import jax.numpy as jnp
+
+    from coherence_tpu.raster import convolve as rconvolve
+
+    rng = np.random.default_rng(0)
+    H, W = 1088, 1920
+    a = rng.integers(0, 256, (H, W, 1))
+    rgb = (rng.integers(0, 256, (H, W, 3)) * a) // 255
+    frame = jnp.asarray(np.concatenate([rgb, a], -1), jnp.int32)
+    mask = jnp.ones((H, W), dtype=bool)
+    k = rconvolve.mkgaussian(5)
+    f = jax.jit(lambda fr: rconvolve.convolve_canvas(k, fr, mask))
+    x = f(frame)
+    int(jnp.sum(x))
+    n = 30
+    t0 = time.time()
+    x = frame
+    for _ in range(n):
+        x = f(x)
+    int(jnp.sum(x))
+    fps = n / (time.time() - t0)
+    emit("gaussian_blur_r5_1080p_fps", fps, "fps", 60.0, {})
+
+
+def config5():
+    _cache_cfg()
+    import jax
+    import jax.numpy as jnp
+
+    from coherence_tpu.raster import pallas_compositor as PC
+    from coherence_tpu.raster.framepath import FrameBuffer, _blit_over_bg_kernel
+    import coherence_tpu.colour as C
+
+    # 1000 primitives pre-rasterized into a static 4K background (their
+    # rasters are coherent frame to frame); interactivity = a dirty window
+    # recomposite per frame, as in the animated-sprite path.
+    rng = np.random.default_rng(0)
+    H, W = 2176, 3840
+    bg4 = np.full((H, W, 4), 255, np.int32)
+    for k in range(1000):
+        x0, y0 = rng.integers(0, W - 64), rng.integers(0, H - 64)
+        w, h = rng.integers(8, 64), rng.integers(8, 64)
+        col = rng.integers(0, 256, 3)
+        bg4[y0 : y0 + h, x0 : x0 + w, :3] = col
+    fb = FrameBuffer(W, H, C.white)
+    import jax.numpy as jnp
+
+    fb.rgba = jnp.asarray(bg4)
+    background = fb.snapshot()
+
+    from coherence_tpu.raster import fills as rfills, region
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.scene import render as R
+    from coherence_tpu import ident
+
+    blob = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(C.crimson, delta=170)),
+            R.PathShape(gshapes.circle(0.0, 0.0, 60.0)),
+        ),
+        (__import__("coherence_tpu.transform", fromlist=["Translate"]).Translate(200.0, 400.0),),
+        R.OVER,
+    )
+    shp, minshp = R.shape_of_basicshape(blob)
+    fill = R.fillin_obj(blob).transform(list(blob.transform))
+    fringe = R.sprite_of_basicshape(blob, region.shape_difference(shp, minshp), [blob])
+    interior = region.fillshape(minshp, fill)
+    spr, _ = region.caf("nocover", "opaque", interior, fringe)
+
+    from coherence_tpu.raster.region import box_union, translate_sprite
+
+    def frame(k, prev):
+        d = (9, 4) if (k // 150) % 2 == 0 else (-9, -4)
+        cur = translate_sprite(d[0], d[1], prev)
+        fb.blit_over_background(background, cur, box_union(prev.box, cur.box))
+        return cur
+
+    s = spr
+    for k in range(3):
+        s = frame(k, s)
+    int(jnp.sum(fb.rgba[::128, ::128, 3]))
+    t0 = time.time()
+    int(jnp.sum(fb.rgba[::128, ::128, 3]))
+    base = time.time() - t0
+    n = 300
+    t0 = time.time()
+    for k in range(n):
+        s = frame(k, s)
+    int(jnp.sum(fb.rgba[::128, ::128, 3]))
+    fps = n / max(1e-9, time.time() - t0 - base)
+    emit("interactive_4k_1000prims_fps", fps, "fps", 60.0, {})
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cfgs = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    if which == "all":
+        for k in sorted(cfgs):
+            cfgs[k]()
+    else:
+        cfgs[which]()
+
+
+if __name__ == "__main__":
+    main()
