@@ -196,6 +196,14 @@ def _mkwire(fill, strokespec, o: Obj) -> Obj:
     return Obj(ident.new_ids(), geom2, (), R.OVER)
 
 
+def _with_recipe(fg: FilterG, name: str, *args) -> FilterG:
+    """Attach a reconstruction recipe for checkpointing (scene/checkpoint.py).
+
+    FilterG is frozen; the recipe is advisory metadata."""
+    object.__setattr__(fg, "recipe", (name, args))
+    return fg
+
+
 def wireframe(geometry, strokespec, fill) -> FilterG:
     """Rewrite the scene below into stroked outlines (filters.ml:128-145)."""
 
@@ -212,8 +220,12 @@ def wireframe(geometry, strokespec, fill) -> FilterG:
         w = int(math.ceil(strokespec.linewidth))
         return region.bloat(w, w, d)
 
-    return FilterG(
-        Filter(geometry, reading_scene, nullfilterfunction, dirty, FILTER_PLAIN)
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, nullfilterfunction, dirty, FILTER_PLAIN)),
+        "wireframe",
+        geometry,
+        strokespec,
+        fill,
     )
 
 
@@ -264,7 +276,10 @@ def rgb(geometry, transforms, filltype) -> FilterG:
         infilter = region.shape_intersection(union, ourshape)
         return region.shape_union(infilter, shp)
 
-    return FilterG(Filter(geometry, reading_scene, nullfilterfunction, dirty, filltype))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, nullfilterfunction, dirty, filltype)),
+        "rgb", geometry, transforms, filltype,
+    )
 
 
 # --- smear (filters.ml:198-217) ----------------------------------------------
@@ -284,7 +299,10 @@ def smear(brushstroke) -> FilterG:
         return region.portion(spr2, shp2)
 
     geometry = Basic(rfills.plain(C.white), BrushStroke(rbrush.mkdummy(brushstroke)))
-    return FilterG(Filter(geometry, reading_scene, filterfn, totaldirty, FILTER_FANCY))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, filterfn, totaldirty, FILTER_FANCY)),
+        "smear", brushstroke,
+    )
 
 
 # --- hole (filters.ml:219-229) -----------------------------------------------
@@ -294,7 +312,10 @@ def hole(geometry) -> FilterG:
     def reading_scene(shp, _idset, _obj, _scene):
         return shp, shp, []
 
-    return FilterG(Filter(geometry, reading_scene, nullfilterfunction, nulldirty, FILTER_PLAIN))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, nullfilterfunction, nulldirty, FILTER_PLAIN)),
+        "hole", geometry,
+    )
 
 
 # --- monochrome (filters.ml:231-242) ------------------------------------------
@@ -307,7 +328,10 @@ def monochrome(geometry) -> FilterG:
     def filterfn(spr, _obj, _shp):
         return region.sprite_map(C.monochrome_rgba, spr)
 
-    return FilterG(Filter(geometry, reading_scene, filterfn, nulldirty, FILTER_PLAIN))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, filterfn, nulldirty, FILTER_PLAIN)),
+        "monochrome", geometry,
+    )
 
 
 # --- blur (filters.ml:244-261) -------------------------------------------------
@@ -327,8 +351,9 @@ def blur(geometry, kernel) -> FilterG:
         pickup = region.shape_intersection(bloated, result_shape)
         return rconvolve.convolve_sprite_in_shape(kernel, spr, bloated, pickup)
 
-    return FilterG(
-        Filter(geometry, reading_scene, filterfn, bloatdirty(radius, radius), FILTER_PLAIN)
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, filterfn, bloatdirty(radius, radius), FILTER_PLAIN)),
+        "blur", geometry, kernel,
     )
 
 
@@ -345,7 +370,10 @@ def affine(filter_transform, geometry) -> FilterG:
             shp, region.shape_intersection(transform_shape(filter_transform, shp), filter_shape)
         )
 
-    return FilterG(Filter(geometry, reading_scene, nullfilterfunction, dirty, FILTER_PLAIN))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, nullfilterfunction, dirty, FILTER_PLAIN)),
+        "affine", filter_transform, geometry,
+    )
 
 
 # --- minus (filters.ml:288-303) -------------------------------------------------
@@ -361,7 +389,10 @@ def minus(geometry) -> FilterG:
         inter2 = region.shape_intersection(inter, shp)
         return inter2, inter2, list(scene[1:])
 
-    return FilterG(Filter(geometry, reading_scene, nullfilterfunction, nulldirty, FILTER_PLAIN))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, nullfilterfunction, nulldirty, FILTER_PLAIN)),
+        "minus", geometry,
+    )
 
 
 # --- swapdepth (filters.ml:305-332) ----------------------------------------------
@@ -389,4 +420,7 @@ def swapdepth(o, o2, geometry) -> FilterG:
     def reading_scene(shp, _idset, _renderobject, scene):
         return shp, shp, swap_in_list(o, o2, scene)
 
-    return FilterG(Filter(geometry, reading_scene, nullfilterfunction, nulldirty, FILTER_PLAIN))
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, nullfilterfunction, nulldirty, FILTER_PLAIN)),
+        "swapdepth", o, o2, geometry,
+    )
