@@ -391,6 +391,25 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
     return elements
 
 
+def transform_graphic(t, graphic: Graphic) -> Graphic:
+    """Transform every path in a graphic (pdfgraphics.ml transform_graphic)."""
+
+    def walk(elements):
+        out = []
+        for el in elements:
+            if isinstance(el, GPath):
+                out.append(GPath(gpath.transform_path(list(t), el.path), el.attributes))
+            elif isinstance(el, MCSection):
+                out.append(MCSection(el.name, walk(el.elements)))
+            elif isinstance(el, Clip):
+                out.append(Clip(gpath.transform_path(list(t), el.path), walk(el.elements)))
+            else:
+                out.append(el)
+        return out
+
+    return Graphic(walk(graphic.elements), graphic.resources)
+
+
 # ---------------------------------------------------------------------------
 # Inverse: structured graphic -> PDF page (pdfgraphics.ml page_of_graphic)
 # ---------------------------------------------------------------------------

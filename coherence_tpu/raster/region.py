@@ -732,6 +732,67 @@ def point_in_shape(s, pt: Tuple[int, int]) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Span extraction (ref sprite.ml:1879-1968 — the spanlist views Convolve
+# consumed; here provided for API parity, diagnostics and host-side tools)
+# ---------------------------------------------------------------------------
+
+
+def spanlist_of_shape(s) -> list:
+    """Horizontal spans [(x, y, length), ...] of a shape
+    (ref sprite.ml spanlist_of_shape)."""
+    if s is None:
+        return []
+    m = s.mask_np()
+    x0, y0, _, _ = s.box
+    out = []
+    ys, xs = np.nonzero(m)
+    if len(ys) == 0:
+        return []
+    order = np.lexsort((xs, ys))
+    ys, xs = ys[order], xs[order]
+    new_run = np.ones(len(ys), dtype=bool)
+    new_run[1:] = (ys[1:] != ys[:-1]) | (xs[1:] != xs[:-1] + 1)
+    first = np.flatnonzero(new_run)
+    last = np.append(first[1:] - 1, len(xs) - 1)
+    for f, l in zip(first, last):
+        out.append((int(xs[f]) + x0, int(ys[f]) + y0, int(l - f) + 1))
+    return out
+
+
+def depthspanlist_of_shape(s) -> list:
+    """Vertical spans [(x, y, depth), ...] (ref depthspanlist_of_shape)."""
+    if s is None:
+        return []
+    m = s.mask_np().T  # columns become rows
+    x0, y0, _, _ = s.box
+    out = []
+    xs_, ys_ = np.nonzero(m)
+    if len(xs_) == 0:
+        return []
+    order = np.lexsort((ys_, xs_))
+    xs_, ys_ = xs_[order], ys_[order]
+    new_run = np.ones(len(xs_), dtype=bool)
+    new_run[1:] = (xs_[1:] != xs_[:-1]) | (ys_[1:] != ys_[:-1] + 1)
+    first = np.flatnonzero(new_run)
+    last = np.append(first[1:] - 1, len(ys_) - 1)
+    for f, l in zip(first, last):
+        out.append((int(xs_[f]) + x0, int(ys_[f]) + y0, int(l - f) + 1))
+    return out
+
+
+def shapespan_iter(minx, maxx, miny, maxy, f, s) -> None:
+    """Iterate spans clipped to a window, calling f(x, y, length)
+    (ref sprite.ml:147-154)."""
+    for (x, y, l) in spanlist_of_shape(s):
+        if y < miny or y > maxy:
+            continue
+        e = x + l - 1
+        cs, ce = max(x, minx), min(e, maxx)
+        if cs <= ce:
+            f(cs, y, ce - cs + 1)
+
+
+# ---------------------------------------------------------------------------
 # Size estimators for cache accounting (ref sprite.ml:402-457)
 # ---------------------------------------------------------------------------
 
