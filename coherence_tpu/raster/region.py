@@ -118,6 +118,9 @@ def _pad_mask(mask: np.ndarray) -> jnp.ndarray:
 class Shape:
     box: Box
     mask: jnp.ndarray  # bool (H, W) bucketed; False outside logical extent
+    # Memoized emptiness: None = unknown (computing it is a host<->device
+    # sync, so it is deferred until control flow actually needs it).
+    empty_known: Optional[bool] = None
 
     @property
     def wh(self) -> Tuple[int, int]:
@@ -144,7 +147,13 @@ NULL_SPRITE: Optional[Sprite] = None
 
 
 def is_null_shape(s) -> bool:
-    return s is None
+    """True for None or a shape whose mask is empty (memoized; this is the
+    only place raster emptiness forces a device sync)."""
+    if s is None:
+        return True
+    if s.empty_known is None:
+        s.empty_known = not bool(_any(s.mask))
+    return s.empty_known
 
 
 def is_null_sprite(s) -> bool:
@@ -157,13 +166,13 @@ def shape_of_mask(box: Box, mask: np.ndarray) -> Optional[Shape]:
         return NULL_SHAPE
     w, h = box_wh(box)
     assert mask.shape == (h, w), (mask.shape, box)
-    return Shape(box, _pad_mask(mask))
+    return Shape(box, _pad_mask(mask), empty_known=False)
 
 
 def shape_of_box(box: Box) -> Shape:
     """Fully-covered rectangular shape."""
     w, h = box_wh(box)
-    return Shape(box, _pad_mask(np.ones((h, w), dtype=bool)))
+    return Shape(box, _pad_mask(np.ones((h, w), dtype=bool)), empty_known=False)
 
 
 def shapecheck(s) -> bool:
@@ -317,16 +326,13 @@ def _any(a):
 
 
 def shape_any(s) -> bool:
-    if s is None:
-        return False
-    return bool(_any(s.mask))
+    return not is_null_shape(s)
 
 
 def _maybe_null(box: Box, mask) -> Optional[Shape]:
-    s = Shape(box, mask)
-    if not shape_any(s):
-        return NULL_SHAPE
-    return s
+    # Deferred emptiness: return the shape without syncing; consumers that
+    # need truth go through is_null_shape (memoized, one sync max).
+    return Shape(box, mask)
 
 
 def shape_union(a, b):
@@ -372,7 +378,7 @@ def shape_intersects(a, b) -> bool:
         return False
     if not box_overlap(a.box, b.box):
         return False
-    return shape_intersection(a, b) is not None
+    return not is_null_shape(shape_intersection(a, b))
 
 
 def translate_shape(dx: int, dy: int, s):
@@ -380,7 +386,7 @@ def translate_shape(dx: int, dy: int, s):
     if s is None:
         return NULL_SHAPE
     x0, y0, x1, y1 = s.box
-    return Shape((x0 + dx, y0 + dy, x1 + dx, y1 + dy), s.mask)
+    return Shape((x0 + dx, y0 + dy, x1 + dx, y1 + dy), s.mask, s.empty_known)
 
 
 def translate_sprite(dx: int, dy: int, s):
@@ -484,8 +490,6 @@ def portion(s, shp):
     mp = _extract_mask(shp.mask, ibox[1] - shp.box[1], ibox[0] - shp.box[0], h=h, w=w, H=H, W=W)
     rgba = _extract_rgba(s.rgba, ibox[1] - s.box[1], ibox[0] - s.box[0], h=h, w=w, H=H, W=W)
     mask = _and(ms, mp)
-    if not bool(_any(mask)):
-        return NULL_SPRITE
     return sprite_of_mask_rgba(ibox, mask, rgba)
 
 

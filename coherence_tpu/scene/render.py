@@ -890,7 +890,7 @@ def spriteof(lmo, lower, obj: Obj, shp, objects_below, whole_scene):
         got = cache.getsprite(idset)
         cachedwholesprite, pshape = got if got is not None else (NULL_SPRITE, NULL_SHAPE)
     shptorender = s_diff(shp, pshape)
-    if shptorender is NULL_SHAPE:
+    if region.is_null_shape(shptorender):
         part = region.portion(cachedwholesprite, shp)
         ef = region.shape_of_sprite(part) if isinstance(geom, FilterG) else NULL_SHAPE
         return part, ef, lower2
@@ -937,14 +937,14 @@ def renderobj(lmo, lower, obj: Obj, objects_below, whole_scene, ua, master_updat
     u, a = ua
     idset = obj.idset
     xmin, xmax, ymin, ymax = bounds_of_basicshape(obj)
-    if u is NULL_SHAPE:
+    if u is None:
         raise ValueError("renderobj called for null dirty region")
     ux0, uy0, ux1, uy1 = u.box
     if not box_overlap((xmin, ymin, xmax, ymax), (ux0, uy0, ux1, uy1)):
         return u, a, (lower or lmo == idset)  # trivial reject on bounds
     r = shapeonly_of_basicshape(obj)
     r2 = s_int(r, u)
-    if r2 is NULL_SHAPE:
+    if region.is_null_shape(r2):
         return u, a, lower
     s, ef, lower2 = spriteof(lmo, lower, obj, r2, objects_below, whole_scene)
     geom = obj.geometry
@@ -971,7 +971,7 @@ def render_scene(lmo, lower, ua, objlist, whole_scene, master_update):
 
     u, a = ua
     for k, obj in enumerate(objlist):
-        if u is NULL_SHAPE:
+        if region.is_null_shape(u):
             profiling.counter("render.early_exit")
             if pdf_debug_active and not underanyfilter:
                 from ..utils import debugpdf as D

@@ -288,4 +288,4 @@ def test_filter_dirty_composition():
     out = R.dirty_filter(below.idset, initial, scene)
     # The blur's dirty fn bloats within the filter.
     assert region.shapesize(out) >= region.shapesize(initial)
-    assert region.shape_difference(initial, out) is None
+    assert region.is_null_shape(region.shape_difference(initial, out))

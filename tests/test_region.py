@@ -53,8 +53,8 @@ def test_null_cases():
     assert R.shape_difference(None, a) is None
     assert R.shape_difference(a, None) is a
     assert R.shape_intersection(a, None) is None
-    # Difference with itself is null.
-    assert R.shape_difference(a, a) is None
+    # Difference with itself is null (lazily: empty mask).
+    assert R.is_null_shape(R.shape_difference(a, a))
 
 
 def test_translate_and_point_in_shape():

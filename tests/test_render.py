@@ -200,7 +200,7 @@ def test_dirty_region_plain_vs_fancy():
     total = region.shape_union(
         R.shapeonly_of_basicshape(obj), R.shapeonly_of_basicshape(moved)
     )
-    assert region.shape_difference(d, total) is None
+    assert region.is_null_shape(region.shape_difference(d, total))
 
 
 def test_pick_topmost():
