@@ -163,72 +163,57 @@ def config4():
 
 def config5():
     _cache_cfg()
-    import jax
     import jax.numpy as jnp
 
-    from coherence_tpu.raster import pallas_compositor as PC
-    from coherence_tpu.raster.framepath import FrameBuffer, _blit_over_bg_kernel
     import coherence_tpu.colour as C
-
-    # 1000 primitives pre-rasterized into a static 4K background (their
-    # rasters are coherent frame to frame); interactivity = a dirty window
-    # recomposite per frame, as in the animated-sprite path.
-    rng = np.random.default_rng(0)
-    H, W = 2176, 3840
-    bg4 = np.full((H, W, 4), 255, np.int32)
-    for k in range(1000):
-        x0, y0 = rng.integers(0, W - 64), rng.integers(0, H - 64)
-        w, h = rng.integers(8, 64), rng.integers(8, 64)
-        col = rng.integers(0, 256, 3)
-        bg4[y0 : y0 + h, x0 : x0 + w, :3] = col
-    fb = FrameBuffer(W, H, C.white)
-    import jax.numpy as jnp
-
-    fb.rgba = jnp.asarray(bg4)
-    background = fb.snapshot()
-
     from coherence_tpu.raster import fills as rfills, region
-    from coherence_tpu.geometry import shapes as gshapes
-    from coherence_tpu.scene import render as R
-    from coherence_tpu import ident
+    from coherence_tpu.raster.pallas_compositor import pack_rgba
+    from coherence_tpu.raster.region import shape_of_box
+    from coherence_tpu.raster.tiled_scene import TiledScene
 
-    blob = R.Obj(
-        ident.new_ids(),
-        R.Basic(
-            rfills.plain(C.dissolve(C.crimson, delta=170)),
-            R.PathShape(gshapes.circle(0.0, 0.0, 60.0)),
-        ),
-        (__import__("coherence_tpu.transform", fromlist=["Translate"]).Translate(200.0, 400.0),),
-        R.OVER,
+    # 1000 primitives; FULL-frame 4K re-render every frame through the
+    # sparse tiled-scene Pallas kernel (per-tile front-to-back object lists,
+    # early termination per tile).  A dense (K, H, W) stack would be ~33 GB.
+    rng = np.random.default_rng(0)
+    W, H = 3840, 2176
+    ts = TiledScene(W, H)
+    order = []
+    for k in range(1000):
+        x0, y0 = int(rng.integers(1, W - 80)), int(rng.integers(1, H - 80))
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        alpha = 255 if k % 3 else 150
+        col = C.dissolve(
+            C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255),
+            delta=alpha,
+        )
+        spr = region.fillshape(
+            shape_of_box((x0, y0, x0 + w - 1, y0 + h - 1)), rfills.plain(col)
+        )
+        ts.add_object(k, spr)
+        order.append(k)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    starts, idxs = ts.build_lists(order)
+    out = ts.render(bg, starts, idxs)
+    int(jnp.sum(out >> 24))
+    n = 30
+    t0 = time.time()
+    x = bg
+    for _ in range(n):
+        x = ts.render(x, starts, idxs)
+    int(jnp.sum(x >> 24))
+    t1 = time.time()
+    t2 = time.time()
+    int(jnp.sum(bg >> 24))
+    t3 = time.time()
+    dt = max(1e-9, (t1 - t0) - (t3 - t2))
+    fps = n / dt
+    emit(
+        "fullframe_4k_1000prims_fps",
+        fps,
+        "fps",
+        60.0,
+        {"mpix_per_s": round(W * H * fps / 1e6), "pieces": ts._n_pieces},
     )
-    shp, minshp = R.shape_of_basicshape(blob)
-    fill = R.fillin_obj(blob).transform(list(blob.transform))
-    fringe = R.sprite_of_basicshape(blob, region.shape_difference(shp, minshp), [blob])
-    interior = region.fillshape(minshp, fill)
-    spr, _ = region.caf("nocover", "opaque", interior, fringe)
-
-    from coherence_tpu.raster.region import box_union, translate_sprite
-
-    def frame(k, prev):
-        d = (9, 4) if (k // 150) % 2 == 0 else (-9, -4)
-        cur = translate_sprite(d[0], d[1], prev)
-        fb.blit_over_background(background, cur, box_union(prev.box, cur.box))
-        return cur
-
-    s = spr
-    for k in range(3):
-        s = frame(k, s)
-    int(jnp.sum(fb.rgba[::128, ::128, 3]))
-    t0 = time.time()
-    int(jnp.sum(fb.rgba[::128, ::128, 3]))
-    base = time.time() - t0
-    n = 300
-    t0 = time.time()
-    for k in range(n):
-        s = frame(k, s)
-    int(jnp.sum(fb.rgba[::128, ::128, 3]))
-    fps = n / max(1e-9, time.time() - t0 - base)
-    emit("interactive_4k_1000prims_fps", fps, "fps", 60.0, {})
 
 
 def main():

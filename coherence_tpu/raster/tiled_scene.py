@@ -1,0 +1,239 @@
+"""Sparse tiled-scene compositor: per-tile front-to-back object lists.
+
+The dense layer-stack compositors (framepath, pallas_compositor) need a
+(K, H, W) stack — impossible for a 1000-primitive 4K scene (that would be
+~33 GB).  The scene is sparse: each object covers a few tiles.  So:
+
+* each object's cached raster is **shattered once** into frame-aligned
+  TILE_H x TILE_W pieces of packed-u32 RGBA (one vmapped shift per object),
+  appended to a device **atlas** of shape (n_pieces, TILE_H, TILE_W);
+* per frame the host builds, with pure box arithmetic, each tile's
+  front-to-back list of atlas entries (a few thousand int32s);
+* ONE Pallas kernel walks every tile's list with scalar-prefetched indices,
+  DMA-ing exactly the pieces that exist, double-buffered, and **stopping
+  early when the tile is opaque** — the device form of render_scene's
+  update-shape early termination (render.ml:1310-1335) at tile granularity.
+
+Work and traffic scale with Σ(per-tile visible depth), not scene size times
+frame size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_compositor import TILE_H, TILE_W, _over_packed, pack_rgba
+from .region import Box, Sprite
+
+N_BUF = 2
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _shatter_kernel(packed, oys, oxs):
+    """packed (H, W) u32; offsets (n,) each: piece[r, c] =
+    packed[r + oy, c + ox] (zero padded)."""
+
+    def one(oy, ox):
+        hs, ws = packed.shape
+        iy = jnp.arange(TILE_H) + oy
+        ix = jnp.arange(TILE_W) + ox
+        vy = (iy >= 0) & (iy < hs)
+        vx = (ix >= 0) & (ix < ws)
+        g = packed[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
+        return jnp.where(vy[:, None] & vx[None, :], g, jnp.uint32(0))
+
+    return jax.vmap(one)(oys, oxs)
+
+
+def _kernel(starts_ref, idxs_ref, bg_ref, atlas_hbm, out_ref, scratch, sems):
+    t = pl.program_id(0)
+    lo = starts_ref[t]
+    hi = starts_ref[t + 1]
+
+    def piece_copy(k, slot):
+        return pltpu.make_async_copy(
+            atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        piece_copy(lo, jax.lax.rem(lo, N_BUF)).start()
+
+    @pl.when(lo + 1 < hi)
+    def _():
+        piece_copy(lo + 1, jax.lax.rem(lo + 1, N_BUF)).start()
+
+    def cond(state):
+        k, acc, open_any = state
+        return jnp.logical_and(k < hi, open_any)
+
+    def body(state):
+        k, acc, _ = state
+        slot = jax.lax.rem(k, N_BUF)
+        piece_copy(k, slot).wait()
+        layer = scratch[slot]
+
+        @pl.when(k + N_BUF < hi)
+        def _():
+            piece_copy(k + N_BUF, slot).start()
+
+        open_mask = (acc >> 24) != 255
+        acc = jnp.where(open_mask, _over_packed(acc, layer), acc)
+        return k + 1, acc, jnp.any((acc >> 24) != 255)
+
+    acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
+    k_fin, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
+
+    # Drain in-flight prefetches after an early exit.
+    def drain(j, _):
+        piece_copy(j, jax.lax.rem(j, N_BUF)).wait()
+        return 0
+
+    jax.lax.fori_loop(k_fin, jnp.minimum(k_fin + N_BUF, hi), drain, 0)
+
+    out_ref[:] = _over_packed(acc, bg_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("nty", "ntx"))
+def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int):
+    grid = (nty * ntx,)
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, starts, idxs: (t // ntx, t % ntx),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda t, starts, idxs: (t // ntx, t % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((N_BUF, TILE_H, TILE_W), jnp.uint32),
+                pltpu.SemaphoreType.DMA((N_BUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(background.shape, jnp.uint32),
+    )(starts, idxs, background, atlas)
+
+
+class TiledScene:
+    """Frame-grid atlas of object raster pieces + per-frame tile lists."""
+
+    def __init__(self, width: int, height: int):
+        assert width % TILE_W == 0 and height % TILE_H == 0
+        self.width, self.height = width, height
+        self.ntx = width // TILE_W
+        self.nty = height // TILE_H
+        self._chunks: List[jnp.ndarray] = []  # (n, TH, TW) u32 blocks
+        self._n_pieces = 0
+        # object id -> list of (tile_index, atlas_entry)
+        self.pieces: Dict[object, List[Tuple[int, int]]] = {}
+        self._atlas: Optional[jnp.ndarray] = None
+
+    def add_object(self, key, spr: Sprite) -> None:
+        """Shatter a sprite's raster into frame-aligned tile pieces
+        (one-time per object; frame coords are 1-based boxes)."""
+        packed = pack_rgba(spr.rgba)
+        x0, y0, x1, y1 = spr.box
+        # Frame pixel p (1-based) lives in tile (p-1)//TILE.
+        tx_lo = max(0, (x0 - 1) // TILE_W)
+        tx_hi = min(self.ntx - 1, (x1 - 1) // TILE_W)
+        ty_lo = max(0, (y0 - 1) // TILE_H)
+        ty_hi = min(self.nty - 1, (y1 - 1) // TILE_H)
+        coords = [
+            (ty, tx)
+            for ty in range(ty_lo, ty_hi + 1)
+            for tx in range(tx_lo, tx_hi + 1)
+        ]
+        if not coords:
+            self.pieces[key] = []
+            return
+        # piece[r, c] = packed[(ty*TH + r) - (y0-1), (tx*TW + c) - (x0-1)]
+        oys = jnp.asarray([ty * TILE_H - (y0 - 1) for ty, _ in coords], jnp.int32)
+        oxs = jnp.asarray([tx * TILE_W - (x0 - 1) for _, tx in coords], jnp.int32)
+        block = _shatter_kernel(packed, oys, oxs)
+        self._chunks.append(block)
+        entries = []
+        for j, (ty, tx) in enumerate(coords):
+            entries.append((ty * self.ntx + tx, self._n_pieces + j))
+        self._n_pieces += len(coords)
+        self.pieces[key] = entries
+        self._atlas = None
+
+    def atlas(self) -> jnp.ndarray:
+        if self._atlas is None:
+            if len(self._chunks) > 1:
+                self._chunks = [jnp.concatenate(self._chunks, axis=0)]
+            self._atlas = (
+                self._chunks[0]
+                if self._chunks
+                else jnp.zeros((1, TILE_H, TILE_W), jnp.uint32)
+            )
+        return self._atlas
+
+    def build_lists(self, order: List[object], dirty_tiles=None):
+        """Per-tile front-to-back entry lists for objects in `order`
+        (topmost first).  Pure host box arithmetic.  `dirty_tiles` optionally
+        restricts which tiles get content (others render background only)."""
+        n_tiles = self.ntx * self.nty
+        per_tile: List[List[int]] = [[] for _ in range(n_tiles)]
+        allowed = None if dirty_tiles is None else set(dirty_tiles)
+        for key in order:
+            for tile, entry in self.pieces.get(key, ()):
+                if allowed is None or tile in allowed:
+                    per_tile[tile].append(entry)
+        starts = np.zeros(n_tiles + 1, dtype=np.int32)
+        for t in range(n_tiles):
+            starts[t + 1] = starts[t] + len(per_tile[t])
+        idxs = np.zeros(max(1, starts[-1]), dtype=np.int32)
+        pos = 0
+        for t in range(n_tiles):
+            for e in per_tile[t]:
+                idxs[pos] = e
+                pos += 1
+        return jnp.asarray(starts), jnp.asarray(idxs)
+
+    def render(self, background, starts, idxs) -> jnp.ndarray:
+        """Composite all listed pieces over `background` ((H, W) packed u32)."""
+        return _render_tiles(
+            starts, idxs, background, self.atlas(), nty=self.nty, ntx=self.ntx
+        )
+
+
+def render_scene_xla_reference(ts: TiledScene, background, order):
+    """Slow reference: per-object sequential over-composite (host loop),
+    same semantics as the tiled kernel, for testing."""
+    from .pallas_compositor import unpack_rgba
+
+    H, W = background.shape
+    # Front-to-back accumulation per tile — equivalently, composite the
+    # whole frame back-to-front under the usual over-fold reversal... the
+    # tiled kernel folds top-down per tile; replicate exactly:
+    acc = jnp.zeros((H, W), jnp.uint32)
+    atlas = ts.atlas()
+    for key in order:
+        for tile, entry in ts.pieces.get(key, ()):
+            ty, tx = tile // ts.ntx, tile % ts.ntx
+            r0, c0 = ty * TILE_H, tx * TILE_W
+            window = acc[r0 : r0 + TILE_H, c0 : c0 + TILE_W]
+            open_mask = (window >> 24) != 255
+            blended = _over_packed(window, atlas[entry])
+            acc = acc.at[r0 : r0 + TILE_H, c0 : c0 + TILE_W].set(
+                jnp.where(open_mask, blended, window)
+            )
+    return _over_packed(acc, background)

@@ -1,0 +1,125 @@
+"""Sparse tiled-scene compositor tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import coherence_tpu.colour as C
+from coherence_tpu.raster import fills as rfills
+from coherence_tpu.raster import region
+from coherence_tpu.raster import tiled_scene as TS
+from coherence_tpu.raster.pallas_compositor import TILE_H, TILE_W, pack_rgba, unpack_rgba
+from coherence_tpu.raster.region import shape_of_box
+
+RNG = np.random.default_rng(4)
+
+
+def _mk_scene(W, H, n_objs):
+    ts = TS.TiledScene(W, H)
+    order = []
+    for k in range(n_objs):
+        x0 = int(RNG.integers(1, W - 40))
+        y0 = int(RNG.integers(1, H - 40))
+        w = int(RNG.integers(8, 40))
+        h = int(RNG.integers(8, 40))
+        alpha = 255 if k % 3 else 150
+        col = C.dissolve(
+            C.colour_of_rgba(*(int(v) for v in RNG.integers(0, 256, 3)), 255), delta=alpha
+        )
+        spr = region.fillshape(shape_of_box((x0, y0, x0 + w - 1, y0 + h - 1)), rfills.plain(col))
+        ts.add_object(k, spr)
+        order.append(k)
+    return ts, order
+
+
+def _render_interpret(ts, bg, starts, idxs):
+    # Swap the jitted pallas call for interpret mode via monkeypatching the
+    # module-level _render_tiles at call time.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax
+
+    grid = (ts.nty * ts.ntx,)
+    return pl.pallas_call(
+        TS._kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, starts, idxs, ntx=ts.ntx: (t // ntx, t % ntx),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda t, starts, idxs, ntx=ts.ntx: (t // ntx, t % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((TS.N_BUF, TILE_H, TILE_W), jnp.uint32),
+                pltpu.SemaphoreType.DMA((TS.N_BUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(bg.shape, jnp.uint32),
+        interpret=True,
+    )(starts, idxs, bg, ts.atlas())
+
+
+def test_tiled_scene_matches_reference():
+    W, H = TILE_W * 3, TILE_H * 3
+    ts, order = _mk_scene(W, H, 25)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    starts, idxs = ts.build_lists(order)
+    out = _render_interpret(ts, bg, starts, idxs)
+    ref = TS.render_scene_xla_reference(ts, bg, order)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_tiled_scene_empty_tiles_show_background():
+    W, H = TILE_W * 2, TILE_H * 2
+    ts = TS.TiledScene(W, H)
+    col = C.red
+    spr = region.fillshape(shape_of_box((2, 2, 20, 20)), rfills.plain(col))
+    ts.add_object("a", spr)
+    bgv = pack_rgba(jnp.asarray(np.full((H, W, 4), 200), jnp.int32))
+    starts, idxs = ts.build_lists(["a"])
+    out = np.asarray(_render_interpret(ts, bgv, starts, idxs))
+    # Bottom-right tile has no object: pure background.
+    assert (out[TILE_H:, TILE_W:] == np.asarray(bgv)[TILE_H:, TILE_W:]).all()
+    # Object pixel: red.
+    rgba = np.asarray(unpack_rgba(jnp.asarray(out)))
+    assert tuple(rgba[10, 10]) == C.rgba_of_colour(C.red)
+
+
+def test_dirty_tile_restriction():
+    W, H = TILE_W * 2, TILE_H * 2
+    ts, order = _mk_scene(W, H, 8)
+    starts_all, idxs_all = ts.build_lists(order)
+    starts_none, idxs_none = ts.build_lists(order, dirty_tiles=[])
+    assert int(starts_none[-1]) == 0
+    starts_one, idxs_one = ts.build_lists(order, dirty_tiles=[0])
+    assert int(starts_one[1]) == int(starts_one[-1])  # only tile 0 has entries
+
+
+def test_shatter_alignment():
+    W, H = TILE_W * 2, TILE_H * 2
+    ts = TS.TiledScene(W, H)
+    # An object crossing all four tiles.
+    x0, y0 = TILE_W - 5, TILE_H - 5
+    spr = region.fillshape(shape_of_box((x0, y0, x0 + 10, y0 + 10)), rfills.plain(C.blue))
+    ts.add_object("x", spr)
+    assert len(ts.pieces["x"]) == 4
+    atlas = np.asarray(ts.atlas())
+    # Reassemble and compare against a direct dense paste.
+    full = np.zeros((H, W), np.uint32)
+    for tile, entry in ts.pieces["x"]:
+        ty, tx = tile // ts.ntx, tile % ts.ntx
+        full[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W] = atlas[entry]
+    expect = np.zeros((H, W), np.uint32)
+    packed = np.asarray(pack_rgba(spr.rgba))
+    w, h = spr.wh
+    expect[y0 - 1 : y0 - 1 + h, x0 - 1 : x0 - 1 + w] = packed[:h, :w]
+    assert np.array_equal(full, expect)
