@@ -74,16 +74,11 @@ def build():
 
     # Precompute each object's full raster once (the per-object cache the
     # coherent renderer maintains; here materialized eagerly).
+    from coherence_tpu.scene.fastframe import full_sprite_of_object
+
     def full_sprite(o):
-        shp, minshp = R.shape_of_basicshape(o)
-        if shp is None:
-            return None, None
-        maxshape = region.shape_difference(shp, minshp)
-        fill = R.fillin_obj(o).transform(list(o.transform))
-        fringe = R.sprite_of_basicshape(o, maxshape, [o]) if maxshape is not None else None
-        interior = region.fillshape(minshp, fill) if minshp is not None else None
-        spr, _ = region.caf("nocover", "opaque", interior, fringe)
-        return spr, shp
+        spr = full_sprite_of_object(o)
+        return spr, None
 
     sprites = []
     boxes = []

@@ -1,0 +1,114 @@
+"""DeviceView: tiled fast path must match the general renderer, and dirty
+tracking must keep incremental updates identical to full re-renders."""
+
+import numpy as np
+import pytest
+
+import coherence_tpu.colour as C
+from coherence_tpu import ident
+from coherence_tpu.geometry import shapes as gshapes
+from coherence_tpu.raster import fills as rfills
+from coherence_tpu.raster import region
+from coherence_tpu.scene import cache, render as R
+from coherence_tpu.scene.fastframe import DeviceView, full_sprite_of_object
+
+
+@pytest.fixture(autouse=True)
+def clear_cache():
+    cache.clear()
+    yield
+    cache.clear()
+
+
+def circle_obj(x, y, r, colour, alpha=255):
+    return R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(colour, delta=alpha)), R.PathShape(gshapes.circle(x, y, r))
+        ),
+        (),
+        R.OVER,
+    )
+
+
+def general_render(scene, w, h):
+    """General renderer output composited over a white window."""
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, w, h)))
+    white = region.fillshape(region.shape_of_box((1, 1, w, h)), rfills.plain(C.white))
+    out, _ = region.caf("over", "opaque", spr, white)
+    ww, hh = out.wh
+    img = np.asarray(out.rgba, dtype=np.uint8)[:hh, :ww]
+    full = np.zeros((h, w, 4), np.uint8)
+    x0, y0, _, _ = out.box
+    full[y0 - 1 : y0 - 1 + hh, x0 - 1 : x0 - 1 + ww] = img
+    return full
+
+
+def test_deviceview_matches_general_renderer():
+    w, h = 256, 128
+    scene = [
+        circle_obj(60, 60, 30, C.red, 150),
+        circle_obj(100, 64, 35, C.green),
+        circle_obj(180, 60, 30, C.blue, 220),
+    ]
+    dv = DeviceView(w, h)
+    dv.set_scene(scene)
+    dv.render(full=True)
+    got = dv.read()
+    expect = general_render(scene, w, h)
+    assert np.array_equal(got, expect)
+
+
+def test_deviceview_dirty_translate_matches_full():
+    w, h = 256, 128
+    base = circle_obj(100, 64, 40, C.green)
+    blob = circle_obj(50, 40, 15, C.crimson, 170)
+    dv = DeviceView(w, h)
+    dv.set_scene([blob, base])
+    dv.render(full=True)
+    # Translate the blob by (30, 20) via raster reuse + dirty tiles only.
+    dv.translate_object(blob.idset, 30, 20)
+    assert dv.dirty  # some tiles marked
+    dv.render()  # incremental
+    got = dv.read()
+    # Full reference: fresh view with the blob at the new place.
+    cache.clear()
+    moved = R.Obj(
+        blob.idset,
+        blob.geometry,
+        tuple(__import__("coherence_tpu.transform", fromlist=["compose"]).compose(
+            __import__("coherence_tpu.transform", fromlist=["Translate"]).Translate(30.0, 20.0),
+            list(blob.transform),
+        )),
+        blob.compop,
+    )
+    dv2 = DeviceView(w, h)
+    dv2.set_scene([moved, base])
+    dv2.render(full=True)
+    expect = dv2.read()
+    assert np.array_equal(got, expect)
+
+
+def test_deviceview_restack():
+    w, h = 256, 128
+    a = circle_obj(100, 64, 30, C.red)
+    b = circle_obj(120, 64, 30, C.blue)
+    dv = DeviceView(w, h)
+    dv.set_scene([a, b])
+    dv.render(full=True)
+    before = dv.read()
+    assert tuple(before[64 - 1, 110 - 1][:3]) == (255, 0, 0)  # red on top
+    dv.restack([b.idset, a.idset])
+    dv.render()
+    after = dv.read()
+    assert tuple(after[64 - 1, 110 - 1][:3]) == (0, 0, 255)  # blue now on top
+
+
+def test_full_sprite_of_object_covers_shape():
+    o = circle_obj(30, 30, 12, C.purple)
+    spr = full_sprite_of_object(o)
+    shp = R.shapeonly_of_basicshape(o)
+    # The sprite's defined region equals the object's shape.
+    assert region.is_null_shape(
+        region.shape_difference(shp, region.shape_of_sprite(spr))
+    )
