@@ -419,11 +419,12 @@ def boxshape(s):
     x0, y0, _, _ = s.box
     newbox = (x0 + bx0, y0 + by0, x0 + bx1, y0 + by1)
     if newbox == s.box:
+        s.empty_known = False
         return s
     w, h = box_wh(newbox)
     H, W = bucket_hw(h, w)
     mask = _extract_mask(s.mask, by0, bx0, h=h, w=w, H=H, W=W)
-    return Shape(newbox, mask)
+    return Shape(newbox, mask, empty_known=False)
 
 
 def boxsprite(s):

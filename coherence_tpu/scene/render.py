@@ -904,7 +904,10 @@ def spriteof(lmo, lower, obj: Obj, shp, objects_below, whole_scene):
         fill = fillin_obj(obj)
         shp_o, minshp = shape_of_basicshape(obj)
         maxshape = s_diff(shp_o, minshp)
-        maxshapebitshape = s_int(shptorender, maxshape)
+        # Tighten the AA fringe's box: its loose intersection box would make
+        # the Gaussian-coverage matmul run over the whole object area even
+        # though only the fringe needs it (one bounds sync, large savings).
+        maxshapebitshape = region.boxshape(s_int(shptorender, maxshape))
         maxshapebit = sprite_of_basicshape(obj, maxshapebitshape, whole_scene)
         minshapebitshape = s_int(minshp, shptorender)
         transformed_fill = fill.transform(list(obj.transform))
