@@ -683,6 +683,28 @@ def newcanvasclear(w: int, h: int) -> Canvas:
     return Canvas(jnp.zeros((h, w, 4), dtype=jnp.int32))
 
 
+def newcanvas(w: int, h: int, colour: int = 0) -> Canvas:
+    """Canvas filled with a colour (ref canvas.ml newcanvas)."""
+    vec = jnp.asarray(C.rgba_of_colour(colour), dtype=jnp.int32)
+    return Canvas(jnp.broadcast_to(vec, (h, w, 4)).astype(jnp.int32))
+
+
+def copycanvas(c: Canvas) -> Canvas:
+    """Independent copy (ref canvas.ml:41-47)."""
+    return Canvas(c.rgba + 0, c.origin)
+
+
+def subcopy(src: Canvas, dst: Canvas, x: int, y: int, w: int, h: int) -> Canvas:
+    """Copy a w*h window of `src` starting at its 1-based (x, y) into a new
+    canvas shaped like `dst` (ref canvas.ml:49-58 subcopy).  Raises if the
+    window exceeds the source, like the reference."""
+    if x < 1 or y < 1 or x - 1 + w > src.width or y - 1 + h > src.height:
+        raise ValueError("subcopy: window outside source canvas")
+    sub = jax.lax.dynamic_slice(src.rgba, (y - 1, x - 1, 0), (h, w, 4))
+    out = jax.lax.dynamic_update_slice(dst.rgba, sub, (0, 0, 0))
+    return Canvas(out, dst.origin)
+
+
 def flatten_sprite(border: int, s, bg_colour: int) -> Canvas:
     """Sprite -> canvas with a border of bg pixels (ref sprite.ml:1664-1704).
 
