@@ -215,6 +215,97 @@ class TiledScene:
         )
 
 
+def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = False):
+    """Multi-chip frame render: tile ROWS shard over the mesh; each device
+    runs the tiled kernel on its band with its own per-tile lists.
+
+    The atlas replicates (object rasters are small); the per-band scalar
+    lists are built host-side and stacked with padding.  Compositing is
+    spatially local, so there is no cross-device communication at all —
+    scale-out is embarrassingly parallel until filters need halos
+    (parallel/mesh.blur_pass handles those via sharded convs).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert ts.nty % n_dev == 0, (ts.nty, n_dev)
+    band_ty = ts.nty // n_dev
+    # Per-band lists.
+    all_starts = []
+    all_idxs = []
+    max_entries = 1
+    bands = []
+    for d in range(n_dev):
+        tiles = [
+            ty * ts.ntx + tx
+            for ty in range(d * band_ty, (d + 1) * band_ty)
+            for tx in range(ts.ntx)
+        ]
+        starts_np = [0]
+        idxs_np = []
+        per_tile = {t: [] for t in tiles}
+        for key in order:
+            for tile, entry in ts.pieces.get(key, ()):
+                if tile in per_tile:
+                    per_tile[tile].append(entry)
+        for t in tiles:
+            idxs_np.extend(per_tile[t])
+            starts_np.append(len(idxs_np))
+        bands.append((starts_np, idxs_np))
+        max_entries = max(max_entries, len(idxs_np))
+    for starts_np, idxs_np in bands:
+        all_starts.append(np.asarray(starts_np, np.int32))
+        padded = np.zeros(max_entries, np.int32)
+        padded[: len(idxs_np)] = idxs_np
+        all_idxs.append(padded)
+    starts = jnp.asarray(np.stack(all_starts))  # (n_dev, T_local+1)
+    idxs = jnp.asarray(np.stack(all_idxs))  # (n_dev, max_entries)
+    atlas = ts.atlas()
+    band_h = band_ty * TILE_H
+
+    def band_render(starts_l, idxs_l, bg_l):
+        grid = (band_ty * ts.ntx,)
+        ntx = ts.ntx
+        return pl.pallas_call(
+            _kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (TILE_H, TILE_W),
+                        lambda t, starts, idxs: (t // ntx, t % ntx),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, starts, idxs: (t // ntx, t % ntx),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((N_BUF, TILE_H, TILE_W), jnp.uint32),
+                    pltpu.SemaphoreType.DMA((N_BUF,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((band_h, ts.width), jnp.uint32),
+            interpret=interpret,
+        )(starts_l[0], idxs_l[0], bg_l, atlas)
+
+    fn = shard_map(
+        band_render,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+        check_rep=False,
+    )
+    bg = jax.device_put(background, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(fn)(starts, idxs, bg)
+
+
 def render_scene_xla_reference(ts: TiledScene, background, order):
     """Slow reference: per-object sequential over-composite (host loop),
     same semantics as the tiled kernel, for testing."""

@@ -123,3 +123,17 @@ def test_shatter_alignment():
     w, h = spr.wh
     expect[y0 - 1 : y0 - 1 + h, x0 - 1 : x0 - 1 + w] = packed[:h, :w]
     assert np.array_equal(full, expect)
+
+
+def test_sharded_render_matches_reference():
+    import jax.numpy as jnp
+
+    from coherence_tpu.parallel import make_mesh
+
+    W, H = TILE_W * 2, TILE_H * 8
+    ts, order = _mk_scene(W, H, 20)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    mesh = make_mesh(8)
+    out = TS.render_sharded(ts, bg, order, mesh, interpret=True)
+    ref = TS.render_scene_xla_reference(ts, bg, order)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
