@@ -10,8 +10,8 @@ repaints only what changed (engine.ml:224-252 force_update).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional
 
 from .. import colour as C
 from .. import ident
@@ -24,7 +24,6 @@ from ..raster import region
 from ..raster.region import NULL_SHAPE, box_intersect, shape_intersection as s_int, shape_union as s_uni
 from ..scene import cache
 from ..scene import examples as E
-from ..scene import filters as F
 from ..scene import icons as icons_mod
 from ..scene import pdfscene
 from ..scene import render as R

@@ -12,13 +12,12 @@ replace it without touching the engine.
 
 from __future__ import annotations
 
-import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from . import talk, wire
+from . import talk
 
 
 @dataclass

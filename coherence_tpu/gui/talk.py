@@ -14,9 +14,8 @@ from __future__ import annotations
 import os
 import socket
 import subprocess
-import sys
 from collections import deque
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 from . import wire
 

@@ -19,11 +19,10 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from .. import colour as C
 from ..raster import region
 
 # Tools (wxgui.ml:431)

@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from .. import colour as C
 from .. import ident
 from .. import transform as tr
 from ..geometry import path as gpath

@@ -25,7 +25,7 @@ import numpy as np
 from .. import colour as C
 from ..raster import region
 from ..raster.pallas_compositor import TILE_H, TILE_W, pack_rgba, unpack_rgba
-from ..raster.region import NULL_SPRITE, box_union, translate_sprite
+from ..raster.region import NULL_SPRITE, translate_sprite
 from ..raster.tiled_scene import TiledScene
 from . import render as R
 

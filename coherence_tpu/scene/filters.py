@@ -15,7 +15,6 @@ from .. import colour as C
 from .. import ident
 from .. import transform as tr
 from ..geometry import path as gpath
-from ..geometry import shapes as gshapes
 from ..raster import brush as rbrush
 from ..raster import convolve as rconvolve
 from ..raster import fills as rfills
@@ -25,7 +24,6 @@ from . import render as R
 from .render import (
     Basic,
     BrushStroke,
-    CPG,
     Convolved,
     Filter,
     FilterG,

@@ -22,7 +22,6 @@ from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from .. import colour as C
 from .. import ident
@@ -37,9 +36,7 @@ from ..raster import region, scanline
 from ..raster.region import (
     NULL_SHAPE,
     NULL_SPRITE,
-    box_intersect,
     box_overlap,
-    box_union,
     caf,
     shape_difference as s_diff,
     shape_intersection as s_int,

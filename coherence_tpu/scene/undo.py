@@ -13,7 +13,7 @@ live in the coherence cache, so snapshots share everything.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from . import render as R
 

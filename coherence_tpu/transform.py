@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple, Union
+from typing import List, Tuple, Union
 
 Point = Tuple[float, float]
 Matrix = Tuple[float, float, float, float, float, float]
