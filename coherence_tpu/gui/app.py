@@ -128,12 +128,17 @@ class AppExit(Exception):
 class Engine:
     """The application: views + event handling (engine.ml main)."""
 
-    def __init__(self, display=None, cache_debug: bool = False):
+    def __init__(self, display=None, cache_debug: bool = False, frag_debug: bool = False):
         self.wx = W.WindowSystem(display)
         self.views: List[R.View] = []
         self.state = StateFlags()
         self.captured = False
         self.cache_debug = cache_debug
+        # Sprite-fragment debug window (engine.ml:9,117-125,238-251): mirrors
+        # every redrawn fragment so minimal rendering is visible.
+        self.frag_debug = frag_debug
+        self.frag_window = None
+        self.old_debug_coords = None
         self.undo = UndoManager()
         self.master_update = region.shape_of_box((0, 0, 400, 400))
         self.mouse = (0, 0)
@@ -193,6 +198,20 @@ class Engine:
         x0, y0, x1, y1 = rendered.box
         self.wx.plot_sprite(view.window, 0, 0, rendered)
         self.wx.refresh_window(view.window, (x0, y0, x1, y1))
+        if self.frag_debug and self.frag_window is not None:
+            # Mirror exactly the redrawn fragments (engine.ml:238-251): clear
+            # the previous fragment area to light grey, plot the new one.
+            new_coords = region.shape_of_sprite(rendered)
+            total = region.shape_union(self.old_debug_coords, new_coords)
+            if self.old_debug_coords is not None:
+                self.wx.plot_shape(
+                    self.frag_window, 0, 0, C.lightgrey, self.old_debug_coords
+                )
+            self.wx.plot_sprite(self.frag_window, 0, 0, rendered)
+            if total is not None:
+                tx0, ty0, tx1, ty1 = total.box
+                self.wx.refresh_window(self.frag_window, (tx0, ty0, tx1, ty1))
+            self.old_debug_coords = new_coords
 
     def force_update_whole(self, view: R.View):
         w, h = self.wx.get_window_size(view.window)
@@ -852,6 +871,14 @@ class Engine:
         if kind == W.APP_STARTUP:
             if self.cache_debug:
                 self.wx.open_cachewindow()
+            if self.frag_debug:
+                self.frag_window = self.wx.make_window(
+                    "Sprite Debug window", 600, 740, 650, 30, 560, 240, False
+                )
+                self.wx.set_status_bar(
+                    self.frag_window,
+                    "This window shows the redraw region of the window above.",
+                )
             self.opendemos()
         elif kind == W.WINDOW_CLOSED:
             self.remove_view(event[1])

@@ -279,3 +279,28 @@ def test_engine_trans_slider():
     fb = eng.wx.framebuffers[view.window]
     # Translucent blue over light grey background is no longer pure blue.
     assert tuple(fb[170, 160]) != (0, 0, 255)
+
+
+def test_frag_debug_window_mirrors_fragments():
+    eng = A.Engine(frag_debug=True)
+    eng.frag_window = eng.wx.make_window("Sprite Debug window", 600, 740, 0, 0, 0, 0)
+    view = R.View(
+        scene=[
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(rfills.plain(C.red), R.rectangle(20.0, 20.0, 30.0, 30.0)),
+                (),
+                R.OVER,
+            )
+        ],
+        pages=[],
+        background=[A.background_obj()],
+        master_update=region.shape_of_box((0, 0, 200, 200)),
+    )
+    eng.views.append(view)
+    view.window = eng.wx.make_window("main", 200, 200, 0, 0, 0, 0)
+    eng.force_update(True, ident.new_ids(), view, region.shape_of_box((0, 0, 200, 200)))
+    fb = eng.wx.framebuffers[eng.frag_window]
+    # The debug window received the same fragment pixels.
+    assert tuple(fb[30, 30]) == (255, 0, 0)
+    assert eng.old_debug_coords is not None
