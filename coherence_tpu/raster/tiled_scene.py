@@ -131,6 +131,101 @@ def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int):
     )(starts, idxs, background, atlas)
 
 
+def _kernel_subset(coords_ref, starts_ref, idxs_ref, bg_ref, atlas_hbm, frame_in, out_ref, scratch, sems):
+    """Like _kernel but the grid runs over a compacted dirty-tile list; the
+    tile position comes from scalar-prefetched coords (block index maps read
+    them).  Padding grid slots (valid == 0) copy the existing frame block
+    through unchanged (out blocks are write-only, so the passthrough must be
+    explicit)."""
+    t = pl.program_id(0)
+    lo = starts_ref[t]
+    hi = starts_ref[t + 1]
+
+    def piece_copy(k, slot):
+        return pltpu.make_async_copy(
+            atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        piece_copy(lo, jax.lax.rem(lo, N_BUF)).start()
+
+    @pl.when(lo + 1 < hi)
+    def _():
+        piece_copy(lo + 1, jax.lax.rem(lo + 1, N_BUF)).start()
+
+    def cond(state):
+        k, acc, open_any = state
+        return jnp.logical_and(k < hi, open_any)
+
+    def body(state):
+        k, acc, _ = state
+        slot = jax.lax.rem(k, N_BUF)
+        piece_copy(k, slot).wait()
+        layer = scratch[slot]
+
+        @pl.when(k + N_BUF < hi)
+        def _():
+            piece_copy(k + N_BUF, slot).start()
+
+        open_mask = (acc >> 24) != 255
+        acc = jnp.where(open_mask, _over_packed(acc, layer), acc)
+        return k + 1, acc, jnp.any((acc >> 24) != 255)
+
+    acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
+    k_fin, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
+
+    def drain(j, _):
+        piece_copy(j, jax.lax.rem(j, N_BUF)).wait()
+        return 0
+
+    jax.lax.fori_loop(k_fin, jnp.minimum(k_fin + N_BUF, hi), drain, 0)
+
+    # valid == 0 marks padding grid slots: pass the frame block through.
+    valid = coords_ref[t, 2] != 0
+    out_ref[:] = jnp.where(valid, _over_packed(acc, bg_ref[:]), frame_in[:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots",), donate_argnums=(4,))
+def _render_dirty_tiles(coords, starts, idxs, background, frame, atlas, *, n_slots: int):
+    """Re-render only the listed tiles in-place in `frame` (donated).
+
+    coords: (n_slots, 3) int32 [tile_y, tile_x, valid]; padding slots must
+    point at a real tile (e.g. (0, 0, 0)) and are left untouched."""
+    grid = (n_slots,)
+    return pl.pallas_call(
+        _kernel_subset,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, coords, starts, idxs: (coords[t, 0], coords[t, 1]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, coords, starts, idxs: (coords[t, 0], coords[t, 1]),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda t, coords, starts, idxs: (coords[t, 0], coords[t, 1]),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((N_BUF, TILE_H, TILE_W), jnp.uint32),
+                pltpu.SemaphoreType.DMA((N_BUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(frame.shape, jnp.uint32),
+        input_output_aliases={5: 0},  # frame (3 prefetch + bg, atlas, frame)
+    )(coords, starts, idxs, background, atlas, frame)
+
+
 class TiledScene:
     """Frame-grid atlas of object raster pieces + per-frame tile lists."""
 
@@ -200,7 +295,11 @@ class TiledScene:
         starts = np.zeros(n_tiles + 1, dtype=np.int32)
         for t in range(n_tiles):
             starts[t + 1] = starts[t] + len(per_tile[t])
-        idxs = np.zeros(max(1, starts[-1]), dtype=np.int32)
+        # pow2 padding keeps the kernel's jit shape key stable across frames.
+        n_idx = 8
+        while n_idx < starts[-1]:
+            n_idx *= 2
+        idxs = np.zeros(n_idx, dtype=np.int32)
         pos = 0
         for t in range(n_tiles):
             for e in per_tile[t]:
@@ -214,6 +313,47 @@ class TiledScene:
             starts, idxs, background, self.atlas(), nty=self.nty, ntx=self.ntx
         )
 
+    def render_dirty(self, frame, background, order, dirty_tiles) -> jnp.ndarray:
+        """Re-render ONLY `dirty_tiles` in-place in `frame` (donated): the
+        grid runs over the compacted dirty list, so work scales with the
+        dirty area, not the frame (render.ml's minimality, device-side)."""
+        dirty = sorted(set(dirty_tiles))
+        if not dirty:
+            return frame
+        per_tile = {t: [] for t in dirty}
+        for key in order:
+            for tile, entry in self.pieces.get(key, ()):
+                if tile in per_tile:
+                    per_tile[tile].append(entry)
+        n = len(dirty)
+        n_slots = 8
+        while n_slots < n:
+            n_slots *= 2
+        coords = np.zeros((n_slots, 3), np.int32)
+        starts = np.zeros(n_slots + 1, np.int32)
+        idxs_list = []
+        for j, t in enumerate(dirty):
+            coords[j] = (t // self.ntx, t % self.ntx, 1)
+            idxs_list.extend(per_tile[t])
+            starts[j + 1] = len(idxs_list)
+        starts[n + 1 :] = starts[n]
+        # Pad the entry list to a pow2 length so the jitted kernel's shape
+        # key is stable across frames (no retraces as lists grow/shrink).
+        n_idx = 8
+        while n_idx < len(idxs_list):
+            n_idx *= 2
+        idxs = np.zeros(n_idx, np.int32)
+        idxs[: len(idxs_list)] = idxs_list
+        return _render_dirty_tiles(
+            jnp.asarray(coords),
+            jnp.asarray(starts),
+            jnp.asarray(idxs),
+            background,
+            frame,
+            self.atlas(),
+            n_slots=n_slots,
+        )
+
 
 def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = False):
     """Multi-chip frame render: tile ROWS shard over the mesh; each device
@@ -225,7 +365,7 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     scale-out is embarrassingly parallel until filters need halos
     (parallel/mesh.blur_pass handles those via sharded convs).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]

@@ -137,24 +137,16 @@ class DeviceView:
     def render(self, full: bool = False) -> None:
         """Composite dirty tiles (or everything) into the frame buffer."""
         if full:
-            dirty = None
+            starts, idxs = self.ts.build_lists(self.order)
+            self.frame = self.ts.render(self.background, starts, idxs)
         else:
             if not self.dirty:
                 return
-            dirty = sorted(self.dirty)
-        starts, idxs = self.ts.build_lists(self.order, dirty_tiles=dirty)
-        rendered = self.ts.render(self.background, starts, idxs)
-        if dirty is None:
-            self.frame = rendered
-        else:
-            # Splice rendered dirty tiles into the persistent frame.
-            mask = np.zeros((self.ts.nty, self.ts.ntx), dtype=bool)
-            for t in dirty:
-                mask[t // self.ts.ntx, t % self.ts.ntx] = True
-            m = jnp.asarray(
-                np.repeat(np.repeat(mask, TILE_H, axis=0), TILE_W, axis=1)
+            # In-place dirty-tile re-render: the grid runs only over the
+            # dirty list (frame is donated into the kernel).
+            self.frame = self.ts.render_dirty(
+                self.frame, self.background, self.order, sorted(self.dirty)
             )
-            self.frame = jnp.where(m, rendered, self.frame)
         self.dirty.clear()
 
     def read(self) -> np.ndarray:
