@@ -440,7 +440,7 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None)),
         out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     bg = jax.device_put(background, NamedSharding(mesh, P(axis, None)))
     return jax.jit(fn)(starts, idxs, bg)
