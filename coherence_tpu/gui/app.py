@@ -955,15 +955,31 @@ class Engine:
         if kind in (W.LEFT_DOWN, W.LEFT_UP, W.RIGHT_DOWN, W.RIGHT_UP, W.LEFT_DRAGGING):
             self.state.previous_mouse_event = event
 
-    def run(self, max_events: Optional[int] = None):
-        """The main loop (engine.ml:1607-1627)."""
+    def run(self, max_events: Optional[int] = None, resilient: bool = True):
+        """The main loop (engine.ml:1607-1627).
+
+        Unlike the reference — where any exception aborts the loop and kills
+        both processes (engine.ml:1622-1627, SURVEY.md §5.3) — event-handler
+        failures are contained by default: the event is dropped, drag state
+        resets, and the loop continues."""
         n = 0
         try:
             while max_events is None or n < max_events:
                 e = self.wx.poll()
                 if e[0] == W.NULL_EVENT and max_events is None:
                     continue
-                self.event_handler(self.filter_event(e))
+                try:
+                    self.event_handler(self.filter_event(e))
+                except AppExit:
+                    raise
+                except Exception as exc:  # noqa: BLE001 — containment is the point
+                    if not resilient:
+                        raise
+                    from ..utils import profiling
+
+                    profiling.counter("engine.event_errors")
+                    print(f"engine: error handling {e[0]}: {exc!r}")
+                    self.state.dragging = DragNone
                 n += 1
         except AppExit:
             self.wx.close_application()
