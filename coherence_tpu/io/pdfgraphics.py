@@ -2,21 +2,27 @@
 ``pdfgraphics.ml``: ``graphic_of_page`` and the ``process_op`` state
 machine, plus the inverse ``page_of_graphic``).
 
-Only the parts consumed by the renderer's ``scene_of_graphic``
-(render.ml:1524-1565) are produced: path elements with fill/stroke colour,
-winding rule, line caps/joins/width, and transparency; marked-content
-sections and clips are passed through structurally; text and images are
-skipped (the bundled scene assets store their text as outlined paths).
+Produces the reference's graphic-element tree (pdfgraphics.mli:132-141):
+path elements with fill/stroke colour, winding rule, line caps/joins/width,
+and transparency; ``Clip`` elements scoping everything up to the matching
+``Q`` (pdfgraphics.ml:1124-1139 semantics); ``TextBlock`` elements capturing
+BT..ET op runs with per-op text state (pdfgraphics.ml:1159-1183);
+``Image``/``GraphicInlineImage`` elements with their placement transform and
+alpha. As in the reference, the renderer's ``scene_of_graphic``
+(render.ml:1524-1565) consumes only paths and recurses through
+clips/marked-content; text and image elements are carried structurally.
 """
 
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+from .. import transform as ctr
 from ..geometry import path as gpath
-from .pdf import Name, Pdf, Ref, Stream, _Lexer, _NUM_RE, _Parser, mkpage
+from .pdf import Name, Pdf, Ref, Stream, _Lexer, _NUM_RE, _Parser, _WS, mkpage
 
 # Colour spaces (Pdfspace parity — only the device spaces + ICC alternate).
 DEVICE_RGB = "DeviceRGB"
@@ -62,6 +68,49 @@ class Clip:
 
 
 @dataclass
+class TextAttributes:
+    """text_attributes (pdfgraphics.mli:101-102): the render mode in force."""
+
+    textmode: int = 0
+
+
+@dataclass
+class TextBlock:
+    """Text graphic element (pdfgraphics.mli:134): a BT..ET run captured as
+    raw (state, op) pairs plus the CTM at capture time."""
+
+    blocks: list  # [(TextAttributes, (opname, [operands...])), ...]
+    transform: "Matrix" = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+@dataclass
+class ImageAttributes:
+    """image_attributes (pdfgraphics.mli:104-107)."""
+
+    image_transform: "Matrix"
+    image_transparency: float = 1.0
+    image_softmask: object = None  # resolved /SMask value from ExtGState
+
+
+@dataclass
+class Image:
+    """Image XObject use (pdfgraphics.mli:139): placement + object number."""
+
+    attributes: ImageAttributes
+    objnum: int
+    name: str = ""
+
+
+@dataclass
+class GraphicInlineImage:
+    """BI..ID..EI inline image (pdfgraphics.mli:140)."""
+
+    dict: dict
+    data: bytes
+    transform: "Matrix" = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+@dataclass
 class Graphic:
     elements: list
     resources: dict = field(default_factory=dict)
@@ -101,6 +150,16 @@ class _GState:
     mitre: float = 10.0
     ca: float = 1.0  # fill alpha
     CA: float = 1.0  # stroke alpha
+    textmode: int = 0  # Tr render mode (text_attributes)
+    softmask: object = None  # ExtGState /SMask (None when /None)
+
+
+# Text-state/show operators captured into TextBlock runs
+# (the Pdfops group at pdfgraphics.ml:1058-1075).
+_TEXT_OPS = frozenset(
+    ["Tc", "Tw", "Tz", "TL", "Tf", "Tr", "Ts", "Td", "TD", "Tm",
+     "T*", "Tj", "TJ", "'", '"', "d0", "d1"]
+)
 
 
 def _tokenize(content: bytes):
@@ -130,13 +189,22 @@ def _scale_of(m: Matrix) -> float:
 
 def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
     elements: List[object] = []
+    # Clip scoping: elements append to the innermost open Clip's list; a Clip
+    # opened at q-depth L closes at the Q that would drop the depth below L
+    # (pdfgraphics.ml:1124-1139 getuntil_matching_Q semantics).
+    sinks: List[list] = [elements]
+    sink_levels: List[int] = [-1]
+    qlevel = 0
+    pending_clip: Optional[gpath.Path] = None  # set by W/W*, consumed by n
+    in_text = False
+    text_ops: List[object] = []
+    text_tf: Matrix = _ID
     stack: List[object] = []  # operand stack
     gstack: List[_GState] = []
     subpaths: List[list] = []  # list of segment lists (float, post-CTM)
     current: List[object] = []
     start: Optional[Tuple[float, float]] = None
     cur: Optional[Tuple[float, float]] = None
-    clip_pending = False
 
     import copy
 
@@ -182,11 +250,21 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
             return None
         return gpath.Path(winding, tuple(sps))
 
+    def snapshot_path(winding) -> Optional[gpath.Path]:
+        """The current (unfinished) path, for W/W* clip capture — the
+        reference moves the partial path into state.clip (pdfgraphics.ml:742)
+        while leaving it to be painted/discarded by the following op."""
+        sps = [s for s in subpaths if s]
+        if current:
+            sps = sps + [current]
+        built = [gpath.Subpath(False, True, tuple(list(s))) for s in sps]
+        if not built:
+            return None
+        return gpath.Path(winding, tuple(built))
+
     def emit(path_fill, path_line, winding):
-        nonlocal clip_pending
         p = finish_path(winding)
         if p is None:
-            clip_pending = False
             return
         if path_fill or path_line:
             attrs = PathAttributes(
@@ -198,11 +276,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 path_mitrelimit=gs.mitre,
                 path_transparency=Transparency(gs.ca, gs.CA),
             )
-            elements.append(GPath(p, attrs))
-        if clip_pending:
-            # Structural pass-through: subsequent elements are appended at
-            # top level (full clip support is handled by the scene layer).
-            clip_pending = False
+            sinks[-1].append(GPath(p, attrs))
 
     def resolve_cs(name_or_obj, resources):
         if isinstance(name_or_obj, Name):
@@ -244,7 +318,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
             stack.append(Name(tok[1:].decode("latin1")))
             continue
         if tok.startswith(b"(") or (tok.startswith(b"<") and not tok == b"<<"):
-            stack.append(tok)
+            p = _Parser(b"", 0)
+            p.lex = lex
+            stack.append(p._obj(tok))
             continue
         if _NUM_RE.match(tok):
             stack.append(float(tok) if b"." in tok else int(tok))
@@ -253,9 +329,19 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
         try:
             if op == "q":
                 gstack.append(copy.deepcopy(gs))
+                qlevel += 1
             elif op == "Q":
+                # Close any clips opened at this depth before restoring.
+                while (
+                    len(sinks) > 1
+                    and sink_levels[-1] is not None
+                    and sink_levels[-1] >= qlevel
+                ):
+                    sinks.pop()
+                    sink_levels.pop()
                 if gstack:
                     gs = gstack.pop()
+                qlevel = max(0, qlevel - 1)
             elif op == "cm":
                 f2, e2, d2, c2, b2, a2 = (num(stack.pop()) for _ in range(6))
                 gs.ctm = _mat_mul(gs.ctm, (a2, b2, c2, d2, e2, f2))
@@ -305,9 +391,19 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 closepath()
                 emit(False, True, gpath.NONZERO)
             elif op == "n":
-                emit(False, False, gpath.NONZERO)
-            elif op in ("W", "W*"):
-                clip_pending = True
+                if pending_clip is not None:
+                    finish_path(gpath.NONZERO)  # discard the painted path
+                    c = Clip(pending_clip, [])
+                    sinks[-1].append(c)
+                    sinks.append(c.elements)
+                    sink_levels.append(qlevel)
+                    pending_clip = None
+                else:
+                    emit(False, False, gpath.NONZERO)
+            elif op == "W":
+                pending_clip = snapshot_path(gpath.NONZERO)
+            elif op == "W*":
+                pending_clip = snapshot_path(gpath.EVEN_ODD)
             elif op == "g":
                 gs.fill = (DEVICE_GRAY, [num(stack.pop())])
             elif op == "G":
@@ -361,10 +457,16 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         gs.CA = float(pdf.resolve(entry["CA"]))
                     if "LW" in entry:
                         gs.linewidth = float(pdf.resolve(entry["LW"]))
+                    if "SMask" in entry:
+                        sm = pdf.resolve(entry["SMask"])
+                        gs.softmask = (
+                            None if isinstance(sm, Name) and sm.v == "None" else sm
+                        )
             elif op == "Do":
                 name = stack.pop()
                 xod = pdf.resolve(resources.get("XObject", {}))
-                xo = pdf.resolve(xod.get(name.v)) if isinstance(xod, dict) else None
+                raw_ref = xod.get(name.v) if isinstance(xod, dict) else None
+                xo = pdf.resolve(raw_ref)
                 if isinstance(xo, Stream):
                     st = pdf.resolve(xo.dict.get("Subtype"))
                     if isinstance(st, Name) and st.v == "Form":
@@ -373,14 +475,83 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         mtx = pdf.resolve(xo.dict.get("Matrix"))
                         if isinstance(mtx, list) and len(mtx) == 6:
                             sub_gs.ctm = _mat_mul(sub_gs.ctm, tuple(float(v) for v in mtx))
-                        elements.extend(_process(pdf, xo.decode(), sub_res, sub_gs))
-            elif op == "BMC":
-                stack.pop()
-            elif op == "BDC":
-                stack.pop()
-                stack.pop()
-            elif op in ("EMC", "BT", "ET"):
-                pass
+                        sinks[-1].extend(_process(pdf, xo.decode(), sub_res, sub_gs))
+                    elif isinstance(st, Name) and st.v == "Image":
+                        # pdfgraphics.ml:1036-1045: placement transform,
+                        # nonstroke alpha, softmask, object number.
+                        objnum = raw_ref.num if isinstance(raw_ref, Ref) else -1
+                        sinks[-1].append(
+                            Image(
+                                ImageAttributes(gs.ctm, gs.ca, gs.softmask),
+                                objnum,
+                                name.v,
+                            )
+                        )
+            elif op == "BI":
+                # Inline image: dict entries to ID, then raw bytes to EI.
+                d: dict = {}
+                while True:
+                    k = lex.next_token()
+                    if not k or k == b"ID":
+                        break
+                    key = (
+                        k[1:].decode("latin1")
+                        if k.startswith(b"/")
+                        else k.decode("latin1")
+                    )
+                    p = _Parser(b"", 0)
+                    p.lex = lex
+                    d[key] = p._obj(lex.next_token())
+                data_start = lex.p
+                if data_start < len(lex.d) and lex.d[data_start] in _WS:
+                    data_start += 1
+                m = re.search(
+                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)",
+                    lex.d[data_start:],
+                )
+                if m:
+                    data = lex.d[data_start : data_start + m.start()]
+                    lex.p = data_start + m.end()
+                else:
+                    data = lex.d[data_start:]
+                    lex.p = len(lex.d)
+                sinks[-1].append(GraphicInlineImage(d, bytes(data), gs.ctm))
+            elif op == "BT":
+                in_text = True
+                text_ops = []
+                text_tf = gs.ctm
+                stack.clear()
+            elif op == "ET":
+                if in_text and text_ops:
+                    sinks[-1].append(TextBlock(text_ops, text_tf))
+                in_text = False
+            elif op in _TEXT_OPS:
+                operands = list(stack)
+                stack.clear()
+                if op == "Tr" and operands and isinstance(operands[-1], (int, float)):
+                    gs.textmode = int(operands[-1])
+                if in_text:
+                    text_ops.append(
+                        (TextAttributes(gs.textmode), (op, operands))
+                    )
+            elif op in ("BMC", "BDC"):
+                # Marked-content section: wrap elements until the matching
+                # EMC (pdfgraphics.ml getuntil_matching_emc).
+                if op == "BDC":
+                    stack.pop()  # properties dict
+                tag = stack.pop()
+                mc = MCSection(tag.v if isinstance(tag, Name) else str(tag), [])
+                sinks[-1].append(mc)
+                sinks.append(mc.elements)
+                sink_levels.append(None)  # closed by EMC, not Q
+            elif op == "EMC":
+                # Pop back to (and including) the innermost MC sink; any clip
+                # sinks opened inside it close with it.
+                for k in range(len(sinks) - 1, 0, -1):
+                    if sink_levels[k] is None:
+                        del sinks[k:]
+                        del sink_levels[k:]
+                        break
             else:
                 # Unhandled operator: drop its operands.
                 stack.clear()
@@ -392,7 +563,10 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
 
 
 def transform_graphic(t, graphic: Graphic) -> Graphic:
-    """Transform every path in a graphic (pdfgraphics.ml transform_graphic)."""
+    """Transform every element of a graphic (pdfgraphics.ml
+    transform_graphic): paths pointwise; text/image placement matrices by
+    composition."""
+    tmat = ctr.matrix_of_transform(t)
 
     def walk(elements):
         out = []
@@ -403,6 +577,27 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                 out.append(MCSection(el.name, walk(el.elements)))
             elif isinstance(el, Clip):
                 out.append(Clip(gpath.transform_path(list(t), el.path), walk(el.elements)))
+            elif isinstance(el, TextBlock):
+                out.append(TextBlock(el.blocks, ctr.matmul(tmat, el.transform)))
+            elif isinstance(el, Image):
+                a = el.attributes
+                out.append(
+                    Image(
+                        ImageAttributes(
+                            ctr.matmul(tmat, a.image_transform),
+                            a.image_transparency,
+                            a.image_softmask,
+                        ),
+                        el.objnum,
+                        el.name,
+                    )
+                )
+            elif isinstance(el, GraphicInlineImage):
+                out.append(
+                    GraphicInlineImage(
+                        el.dict, el.data, ctr.matmul(tmat, el.transform)
+                    )
+                )
             else:
                 out.append(el)
         return out
@@ -418,6 +613,33 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
 def _fmt(v: float) -> str:
     s = f"{v:.4f}".rstrip("0").rstrip(".")
     return s or "0"
+
+
+def _ser_operand(v) -> str:
+    """Serialize a captured content-stream operand."""
+    if isinstance(v, Name):
+        return f"/{v.v}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return _fmt(float(v))
+    if isinstance(v, bytes):
+        body = (
+            v.decode("latin1")
+            .replace("\\", "\\\\")
+            .replace("(", "\\(")
+            .replace(")", "\\)")
+        )
+        return f"({body})"
+    if isinstance(v, list):
+        return "[" + " ".join(_ser_operand(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "<< "
+            + " ".join(f"/{k} {_ser_operand(x)}" for k, x in v.items())
+            + " >>"
+        )
+    return "null"
 
 
 def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
@@ -477,8 +699,40 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                     ops.append("S")
                 else:
                     ops.append("n")
-            elif isinstance(el, (MCSection, Clip)):
+            elif isinstance(el, Clip):
+                # q <path> W/W* n <contents> Q (pdfgraphics.ml:1648-1657).
+                ops.append("q")
+                emit_path(el.path)
+                ops.append("W n" if el.path.winding == gpath.NONZERO else "W* n")
                 walk(el.elements)
+                ops.append("Q")
+            elif isinstance(el, MCSection):
+                ops.append(f"/{el.name} BMC")
+                walk(el.elements)
+                ops.append("EMC")
+            elif isinstance(el, TextBlock):
+                # q cm BT <text ops> ET Q (pdfgraphics.ml:1487).
+                ops.append("q")
+                ops.append(" ".join(map(_fmt, el.transform)) + " cm")
+                ops.append("BT")
+                for _st, (opname, operands) in el.blocks:
+                    line = " ".join(_ser_operand(v) for v in operands)
+                    ops.append((line + " " + opname).strip())
+                ops.append("ET")
+                ops.append("Q")
+            elif isinstance(el, GraphicInlineImage):
+                ops.append("q")
+                ops.append(" ".join(map(_fmt, el.transform)) + " cm")
+                body = " ".join(
+                    f"/{k} {_ser_operand(v)}" for k, v in el.dict.items()
+                )
+                ops.append(
+                    "BI " + body + " ID\n" + el.data.decode("latin1") + "\nEI"
+                )
+                ops.append("Q")
+            # Image XObject uses need the source document's object copied
+            # across; like the rest of the writer this emits content only,
+            # so they are dropped here.
 
     walk(graphic.elements)
     return mkpage("\n".join(ops).encode(), mediabox=mediabox)

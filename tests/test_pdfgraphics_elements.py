@@ -1,0 +1,133 @@
+"""Graphic-element tree fidelity: Clip scoping, TextBlock capture,
+Image/inline-image elements, and writer round-trip (parity:
+pdfgraphics.ml graphic_elt, pdfgraphics.mli:132-141)."""
+
+from coherence_tpu.io import pdf as P
+from coherence_tpu.io import pdfgraphics as PG
+from coherence_tpu import transform as tr
+
+
+def _first_page(pdf):
+    root = pdf.resolve(pdf.trailer["Root"])
+    pages = pdf.resolve(root["Pages"])
+    return pdf.resolve(pages["Kids"][0])
+
+
+def _graphic_of_content(content: bytes):
+    pdf = P.mkpage(content)
+    return PG.graphic_of_page(pdf, _first_page(pdf))
+
+
+CONTENT = b"""
+q
+1 0 0 1 10 20 cm
+0 0 100 100 re W n
+1 0 0 rg 10 10 30 30 re f
+BT /F1 12 Tf 2 Tr 100 700 Td (Hello (world)) Tj T* [(a) -120 (b)] TJ ET
+Q
+0 1 0 rg 5 5 10 10 re f
+/Sec BMC 0 0 1 rg 1 1 2 2 re f EMC
+q 2 0 0 2 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /RGB ID \x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b EI Q
+"""
+
+
+def test_clip_scopes_to_matching_q():
+    g = _graphic_of_content(CONTENT)
+    clip = g.elements[0]
+    assert isinstance(clip, PG.Clip)
+    assert clip.path.winding == "nonzero"
+    # The fill and the text block are inside the clip; the later fill is not.
+    assert isinstance(clip.elements[0], PG.GPath)
+    assert isinstance(clip.elements[1], PG.TextBlock)
+    assert isinstance(g.elements[1], PG.GPath)
+
+
+def test_textblock_capture():
+    g = _graphic_of_content(CONTENT)
+    tb = g.elements[0].elements[1]
+    ops = [b[1][0] for b in tb.blocks]
+    assert ops == ["Tf", "Tr", "Td", "Tj", "T*", "TJ"]
+    # Text render mode in force per op (Tr 2 takes effect at the Tr op).
+    modes = [b[0].textmode for b in tb.blocks]
+    assert modes == [0, 2, 2, 2, 2, 2]
+    # CTM at BT (inside the q ... cm).
+    assert tb.transform == (1.0, 0.0, 0.0, 1.0, 10.0, 20.0)
+    # String operand is unescaped.
+    tj = tb.blocks[3][1][1]
+    assert tj == [b"Hello (world)"]
+
+
+def test_mcsection_and_inline_image():
+    g = _graphic_of_content(CONTENT)
+    mc = g.elements[2]
+    assert isinstance(mc, PG.MCSection) and mc.name == "Sec"
+    assert isinstance(mc.elements[0], PG.GPath)
+    im = g.elements[3]
+    assert isinstance(im, PG.GraphicInlineImage)
+    assert im.dict["W"] == 2 and im.dict["H"] == 2
+    assert im.data == bytes(range(12))
+    assert im.transform == (2.0, 0.0, 0.0, 2.0, 0.0, 0.0)
+
+
+def test_image_xobject_element():
+    img = P.Stream(
+        {"Subtype": P.Name("Image"), "Width": 1, "Height": 1},
+        b"\x00",
+    )
+    pdf = P.mkpage(
+        b"q 0.5 gs 3 0 0 3 7 9 cm /Im1 Do Q",
+        resources={
+            "XObject": {"Im1": P.Ref(9)},
+            "ExtGState": {"0.5": {"ca": 0.5}},
+        },
+    )
+    pdf.objects[9] = img
+    # 'gs' with a numeric-looking name token is unusual; use a clean stream.
+    pdf2 = P.mkpage(
+        b"q /GS gs 3 0 0 3 7 9 cm /Im1 Do Q",
+        resources={
+            "XObject": {"Im1": P.Ref(9)},
+            "ExtGState": {"GS": {"ca": 0.25}},
+        },
+    )
+    pdf2.objects[9] = img
+    g = PG.graphic_of_page(pdf2, _first_page(pdf2))
+    el = g.elements[0]
+    assert isinstance(el, PG.Image)
+    assert el.objnum == 9 and el.name == "Im1"
+    assert el.attributes.image_transform == (3.0, 0.0, 0.0, 3.0, 7.0, 9.0)
+    assert el.attributes.image_transparency == 0.25
+
+
+def test_writer_round_trip_preserves_structure():
+    g = _graphic_of_content(CONTENT)
+    pdf2 = PG.page_of_graphic(g)
+    g2 = PG.graphic_of_page(pdf2, _first_page(pdf2))
+
+    def skeleton(els):
+        out = []
+        for el in els:
+            if isinstance(el, PG.Clip):
+                out.append(("clip", el.path.winding, skeleton(el.elements)))
+            elif isinstance(el, PG.MCSection):
+                out.append(("mc", el.name, skeleton(el.elements)))
+            elif isinstance(el, PG.TextBlock):
+                out.append(
+                    ("text", el.transform, [(b[1][0], tuple(map(repr, b[1][1]))) for b in el.blocks])
+                )
+            elif isinstance(el, PG.GraphicInlineImage):
+                out.append(("inline", tuple(sorted(el.dict)), el.data, el.transform))
+            elif isinstance(el, PG.GPath):
+                out.append(("path", el.path.winding, len(el.path.subpaths)))
+        return out
+
+    assert skeleton(g.elements) == skeleton(g2.elements)
+
+
+def test_transform_graphic_composes_placement_matrices():
+    g = _graphic_of_content(CONTENT)
+    g2 = PG.transform_graphic([tr.Translate(5.0, -3.0)], g)
+    tb = g2.elements[0].elements[1]
+    assert tb.transform == (1.0, 0.0, 0.0, 1.0, 15.0, 17.0)
+    im = g2.elements[3]
+    assert im.transform == (2.0, 0.0, 0.0, 2.0, 5.0, -3.0)
