@@ -139,19 +139,24 @@ def main():
     force_done()
     readback_s = time.time() - t0
 
+    # Median of 5 timed loops: the tunnel's dispatch-latency jitter over a
+    # ~0.2s window is large, so a single loop is noisy by 2x.
     n_frames = 400
-    dirty_pix = 0
-    t0 = time.time()
+    results = []
     spr2 = spr
-    for k in range(n_frames):
-        prev_box = spr2.box
-        spr2 = frame(k, spr2)
-        d = box_union(prev_box, spr2.box)
-        dirty_pix += (d[2] - d[0] + 1) * (d[3] - d[1] + 1)
-    force_done()
-    dt = max(1e-9, time.time() - t0 - readback_s)
-    fps = n_frames / dt
-    mpix_s = dirty_pix / dt / 1e6
+    for _rep in range(5):
+        dirty_pix = 0
+        t0 = time.time()
+        for k in range(n_frames):
+            prev_box = spr2.box
+            spr2 = frame(k, spr2)
+            d = box_union(prev_box, spr2.box)
+            dirty_pix += (d[2] - d[0] + 1) * (d[3] - d[1] + 1)
+        force_done()
+        dt = max(1e-9, time.time() - t0 - readback_s)
+        results.append((n_frames / dt, dirty_pix / dt / 1e6))
+    results.sort()
+    fps, mpix_s = results[len(results) // 2]
 
     result = {
         "metric": "lion_1080p_animated_sprite_fps",

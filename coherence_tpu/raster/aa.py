@@ -100,16 +100,63 @@ def _coverage_counts(t_mask, *, h: int, w: int):
 # Cap on the conv input size before we fall back to row-band chunking.
 _MAX_T_ELEMS = 48 * 1024 * 1024  # bf16 elements (~96 MB)
 
+# Span lists are padded to pow2 buckets so XLA compiles per bucket.
+_SPAN_BUCKET_MIN = 512
+
+
+def _span_bucket(n: int) -> int:
+    return max(_SPAN_BUCKET_MIN, 1 << (max(1, n) - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _coverage_counts_from_spans(rr, cc, vv, tr0, tc0, rmax, cmax, *, h, w):
+    """Gaussian-table coverage from scaled-mask span lists.
+
+    rr/cc/vv: int32 (2K,) difference-array scatter entries in absolute scaled
+    coordinates (start col s carries +1, end col e+1 carries -1; padding rows
+    are negative and dropped).  tr0/tc0: the t-plane origin in scaled coords.
+    rmax/cmax: the logical extent inside the (16h+16, 16w+16) plane — spans
+    are clipped to it so bucket padding contributes nothing.  Returns int32
+    (h, w) per-pixel opacities (0..255).
+    """
+    th, tw = _H * h + _H, _H * w + _H
+    r = rr - tr0
+    r = jnp.where(r < rmax, r, -1)  # out-of-extent rows -> dropped
+    c = jnp.clip(cc - tc0, 0, jnp.minimum(cmax, tw))
+    diff = jnp.zeros((th, tw + 1), jnp.int32).at[r, c].add(vv, mode="drop")
+    t_mask = jnp.cumsum(diff, axis=1)[:, :-1] > 0
+    return _coverage_counts(t_mask, h=h, w=w)
+
+
+def _spans_to_scatter(scaled):
+    """Device arrays (rr, cc, vv) for _coverage_counts_from_spans, padded to
+    a pow2 bucket (pad rows are -2^30: below any shifted origin)."""
+    rows, ss, ee = scaled
+    k = rows.shape[0]
+    kb = _span_bucket(2 * k)
+    rr = np.full(kb, -(1 << 30), dtype=np.int32)
+    cc = np.zeros(kb, dtype=np.int32)
+    vv = np.zeros(kb, dtype=np.int32)
+    rr[:k] = rows
+    rr[k : 2 * k] = rows
+    cc[:k] = ss
+    cc[k : 2 * k] = ee + 1
+    vv[:k] = 1
+    vv[k : 2 * k] = -1
+    return jnp.asarray(rr), jnp.asarray(cc), jnp.asarray(vv)
+
 
 def coverage_opacity_bucketed(shape_box, scaled) -> jnp.ndarray:
     """Per-pixel AA opacity (0..255) over the pixel box `shape_box`, returned
     at the region bucket size ``bucket_hw(h, w)`` (values beyond the logical
     extent are zero).
 
-    `scaled` is (sx0, sy0, mask) from scanline.scaled_mask_of_edgelist, in
-    scaled-pixel coordinates, or None for an empty mask.
+    `scaled` is (rows, s, e) from scanline.scaled_spans_of_edgelist, in
+    absolute scaled-pixel coordinates, or None for an empty mask.  The dense
+    16x plane is expanded on device from the spans (a scatter + row cumsum),
+    so only the span lists cross the host↔device link.
 
-    All device shapes are bucketed so XLA compiles one conv per bucket, not
+    All device shapes are bucketed so XLA compiles one kernel per bucket, not
     one per object.
     """
     x0, y0, x1, y1 = shape_box
@@ -117,25 +164,20 @@ def coverage_opacity_bucketed(shape_box, scaled) -> jnp.ndarray:
     hb, wb = region.bucket_hw(h, w)
     if scaled is None:
         return jnp.zeros((hb, wb), dtype=jnp.int32)
-    sx0, sy0, smask = scaled
+    rr, cc, vv = _spans_to_scatter(scaled)
+    tc0 = _H * x0 - 2 * _H
+    cmax = _H * w + _H  # logical column extent inside the t plane
 
     def band_opacity(by0: int, bh: int):
         """Opacity for pixel rows [y0+by0 .. y0+by0+bh-1] (bucketed bh)."""
-        th, tw = _H * bh + _H, _H * wb + _H
-        t = np.zeros((th, tw), dtype=bool)
-        tr0 = _H * (y0 + by0) - 2 * _H  # T origin in scaled coords
-        tc0 = _H * x0 - 2 * _H
-        # Paste smask (origin sy0, sx0), clipped to the logical extent so the
-        # bucket padding contributes nothing.
-        r_lo = max(tr0, sy0)
-        r_hi = min(tr0 + _H * min(bh, h - by0) + _H, sy0 + smask.shape[0])
-        c_lo = max(tc0, sx0)
-        c_hi = min(tc0 + _H * w + _H, sx0 + smask.shape[1])
-        if r_lo < r_hi and c_lo < c_hi:
-            t[r_lo - tr0 : r_hi - tr0, c_lo - tc0 : c_hi - tc0] = smask[
-                r_lo - sy0 : r_hi - sy0, c_lo - sx0 : c_hi - sx0
-            ]
-        return _coverage_counts(jnp.asarray(t), h=bh, w=wb)
+        tr0 = _H * (y0 + by0) - 2 * _H  # t-plane origin in scaled coords
+        rem = h - by0  # logical pixel rows remaining in this band
+        rmax = (_H * min(bh, rem) + _H) if rem > 0 else 0
+        return _coverage_counts_from_spans(
+            rr, cc, vv,
+            jnp.int32(tr0), jnp.int32(tc0), jnp.int32(rmax), jnp.int32(cmax),
+            h=bh, w=wb,
+        )
 
     t_elems = (_H * hb + _H) * (_H * wb + _H)
     if t_elems <= _MAX_T_ELEMS:
@@ -169,7 +211,7 @@ def polygon_sprite_edgelist(fill, shp, edges: np.ndarray, winding: str):
     """
     if shp is None:
         return NULL_SPRITE
-    scaled = scanline.scaled_mask_of_edgelist(edges, winding, _H)
+    scaled = scanline.scaled_spans_of_edgelist(edges, winding, _H)
     H, W = shp.mask.shape
     opacity = coverage_opacity_bucketed(shp.box, scaled)
     assert opacity.shape == (H, W), (opacity.shape, shp.mask.shape)

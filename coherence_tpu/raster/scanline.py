@@ -45,13 +45,13 @@ def _ceil_div(a, b):
     return -((-a) // b)
 
 
-def _rasterize_edges(
-    edges: np.ndarray, winding: str, crossing_ext: int
-) -> Optional[Tuple[int, int, np.ndarray, np.ndarray]]:
-    """Core scanline sweep.
+def _edge_spans(edges: np.ndarray, winding: str, crossing_ext: int):
+    """Core scanline sweep, span-list form.
 
     edges: (N, 4) int64 subbin [x0, y0, x1, y1] (raw endpoint order).
-    Returns (x0_pix, y0_pix, shape_mask, minshape_mask) or None for empty.
+    Returns ``(cov_rows, cov_s, cov_e, cross_rows, cross_s, cross_e)`` —
+    inclusive pixel-column spans per pixel row (absolute coordinates) for the
+    in-band coverage and the winding crossing spans — or None for empty.
     """
     if edges.shape[0] == 0:
         return None
@@ -163,10 +163,31 @@ def _rasterize_edges(
 
     t_rows, t_s, t_e = crossing_spans(has_top, x_t)
     b_rows, b_s, b_e = crossing_spans(has_bot, x_b)
+    return (
+        rows,
+        cov_s,
+        cov_e,
+        np.concatenate([t_rows, b_rows]),
+        np.concatenate([t_s, b_s]),
+        np.concatenate([t_e, b_e]),
+    )
 
-    all_rows = np.concatenate([rows, t_rows, b_rows])
-    all_s = np.concatenate([cov_s, t_s, b_s])
-    all_e = np.concatenate([cov_e, t_e, b_e])
+
+def _rasterize_edges(
+    edges: np.ndarray, winding: str, crossing_ext: int
+) -> Optional[Tuple[int, int, np.ndarray, np.ndarray]]:
+    """Dense-mask form of the sweep.
+
+    Returns (x0_pix, y0_pix, shape_mask, minshape_mask) or None for empty.
+    """
+    spans = _edge_spans(edges, winding, crossing_ext)
+    if spans is None:
+        return None
+    rows, cov_s, cov_e, cross_rows, cross_s, cross_e = spans
+
+    all_rows = np.concatenate([rows, cross_rows])
+    all_s = np.concatenate([cov_s, cross_s])
+    all_e = np.concatenate([cov_e, cross_e])
     if all_rows.size == 0:
         return None
 
@@ -184,11 +205,7 @@ def _rasterize_edges(
         return np.cumsum(diff, axis=1)[:, :-1] > 0
 
     cov_mask = spans_to_mask(rows, cov_s, cov_e)
-    cross_mask = spans_to_mask(
-        np.concatenate([t_rows, b_rows]),
-        np.concatenate([t_s, b_s]),
-        np.concatenate([t_e, b_e]),
-    )
+    cross_mask = spans_to_mask(cross_rows, cross_s, cross_e)
     shape_mask = cov_mask | cross_mask
     minshape_mask = shape_mask & ~cov_mask
     return x0_pix, y0_pix, shape_mask, minshape_mask
@@ -243,3 +260,29 @@ def scaled_mask_of_edgelist(edges: np.ndarray, winding: str, scale: int):
         return None
     x0, y0, smask, _ = res
     return x0, y0, smask
+
+
+def scaled_spans_of_edgelist(edges: np.ndarray, winding: str, scale: int):
+    """Span-list form of ``scaled_mask_of_edgelist``: the same mask as
+    inclusive per-row column spans in absolute scaled-pixel coordinates.
+
+    Returns (rows, s, e) int64 arrays, or None for empty.  The union of the
+    spans IS the scaled mask — the dense expansion happens on device
+    (raster/aa.py) so only these few-KB lists cross the host↔device link
+    instead of the multi-MB 16x-scaled boolean plane.
+    """
+    e = np.asarray(edges, dtype=np.int64)
+    if e.shape[0] == 0:
+        return None
+    spans = _edge_spans(e * scale, winding, 0)
+    if spans is None:
+        return None
+    rows, cov_s, cov_e, cross_rows, cross_s, cross_e = spans
+    all_rows = np.concatenate([rows, cross_rows])
+    if all_rows.size == 0:
+        return None
+    return (
+        all_rows,
+        np.concatenate([cov_s, cross_s]),
+        np.concatenate([cov_e, cross_e]),
+    )

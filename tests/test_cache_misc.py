@@ -130,8 +130,19 @@ def test_transform_graphic():
     pdf = P.pdf_of_file(os.path.join(E.path, "logo.pdf"))
     g = PG.graphic_of_page(pdf, pdf.pages()[0])
     g2 = PG.transform_graphic([tr.Translate(100.0, 50.0)], g)
-    p1 = next(e for e in g.elements if isinstance(e, PG.GPath)).path
-    p2 = next(e for e in g2.elements if isinstance(e, PG.GPath)).path
+
+    def first_path(elements):
+        for e in elements:
+            if isinstance(e, PG.GPath):
+                return e.path
+            if hasattr(e, "elements"):
+                p = first_path(e.elements)
+                if p is not None:
+                    return p
+        return None
+
+    p1 = first_path(g.elements)
+    p2 = first_path(g2.elements)
     from coherence_tpu.geometry.path import path_proper_bounds
 
     b1 = path_proper_bounds(p1)

@@ -224,7 +224,7 @@ def test_aa_opacity_interior_and_exterior():
     r = rectangle(10.0, 10.0, 30.0, 30.0)
     edges = edgelist_of_path(r)
     shp, _ = scanline.shapeminshape_of_edgelist(edges, EVEN_ODD)
-    scaled = scanline.scaled_mask_of_edgelist(edges, EVEN_ODD, 16)
+    scaled = scanline.scaled_spans_of_edgelist(edges, EVEN_ODD, 16)
     op = np.asarray(raa.coverage_opacity(shp.box, scaled))
     x0, y0, x1, y1 = shp.box
     interior = op[25 - y0, 25 - x0]
@@ -248,10 +248,10 @@ def test_aa_coverage_matches_direct_tablesum():
     r = rectangle(5.0, 5.0, 9.0, 7.0)
     edges = edgelist_of_path(r)
     shp, _ = scanline.shapeminshape_of_edgelist(edges, EVEN_ODD)
-    scaled = scanline.scaled_mask_of_edgelist(edges, EVEN_ODD, 16)
-    sx0, sy0, smask = scaled
+    sx0, sy0, smask = scanline.scaled_mask_of_edgelist(edges, EVEN_ODD, 16)
+    spans = scanline.scaled_spans_of_edgelist(edges, EVEN_ODD, 16)
     x0, y0, x1, y1 = shp.box
-    op = np.asarray(raa.coverage_opacity(shp.box, scaled))
+    op = np.asarray(raa.coverage_opacity(shp.box, spans))
     tbl = raa.maintable
     for (px, py) in [(5, 5), (7, 6), (9, 7), (6, 5), (x0, y0), (x1, y1)]:
         count = 0
@@ -266,3 +266,48 @@ def test_aa_coverage_matches_direct_tablesum():
                         count += int(tbl[u, v])
         expect = raa.opacity_of_tableval(count * 256)
         assert op[py - y0, px - x0] == expect, (px, py, op[py - y0, px - x0], expect)
+
+
+def test_scaled_spans_union_equals_dense_mask():
+    # The span-list form (device expansion input) is exactly the dense mask.
+    import random
+
+    rng = random.Random(7)
+    for _ in range(8):
+        pts = [(rng.uniform(0, 40), rng.uniform(0, 40)) for _ in range(6)]
+        from coherence_tpu.geometry.path import path_of_pointlist, NONZERO
+
+        for winding in (EVEN_ODD, NONZERO):
+            p = path_of_pointlist(winding, pts)
+            edges = edgelist_of_path(p)
+            dense = scanline.scaled_mask_of_edgelist(edges, winding, 16)
+            spans = scanline.scaled_spans_of_edgelist(edges, winding, 16)
+            assert (dense is None) == (spans is None)
+            if dense is None:
+                continue
+            sx0, sy0, smask = dense
+            rows, ss, ee = spans
+            rebuilt = np.zeros_like(smask)
+            for r, s, e in zip(rows, ss, ee):
+                rebuilt[r - sy0, max(0, s - sx0) : e - sx0 + 1] = True
+            assert np.array_equal(rebuilt, smask)
+
+
+def test_aa_sprite_bucket_padding_stays_zero():
+    # Sprite.rgba beyond the logical box extent must be zero (ops rely on
+    # it); the AA opacity is consumed under shp.mask, which enforces it.
+    from coherence_tpu.raster import fills as rfills
+    import coherence_tpu.colour as C
+
+    r = rectangle(2.0, 2.0, 20.0, 11.0)
+    edges = edgelist_of_path(r)
+    shp, _ = scanline.shapeminshape_of_edgelist(edges, EVEN_ODD)
+    spr = raa.polygon_sprite_edgelist(rfills.plain(C.red), shp, edges, EVEN_ODD)
+    x0, y0, x1, y1 = spr.box
+    h, w = y1 - y0 + 1, x1 - x0 + 1
+    rgba = np.asarray(spr.rgba)
+    mask = np.asarray(spr.mask)
+    assert rgba.shape[0] >= h and rgba.shape[1] >= w
+    assert (rgba[h:, :, :] == 0).all() and (rgba[:, w:, :] == 0).all()
+    assert not mask[h:, :].any() and not mask[:, w:].any()
+    assert rgba[:h, :w, 3].max() == 255
