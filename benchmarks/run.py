@@ -26,6 +26,10 @@ def _cache_cfg():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
 
 
 def emit(metric, value, unit, baseline, extra=None):

@@ -215,7 +215,7 @@ def polygon_sprite_edgelist(fill, shp, edges: np.ndarray, winding: str):
     H, W = shp.mask.shape
     opacity = coverage_opacity_bucketed(shp.box, scaled)
     assert opacity.shape == (H, W), (opacity.shape, shp.mask.shape)
-    fill_rgba = jnp.asarray(fill.image(shp.box, H, W), dtype=jnp.int32)
+    fill_rgba = fill.image_device(shp.box, H, W)
     rgba = _aa_sprite_rgba(shp.mask, opacity, fill_rgba)
     return Sprite(shp.box, shp.mask, rgba)
 

@@ -230,7 +230,7 @@ def sprite_of_brushstroke(brushstroke, fill, shp):
     sx0, sy0 = shp.box[0], shp.box[1]
     alpha = jax.lax.dynamic_slice(canvas_a, (sy0 - y0, sx0 - x0), (h, w))
     alpha_full = jnp.zeros((H, W), dtype=jnp.int32).at[:h, :w].set(alpha)
-    fill_rgba = jnp.asarray(fill.image(shp.box, H, W), dtype=jnp.int32)
+    fill_rgba = fill.image_device(shp.box, H, W)
     rgba = jnp.where(shp.mask[..., None], C.dissolve_rgba(fill_rgba, alpha_full), 0)
     return Sprite(shp.box, shp.mask, rgba)
 

@@ -59,6 +59,16 @@ class Fill:
     def image(self, box, H: int, W: int) -> np.ndarray:
         raise NotImplementedError
 
+    def image_device(self, box, H: int, W: int):
+        """The int32 colour plane as a device array, broadcastable to
+        (H, W, 4).  The default transfers the host plane; constant fills
+        return a memoized (1, 1, 4) vector instead, so no per-object plane
+        ever crosses the host->device link (consumers broadcast it inside
+        their jitted kernels)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.image(box, H, W), dtype=jnp.int32)
+
     def single(self, x: int, y: int) -> int:
         raise NotImplementedError
 
@@ -67,6 +77,10 @@ class Fill:
 
     def changecolour(self, f: Callable[[int], int]) -> "Fill":
         return self
+
+
+# colour -> (1, 1, 4) device vector, shared by every PlainFill instance.
+_DEV_CONST_CACHE: dict = {}
 
 
 class PlainFill(Fill):
@@ -80,6 +94,18 @@ class PlainFill(Fill):
 
     def image(self, box, H, W):
         return np.broadcast_to(self._rgba, (H, W, 4))
+
+    def image_device(self, box, H, W):
+        # A constant plane: a memoized (1, 1, 4) device vector (broadcast
+        # happens inside the consumer's jitted kernel) instead of shipping
+        # H*W*16 bytes — or dispatching any eager op — per object.
+        import jax.numpy as jnp
+
+        v = _DEV_CONST_CACHE.get(self.colour)
+        if v is None:
+            v = jnp.asarray(self._rgba.reshape(1, 1, 4))
+            _DEV_CONST_CACHE[self.colour] = v
+        return v
 
     def single(self, x, y):
         return self.colour

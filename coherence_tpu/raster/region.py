@@ -474,7 +474,7 @@ def fillshape(shape, fill) -> Optional[Sprite]:
     if shape is None:
         return NULL_SPRITE
     H, W = shape.mask.shape
-    rgba = fill.image(shape.box, H, W)
+    rgba = fill.image_device(shape.box, H, W)
     return sprite_of_mask_rgba(shape.box, shape.mask, rgba)
 
 

@@ -752,7 +752,7 @@ def sprite_of_cpg(shp, fill, f_transform, op, a, b, whole_scene):
         return NULL_SPRITE
     # Apply the fill by dissolving it with the combined alpha plane.
     H, W = alpha.mask.shape
-    fill_rgba = jnp.asarray(fill2.image(alpha.box, H, W), dtype=jnp.int32)
+    fill_rgba = fill2.image_device(alpha.box, H, W)
     rgba = jnp.where(alpha.mask[..., None], C.dissolve_rgba(fill_rgba, alpha.rgba[..., 3]), 0)
     return region.Sprite(alpha.box, alpha.mask, rgba)
 

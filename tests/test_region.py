@@ -176,3 +176,22 @@ def test_sprite_map_and_map_coords():
     rs = np.asarray(striped.rgba)
     assert tuple(rs[0, 0]) == C.rgba_of_colour(C.red)
     assert tuple(rs[0, 1]) == (0, 0, 0, 0)
+
+
+def test_fill_image_device_matches_host():
+    import jax.numpy as jnp
+    import numpy as np
+    from coherence_tpu.raster import fills as rfills
+    import coherence_tpu.colour as C
+
+    for f in [
+        rfills.plain(C.crimson),
+        rfills.gradient((2.0, 3.0), (30.0, 9.0), True, False, C.red, C.blue),
+        rfills.radial((10.0, 10.0), (10.0, 10.0), (18.0, 10.0), False, True, C.green, C.yellow),
+    ]:
+        box = (3, 4, 34, 23)
+        H, W = 20, 32
+        host = np.asarray(f.image(box, H, W), dtype=np.int32)
+        # image_device may return a (1, 1, 4) constant, broadcastable to plane.
+        dev = np.broadcast_to(np.asarray(f.image_device(box, H, W)), (H, W, 4))
+        assert np.array_equal(host, dev), type(f).__name__
