@@ -73,21 +73,15 @@ def build():
     )
 
     # Precompute each object's full raster once (the per-object cache the
-    # coherent renderer maintains; here materialized eagerly).
-    from coherence_tpu.scene.fastframe import full_sprite_of_object
+    # coherent renderer maintains; here materialized eagerly) — batched:
+    # one fused device dispatch per bucket group instead of ~8 round trips
+    # per object.
+    from coherence_tpu.scene.fastframe import full_sprites_of_objects
 
-    def full_sprite(o):
-        spr = full_sprite_of_object(o)
-        return spr, None
-
-    sprites = []
-    boxes = []
-    for o in objs:
-        spr, shp = full_sprite(o)
-        if spr is not None:
-            sprites.append(spr)
-            boxes.append(spr.box)
-    blob_spr, _ = full_sprite(blob)
+    built = full_sprites_of_objects(objs + [blob])
+    sprites = [s for s in built[:-1] if s is not None]
+    boxes = [s.box for s in sprites]
+    blob_spr = built[-1]
 
     fb = FrameBuffer(W, H, C.white)
     # Initial full render: composite bottom-up in chunks (right fold).

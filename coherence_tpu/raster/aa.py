@@ -104,13 +104,16 @@ _MAX_T_ELEMS = 48 * 1024 * 1024  # bf16 elements (~96 MB)
 _SPAN_BUCKET_MIN = 512
 
 
-def _span_bucket(n: int) -> int:
+def span_bucket(n: int) -> int:
     return max(_SPAN_BUCKET_MIN, 1 << (max(1, n) - 1).bit_length())
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def _coverage_counts_from_spans(rr, cc, vv, tr0, tc0, rmax, cmax, *, h, w):
-    """Gaussian-table coverage from scaled-mask span lists.
+_span_bucket = span_bucket
+
+
+def coverage_counts_from_spans_impl(rr, cc, vv, tr0, tc0, rmax, cmax, h, w):
+    """Gaussian-table coverage from scaled-mask span lists (traceable body;
+    call inside jit — see the jitted wrapper below).
 
     rr/cc/vv: int32 (2K,) difference-array scatter entries in absolute scaled
     coordinates (start col s carries +1, end col e+1 carries -1; padding rows
@@ -128,12 +131,20 @@ def _coverage_counts_from_spans(rr, cc, vv, tr0, tc0, rmax, cmax, *, h, w):
     return _coverage_counts(t_mask, h=h, w=w)
 
 
-def _spans_to_scatter(scaled):
-    """Device arrays (rr, cc, vv) for _coverage_counts_from_spans, padded to
-    a pow2 bucket (pad rows are -2^30: below any shifted origin)."""
-    rows, ss, ee = scaled
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _coverage_counts_from_spans(rr, cc, vv, tr0, tc0, rmax, cmax, *, h, w):
+    return coverage_counts_from_spans_impl(rr, cc, vv, tr0, tc0, rmax, cmax, h, w)
+
+
+def spans_to_scatter_np(scaled, kb: Optional[int] = None):
+    """Host (rr, cc, vv) int32 scatter triples for the span difference
+    array, padded to a pow2 bucket (pad rows are -2^30: below any shifted
+    origin).  `scaled` may be None (all padding)."""
+    rows, ss, ee = scaled if scaled is not None else (np.zeros(0),) * 3
     k = rows.shape[0]
-    kb = _span_bucket(2 * k)
+    if kb is None:
+        kb = _span_bucket(2 * k)
+    assert 2 * k <= kb, (k, kb)
     rr = np.full(kb, -(1 << 30), dtype=np.int32)
     cc = np.zeros(kb, dtype=np.int32)
     vv = np.zeros(kb, dtype=np.int32)
@@ -143,6 +154,11 @@ def _spans_to_scatter(scaled):
     cc[k : 2 * k] = ee + 1
     vv[:k] = 1
     vv[k : 2 * k] = -1
+    return rr, cc, vv
+
+
+def _spans_to_scatter(scaled):
+    rr, cc, vv = spans_to_scatter_np(scaled)
     return jnp.asarray(rr), jnp.asarray(cc), jnp.asarray(vv)
 
 

@@ -17,15 +17,23 @@ Coherence operations:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Set
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .. import colour as C
-from ..raster import region
+from ..geometry import path as gpath
+from ..geometry import shapes as gshapes
+from ..raster import aa as raa
+from ..raster import fills as rfills
+from ..raster import region, scanline
 from ..raster.pallas_compositor import TILE_H, TILE_W, pack_rgba, unpack_rgba
 from ..raster.region import NULL_SPRITE, translate_sprite
+from ..raster.scanline import _HALF
 from ..raster.tiled_scene import TiledScene
 from . import render as R
 
@@ -47,6 +55,175 @@ def full_sprite_of_object(o: R.Obj, whole_scene=None):
     interior = region.fillshape(minshp, fill) if minshp is not None else None
     spr, _ = region.caf("nocover", "opaque", interior, fringe)
     return spr
+
+
+# ---------------------------------------------------------------------------
+# Batched scene build
+# ---------------------------------------------------------------------------
+#
+# Building a scene object-by-object costs ~8 device round trips per object
+# (mask transfers, eager set ops, AA dispatch, caf) — each round trip is
+# milliseconds over a remote transport.  For the common case (plain-filled
+# paths and stroked paths) the whole interior+AA pipeline is instead fused
+# into ONE jitted call per bucket group: host-side scanline sweeps emit span
+# lists, the group's spans/geometry/colours stack into a handful of
+# transfers, and a lax.map inside the kernel expands masks, computes the
+# exact Gaussian AA coverage, and colours every object's raster.  Pixel
+# values are identical to full_sprite_of_object (same spans, same table
+# sums, same integer dissolve).
+
+
+def _batch_extract(o: R.Obj):
+    """(edges, shape_winding, aa_winding, fill_rgba4) for objects the fused
+    group kernel supports, else None (falls back to the scalar path)."""
+    g = o.geometry
+    if not isinstance(g, R.Basic):
+        return None
+    f = g.fill
+    if type(f) is not rfills.PlainFill or f.kind != rfills.PLAIN:
+        return None
+    sk = R.transform_shapekind(o.transform, g.shape)
+    if isinstance(sk, R.PathShape):
+        edges = gpath.edgelist_of_path(sk.path)
+        return edges, sk.path.winding, sk.path.winding, f._rgba
+    if isinstance(sk, R.StrokedPathShape):
+        # Shape uses nonzero, the AA matte even-odd (render.ml:1002-1008).
+        edges = gshapes.strokepath(sk.spec, sk.path)
+        return edges, gpath.NONZERO, gpath.EVEN_ODD, f._rgba
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("hb", "wb", "B"))
+def _build_group_kernel(cov, cross, aaspans, geo, fills, *, hb, wb, B):
+    """One dispatch building B sprites of bucket (hb, wb).
+
+    cov/cross/aaspans: int32 (B, 3, k) difference-scatter triples [rr, cc,
+    vv] (1x pixel spans for coverage / winding crossings; 16x scaled spans
+    for the AA matte).  geo: (B, 4) int32 [x0, y0, w, h] tightened boxes.
+    fills: (B, 4) int32 premultiplied plain-fill colours.
+    Returns B (hb, wb) bool masks and B (hb, wb, 4) int32 rgba planes.
+    """
+
+    def one(args):
+        cov1, cross1, aa1, g, f4 = args  # (3, k) each: [rr, cc, vv]
+        c_rr, c_cc, c_vv = cov1[0], cov1[1], cov1[2]
+        x_rr, x_cc, x_vv = cross1[0], cross1[1], cross1[2]
+        a_rr, a_cc, a_vv = aa1[0], aa1[1], aa1[2]
+        x0, y0, w, h = g[0], g[1], g[2], g[3]
+
+        def mask1x(rr, cc, vv):
+            r = rr - y0
+            r = jnp.where(r < h, r, -1)  # beyond logical rows -> dropped
+            c = jnp.clip(cc - x0, 0, w)
+            diff = jnp.zeros((hb, wb + 1), jnp.int32).at[r, c].add(vv, mode="drop")
+            return jnp.cumsum(diff, axis=1)[:, :-1] > 0
+
+        covm = mask1x(c_rr, c_cc, c_vv)
+        crossm = mask1x(x_rr, x_cc, x_vv)
+        smask = covm | crossm  # shape = coverage ∪ crossings
+        mmask = crossm & ~covm  # minshape = shape − coverage
+        sc = raa._H
+        opacity = raa.coverage_counts_from_spans_impl(
+            a_rr, a_cc, a_vv,
+            sc * y0 - 2 * sc, sc * x0 - 2 * sc,
+            sc * h + sc, sc * w + sc,
+            hb, wb,
+        )
+        fringe = smask & ~mmask
+        colour = f4[None, None, :]
+        dissolved = C.dissolve_rgba(colour, opacity)
+        rgba = jnp.where(
+            mmask[..., None], colour, jnp.where(fringe[..., None], dissolved, 0)
+        )
+        return smask, rgba
+
+    masks, rgbas = lax.map(one, (cov, cross, aaspans, geo, fills))
+    return [masks[i] for i in range(B)], [rgbas[i] for i in range(B)]
+
+
+def _group_b(n: int) -> int:
+    """Pow2 batch bucket so group compiles are reused across scenes."""
+    return 1 << (max(1, n) - 1).bit_length()
+
+
+def full_sprites_of_objects(objs) -> List[object]:
+    """Batched ``full_sprite_of_object`` over a scene: one fused device
+    dispatch per (bucket, span-capacity) group for plain-filled paths and
+    stroked paths; anything else falls through to the scalar pipeline.
+
+    Returns a sprite (or None for empty/degenerate) per object, in order.
+    """
+    out: List[object] = [None] * len(objs)
+    # group key -> list of (index, cov_np, cross_np, aa_np, geo, fill)
+    groups: Dict[tuple, list] = {}
+    for i, o in enumerate(objs):
+        ext = _batch_extract(o)
+        if ext is None:
+            out[i] = full_sprite_of_object(o)
+            continue
+        edges, shape_w, aa_w, f4 = ext
+        spans = scanline._edge_spans(
+            np.asarray(edges, dtype=np.int64), shape_w, _HALF
+        )
+        if spans is None:
+            continue  # empty -> None sprite
+        rows, cov_s, cov_e, x_rows, x_s, x_e = spans
+        if rows.size == 0:
+            continue
+        x0 = int(min(cov_s.min(), x_s.min() if x_s.size else cov_s.min()))
+        x1 = int(max(cov_e.max(), x_e.max() if x_e.size else cov_e.max()))
+        y0 = int(rows.min())
+        y1 = int(rows.max())
+        w, h = x1 - x0 + 1, y1 - y0 + 1
+        hb, wb = region.bucket_hw(h, w)
+        if (raa._H * hb + raa._H) * (raa._H * wb + raa._H) > raa._MAX_T_ELEMS:
+            out[i] = full_sprite_of_object(o)  # needs row-band chunking
+            continue
+        aa = scanline.scaled_spans_of_edgelist(edges, aa_w, raa._H)
+        kc = raa.span_bucket(2 * rows.size)
+        kx = raa.span_bucket(2 * x_rows.size)
+        ka = raa.span_bucket(2 * (aa[0].shape[0] if aa is not None else 0))
+        key = (hb, wb, kc, kx, ka)
+        groups.setdefault(key, []).append(
+            (
+                i,
+                raa.spans_to_scatter_np((rows, cov_s, cov_e), kc),
+                raa.spans_to_scatter_np((x_rows, x_s, x_e), kx),
+                raa.spans_to_scatter_np(aa, ka),
+                np.array([x0, y0, w, h], dtype=np.int32),
+                np.asarray(f4, dtype=np.int32),
+                (x0, y0, x1, y1),
+            )
+        )
+
+    for (hb, wb, kc, kx, ka), items in groups.items():
+        B = _group_b(len(items))
+        # Pad with empty entries (all-padding spans produce empty masks).
+        pad = B - len(items)
+        empty_c = raa.spans_to_scatter_np(None, kc)
+        empty_x = raa.spans_to_scatter_np(None, kx)
+        empty_a = raa.spans_to_scatter_np(None, ka)
+        zgeo = np.array([0, 0, 1, 1], dtype=np.int32)
+        zfill = np.zeros(4, dtype=np.int32)
+
+        def stack(sel, empty):
+            # (B, 3, k): one transfer per span family.
+            e = np.stack(empty)
+            return jnp.asarray(
+                np.stack([np.stack(it[sel]) for it in items] + [e] * pad)
+            )
+
+        cov = stack(1, empty_c)
+        cross = stack(2, empty_x)
+        aasp = stack(3, empty_a)
+        geo = jnp.asarray(np.stack([it[4] for it in items] + [zgeo] * pad))
+        fills = jnp.asarray(np.stack([it[5] for it in items] + [zfill] * pad))
+        masks, rgbas = _build_group_kernel(
+            cov, cross, aasp, geo, fills, hb=hb, wb=wb, B=B
+        )
+        for j, it in enumerate(items):
+            out[it[0]] = region.Sprite(it[6], masks[j], rgbas[j])
+    return out
 
 
 class DeviceView:
@@ -74,13 +251,16 @@ class DeviceView:
         return {tile for tile, _ in self.ts.pieces.get(key, ())}
 
     def set_scene(self, scene: List[R.Obj]):
-        """(Re)build from a scene list (front-to-back)."""
+        """(Re)build from a scene list (front-to-back), batch-rasterized."""
         self.order = []
-        for o in scene:
-            self.add_object(o)
+        sprites = full_sprites_of_objects(list(scene))
+        for o, spr in zip(scene, sprites):
+            self._install(o, spr, None)
 
     def add_object(self, o: R.Obj, index: Optional[int] = None):
-        spr = full_sprite_of_object(o)
+        self._install(o, full_sprite_of_object(o), index)
+
+    def _install(self, o: R.Obj, spr, index: Optional[int]):
         key = o.idset
         if spr is not None:
             self.ts.add_object(key, spr)
