@@ -152,6 +152,11 @@ class HeadlessClient:
             f.write(b"P6\n%d %d\n255\n" % (win.width, win.height))
             f.write(win.image.tobytes())
 
+    def save_png(self, w: int, path: str):
+        from ..utils.png import write_png
+
+        write_png(path, self.windows[w].image)
+
 
 def run_client(port: Optional[int] = None, findport_file: str = "findport"):
     """Connect and serve until AppClose (the main.py main loop)."""

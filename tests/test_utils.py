@@ -116,3 +116,16 @@ def test_filter_debug_pdf(tmp_path):
     write_debug_pdf(path)
     pdf = P.pdf_of_file(path)
     assert len(pdf.pages()) >= 1
+
+
+def test_png_round_trip():
+    import numpy as np
+
+    from coherence_tpu.utils.png import png_bytes, read_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(7, 5), (9, 4, 3), (6, 8, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        back = read_png(png_bytes(img))
+        want = img if img.ndim != 3 or img.shape[2] != 1 else img[:, :, 0]
+        assert np.array_equal(back, want)
