@@ -62,6 +62,16 @@ class MCSection:
 
 
 @dataclass
+class MCSectionProperties:
+    """BDC..EMC with a properties operand (pdfgraphics.mli:138): keeps
+    optional-content membership / MCIDs that plain MCSection would drop."""
+
+    name: str
+    properties: object
+    elements: list
+
+
+@dataclass
 class Clip:
     path: gpath.Path
     elements: list
@@ -152,6 +162,10 @@ class _GState:
     CA: float = 1.0  # stroke alpha
     textmode: int = 0  # Tr render mode (text_attributes)
     softmask: object = None  # ExtGState /SMask (None when /None)
+    # Clip path set by W/W*, consumed by the next n; part of the graphics
+    # state so Q discards it (the reference keeps clip in its q/Q-saved
+    # state record, pdfgraphics.ml:578-595).
+    pending_clip: object = None
 
 
 # Text-state/show operators captured into TextBlock runs
@@ -160,6 +174,35 @@ _TEXT_OPS = frozenset(
     ["Tc", "Tw", "Tz", "TL", "Tf", "Tr", "Ts", "Td", "TD", "Tm",
      "T*", "Tj", "TJ", "'", '"', "d0", "d1"]
 )
+
+
+def _inline_image_bytes(d: dict) -> Optional[int]:
+    """Exact unfiltered inline-image data length, or None if unknown
+    (filtered, or missing dimensions).  Row bytes are padded to whole bytes
+    per the PDF imaging model."""
+    if d.get("F") is not None or d.get("Filter") is not None:
+        return None
+    w = d.get("W", d.get("Width"))
+    h = d.get("H", d.get("Height"))
+    bpc = d.get("BPC", d.get("BitsPerComponent", 8))
+    cs = d.get("CS", d.get("ColorSpace"))
+    if d.get("IM", d.get("ImageMask")) is True:
+        channels = 1
+        bpc = 1
+    elif isinstance(cs, Name):
+        channels = {
+            "G": 1, "DeviceGray": 1, "I": 1, "Indexed": 1, "CalGray": 1,
+            "RGB": 3, "DeviceRGB": 3, "CalRGB": 3,
+            "CMYK": 4, "DeviceCMYK": 4,
+        }.get(cs.v)
+    elif isinstance(cs, list):  # e.g. [/Indexed ...]
+        channels = 1
+    else:
+        channels = None
+    if not isinstance(w, int) or not isinstance(h, int) or channels is None:
+        return None
+    row = (w * channels * int(bpc) + 7) // 8
+    return row * h
 
 
 def _tokenize(content: bytes):
@@ -195,7 +238,6 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
     sinks: List[list] = [elements]
     sink_levels: List[int] = [-1]
     qlevel = 0
-    pending_clip: Optional[gpath.Path] = None  # set by W/W*, consumed by n
     in_text = False
     text_ops: List[object] = []
     text_tf: Matrix = _ID
@@ -391,19 +433,19 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 closepath()
                 emit(False, True, gpath.NONZERO)
             elif op == "n":
-                if pending_clip is not None:
+                if gs.pending_clip is not None:
                     finish_path(gpath.NONZERO)  # discard the painted path
-                    c = Clip(pending_clip, [])
+                    c = Clip(gs.pending_clip, [])
                     sinks[-1].append(c)
                     sinks.append(c.elements)
                     sink_levels.append(qlevel)
-                    pending_clip = None
+                    gs.pending_clip = None
                 else:
                     emit(False, False, gpath.NONZERO)
             elif op == "W":
-                pending_clip = snapshot_path(gpath.NONZERO)
+                gs.pending_clip = snapshot_path(gpath.NONZERO)
             elif op == "W*":
-                pending_clip = snapshot_path(gpath.EVEN_ODD)
+                gs.pending_clip = snapshot_path(gpath.EVEN_ODD)
             elif op == "g":
                 gs.fill = (DEVICE_GRAY, [num(stack.pop())])
             elif op == "G":
@@ -504,17 +546,32 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     d[key] = p._obj(lex.next_token())
                 data_start = lex.p
                 if data_start < len(lex.d) and lex.d[data_start] in _WS:
-                    data_start += 1
-                m = re.search(
-                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)",
-                    lex.d[data_start:],
-                )
-                if m:
-                    data = lex.d[data_start : data_start + m.start()]
-                    lex.p = data_start + m.end()
+                    # Exactly one whitespace after ID; tolerate CRLF.
+                    crlf = lex.d[data_start : data_start + 2] == b"\r\n"
+                    data_start += 2 if crlf else 1
+                n_bytes = _inline_image_bytes(d)
+                if n_bytes is not None and data_start + n_bytes <= len(lex.d):
+                    # Unfiltered image: the exact data length is computable,
+                    # so binary data may contain 'EI' and the terminator may
+                    # directly abut the data.
+                    data = lex.d[data_start : data_start + n_bytes]
+                    lex.p = data_start + n_bytes
+                    if lex.peek_token() == b"EI":
+                        lex.next_token()
                 else:
-                    data = lex.d[data_start:]
-                    lex.p = len(lex.d)
+                    # Filtered/unknown: scan for the terminator, preferring
+                    # whitespace-delimited EI, falling back to a bare EI
+                    # (whitespace before EI is not required by the spec).
+                    tail = lex.d[data_start:]
+                    m = re.search(
+                        rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)", tail
+                    ) or re.search(rb"EI(?=[\x00\t\n\x0c\r ]|$)", tail)
+                    if m:
+                        data = tail[: m.start()]
+                        lex.p = data_start + m.end()
+                    else:
+                        data = tail
+                        lex.p = len(lex.d)
                 sinks[-1].append(GraphicInlineImage(d, bytes(data), gs.ctm))
             elif op == "BT":
                 in_text = True
@@ -537,10 +594,14 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
             elif op in ("BMC", "BDC"):
                 # Marked-content section: wrap elements until the matching
                 # EMC (pdfgraphics.ml getuntil_matching_emc).
-                if op == "BDC":
-                    stack.pop()  # properties dict
+                props = stack.pop() if op == "BDC" else None
                 tag = stack.pop()
-                mc = MCSection(tag.v if isinstance(tag, Name) else str(tag), [])
+                name = tag.v if isinstance(tag, Name) else str(tag)
+                mc = (
+                    MCSectionProperties(name, props, [])
+                    if op == "BDC"
+                    else MCSection(name, [])
+                )
                 sinks[-1].append(mc)
                 sinks.append(mc.elements)
                 sink_levels.append(None)  # closed by EMC, not Q
@@ -575,6 +636,10 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                 out.append(GPath(gpath.transform_path(list(t), el.path), el.attributes))
             elif isinstance(el, MCSection):
                 out.append(MCSection(el.name, walk(el.elements)))
+            elif isinstance(el, MCSectionProperties):
+                out.append(
+                    MCSectionProperties(el.name, el.properties, walk(el.elements))
+                )
             elif isinstance(el, Clip):
                 out.append(Clip(gpath.transform_path(list(t), el.path), walk(el.elements)))
             elif isinstance(el, TextBlock):
@@ -710,6 +775,10 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                 ops.append(f"/{el.name} BMC")
                 walk(el.elements)
                 ops.append("EMC")
+            elif isinstance(el, MCSectionProperties):
+                ops.append(f"/{el.name} {_ser_operand(el.properties)} BDC")
+                walk(el.elements)
+                ops.append("EMC")
             elif isinstance(el, TextBlock):
                 # q cm BT <text ops> ET Q (pdfgraphics.ml:1487).
                 ops.append("q")
@@ -735,4 +804,6 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
             # so they are dropped here.
 
     walk(graphic.elements)
-    return mkpage("\n".join(ops).encode(), mediabox=mediabox)
+    # latin1 inverts the latin1 decode used when capturing binary operands
+    # (inline-image data, non-ASCII string bytes); utf-8 would widen them.
+    return mkpage("\n".join(ops).encode("latin1"), mediabox=mediabox)

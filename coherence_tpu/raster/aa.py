@@ -104,8 +104,9 @@ _MAX_T_ELEMS = 48 * 1024 * 1024  # bf16 elements (~96 MB)
 _SPAN_BUCKET_MIN = 512
 
 
-def span_bucket(n: int) -> int:
-    return max(_SPAN_BUCKET_MIN, 1 << (max(1, n) - 1).bit_length())
+def span_bucket(n: int, floor: int = _SPAN_BUCKET_MIN) -> int:
+    """Pow2 bucket with a floor, so jit programs are reused across sizes."""
+    return max(floor, 1 << (max(1, n) - 1).bit_length())
 
 
 _span_bucket = span_bucket

@@ -49,7 +49,7 @@ def path_of_graphic(graphic: PG.Graphic):
         for el in elements:
             if isinstance(el, PG.GPath):
                 return el.path
-            if isinstance(el, (PG.MCSection, PG.Clip)):
+            if isinstance(el, (PG.MCSection, PG.MCSectionProperties, PG.Clip)):
                 got = find(el.elements)
                 if got is not None:
                     return got

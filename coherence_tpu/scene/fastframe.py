@@ -135,15 +135,19 @@ def _build_group_kernel(cov, cross, aaspans, geo, fills, *, hb, wb, B):
         rgba = jnp.where(
             mmask[..., None], colour, jnp.where(fringe[..., None], dissolved, 0)
         )
-        return smask, rgba
+        return smask, mmask, rgba
 
-    masks, rgbas = lax.map(one, (cov, cross, aaspans, geo, fills))
-    return [masks[i] for i in range(B)], [rgbas[i] for i in range(B)]
+    masks, minmasks, rgbas = lax.map(one, (cov, cross, aaspans, geo, fills))
+    return (
+        [masks[i] for i in range(B)],
+        [minmasks[i] for i in range(B)],
+        [rgbas[i] for i in range(B)],
+    )
 
 
 def _group_b(n: int) -> int:
     """Pow2 batch bucket so group compiles are reused across scenes."""
-    return 1 << (max(1, n) - 1).bit_length()
+    return raa.span_bucket(n, floor=1)
 
 
 def full_sprites_of_objects(objs) -> List[object]:
@@ -218,11 +222,23 @@ def full_sprites_of_objects(objs) -> List[object]:
         aasp = stack(3, empty_a)
         geo = jnp.asarray(np.stack([it[4] for it in items] + [zgeo] * pad))
         fills = jnp.asarray(np.stack([it[5] for it in items] + [zfill] * pad))
-        masks, rgbas = _build_group_kernel(
+        masks, minmasks, rgbas = _build_group_kernel(
             cov, cross, aasp, geo, fills, hb=hb, wb=wb, B=B
         )
         for j, it in enumerate(items):
-            out[it[0]] = region.Sprite(it[6], masks[j], rgbas[j])
+            i = it[0]
+            box = it[6]
+            out[i] = region.Sprite(box, masks[j], rgbas[j])
+            # Seed the shape cache so later interactions (pick, dirty
+            # regions, replace) skip the host scanline sweep, matching the
+            # warm-cache behavior of the scalar path.  The minshape keeps the
+            # shape's box (untightened) — box-aware ops make that harmless.
+            if R.cache.usecache and R.cache.getshape(objs[i].idset) is None:
+                R.cache.addshape(
+                    objs[i].idset,
+                    region.Shape(box, masks[j], empty_known=False),
+                    region.Shape(box, minmasks[j]),
+                )
     return out
 
 

@@ -88,7 +88,7 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                             R.OVER,
                         )
                     )
-            elif isinstance(el, (PG.MCSection, PG.Clip)):
+            elif isinstance(el, (PG.MCSection, PG.MCSectionProperties, PG.Clip)):
                 out.extend(convert(el.elements))
         return out
 

@@ -74,15 +74,6 @@ def test_image_xobject_element():
         {"Subtype": P.Name("Image"), "Width": 1, "Height": 1},
         b"\x00",
     )
-    pdf = P.mkpage(
-        b"q 0.5 gs 3 0 0 3 7 9 cm /Im1 Do Q",
-        resources={
-            "XObject": {"Im1": P.Ref(9)},
-            "ExtGState": {"0.5": {"ca": 0.5}},
-        },
-    )
-    pdf.objects[9] = img
-    # 'gs' with a numeric-looking name token is unusual; use a clean stream.
     pdf2 = P.mkpage(
         b"q /GS gs 3 0 0 3 7 9 cm /Im1 Do Q",
         resources={
@@ -131,3 +122,50 @@ def test_transform_graphic_composes_placement_matrices():
     assert tb.transform == (1.0, 0.0, 0.0, 1.0, 15.0, 17.0)
     im = g2.elements[3]
     assert im.transform == (2.0, 0.0, 0.0, 2.0, 5.0, -3.0)
+
+
+def test_writer_round_trips_binary_data_exactly():
+    # latin1 encoding must invert the latin1 capture: high bytes survive.
+    content = b"q 1 0 0 1 0 0 cm BI /W 2 /H 1 /BPC 8 /CS /RGB ID \x80\xff\x41\xc3\x00\x01 EI Q"
+    g = _graphic_of_content(content)
+    im = g.elements[0]
+    assert im.data == b"\x80\xff\x41\xc3\x00\x01"
+    pdf2 = PG.page_of_graphic(g)
+    g2 = PG.graphic_of_page(pdf2, _first_page(pdf2))
+    assert g2.elements[0].data == im.data
+
+
+def test_stale_clip_does_not_survive_Q():
+    # W followed by a non-n paint: the clip candidate dies with the Q.
+    g = _graphic_of_content(
+        b"q 0 0 50 50 re W f Q 1 0 0 rg 1 1 2 2 re f 5 5 6 6 re n"
+    )
+    kinds = [type(e).__name__ for e in g.elements]
+    assert "Clip" not in kinds, kinds
+    assert kinds[0] == "GPath" and kinds[1] == "GPath"
+
+
+def test_inline_image_exact_length_with_embedded_EI():
+    # Unfiltered image whose data contains ' EI ' and abuts the terminator:
+    # the computed byte length must win over delimiter scanning.
+    data = b"A EI \x00\xff\x80KLMN"  # 12 bytes = 2x2 RGB
+    content = b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID " + data + b"EI\n0 1 0 rg 5 5 10 10 re f"
+    g = _graphic_of_content(content)
+    im, path = g.elements[0], g.elements[1]
+    assert isinstance(im, PG.GraphicInlineImage)
+    assert im.data == data
+    assert isinstance(path, PG.GPath)  # the fill after EI is not swallowed
+
+
+def test_bdc_properties_preserved():
+    g = _graphic_of_content(b"/OC << /MCID 0 >> BDC 0 0 1 rg 1 1 2 2 re f EMC")
+    mc = g.elements[0]
+    assert isinstance(mc, PG.MCSectionProperties)
+    assert mc.name == "OC" and mc.properties == {"MCID": 0}
+    assert isinstance(mc.elements[0], PG.GPath)
+    # Round trip keeps the properties.
+    pdf2 = PG.page_of_graphic(g)
+    g2 = PG.graphic_of_page(pdf2, _first_page(pdf2))
+    mc2 = g2.elements[0]
+    assert isinstance(mc2, PG.MCSectionProperties)
+    assert mc2.properties == {"MCID": 0}
