@@ -181,6 +181,7 @@ def config5():
     rng = np.random.default_rng(0)
     W, H = 3840, 2176
     ts = TiledScene(W, H)
+    items = []
     order = []
     for k in range(1000):
         x0, y0 = int(rng.integers(1, W - 80)), int(rng.integers(1, H - 80))
@@ -190,11 +191,9 @@ def config5():
             C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255),
             delta=alpha,
         )
-        spr = region.fillshape(
-            shape_of_box((x0, y0, x0 + w - 1, y0 + h - 1)), rfills.plain(col)
-        )
-        ts.add_object(k, spr)
+        items.append((k, (x0, y0, x0 + w - 1, y0 + h - 1), C.rgba_of_colour(col)))
         order.append(k)
+    ts.add_boxes(items)  # one device call for all 1000 primitives' pieces
     bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
     starts, idxs = ts.build_lists(order)
     out = ts.render(bg, starts, idxs)
@@ -216,7 +215,7 @@ def config5():
         fps,
         "fps",
         60.0,
-        {"mpix_per_s": round(W * H * fps / 1e6), "pieces": ts._n_pieces},
+        {"mpix_per_s": round(W * H * fps / 1e6), "pieces": sum(len(v) for v in ts.pieces.values())},
     )
 
 

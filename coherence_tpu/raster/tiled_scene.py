@@ -52,6 +52,27 @@ def _shatter_kernel(packed, oys, oxs):
     return jax.vmap(one)(oys, oxs)
 
 
+@jax.jit
+def _box_pieces_kernel(meta):
+    """meta (n, 8) int32 [ox, oy, w, h, r, g, b, a]: piece[r, c] = packed
+    colour where the (tile-relative) box [ox, ox+w) x [oy, oy+h) covers it."""
+
+    def one(m):
+        ox, oy, w, h = m[0], m[1], m[2], m[3]
+        col = (
+            m[4].astype(jnp.uint32)
+            | (m[5].astype(jnp.uint32) << 8)
+            | (m[6].astype(jnp.uint32) << 16)
+            | (m[7].astype(jnp.uint32) << 24)
+        )
+        rows = jnp.arange(TILE_H)[:, None]
+        cols = jnp.arange(TILE_W)[None, :]
+        inside = (rows >= oy) & (rows < oy + h) & (cols >= ox) & (cols < ox + w)
+        return jnp.where(inside, col, jnp.uint32(0))
+
+    return jax.vmap(one)(meta)
+
+
 def _kernel(starts_ref, idxs_ref, bg_ref, atlas_hbm, out_ref, scratch, sems):
     t = pl.program_id(0)
     lo = starts_ref[t]
@@ -268,6 +289,56 @@ class TiledScene:
             entries.append((ty * self.ntx + tx, self._n_pieces + j))
         self._n_pieces += len(coords)
         self.pieces[key] = entries
+        self._atlas = None
+
+    def add_boxes(self, items) -> None:
+        """Bulk-ingest plain-colour rectangle layers:
+        ``items = [(key, (x0, y0, x1, y1), (r, g, b, a)), ...]`` (1-based
+        inclusive boxes, premultiplied 0..255 channels).
+
+        The batched form of add_object for box sprites: every piece of every
+        box is synthesized directly in ONE device call (no per-object sprite
+        construction, packing, or shattering) — e.g. a 1000-primitive scene
+        ingests in a single kernel instead of ~4000 round trips."""
+        metas: List[List[int]] = []
+        regs: List[Tuple[object, List[Tuple[int, int]]]] = []
+        base = self._n_pieces
+        for key, box, rgba in items:
+            x0, y0, x1, y1 = box
+            tx_lo = max(0, (x0 - 1) // TILE_W)
+            tx_hi = min(self.ntx - 1, (x1 - 1) // TILE_W)
+            ty_lo = max(0, (y0 - 1) // TILE_H)
+            ty_hi = min(self.nty - 1, (y1 - 1) // TILE_H)
+            entries = []
+            for ty in range(ty_lo, ty_hi + 1):
+                for tx in range(tx_lo, tx_hi + 1):
+                    entries.append((ty * self.ntx + tx, base + len(metas)))
+                    metas.append(
+                        [
+                            (x0 - 1) - tx * TILE_W,
+                            (y0 - 1) - ty * TILE_H,
+                            x1 - x0 + 1,
+                            y1 - y0 + 1,
+                            *(int(v) for v in rgba),
+                        ]
+                    )
+            regs.append((key, entries))
+        if not metas:
+            for key, entries in regs:
+                self.pieces[key] = entries
+            return
+        # pow2-pad the piece count so the kernel compiles per bucket; padding
+        # rows have w == h == 0 and occupy (unreferenced) atlas slots.
+        n = len(metas)
+        nb = 8
+        while nb < n:
+            nb *= 2
+        meta = np.zeros((nb, 8), dtype=np.int32)
+        meta[:n] = np.asarray(metas, dtype=np.int32)
+        self._chunks.append(_box_pieces_kernel(jnp.asarray(meta)))
+        self._n_pieces += nb
+        for key, entries in regs:
+            self.pieces[key] = entries
         self._atlas = None
 
     def atlas(self) -> jnp.ndarray:

@@ -137,3 +137,39 @@ def test_sharded_render_matches_reference():
     out = TS.render_sharded(ts, bg, order, mesh, interpret=True)
     ref = TS.render_scene_xla_reference(ts, bg, order)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_add_boxes_matches_add_object():
+    """Bulk box ingestion produces the same frame as per-object shattering."""
+    import numpy as np
+
+    import coherence_tpu.colour as C
+    from coherence_tpu.raster import fills as rfills, region
+    from coherence_tpu.raster.pallas_compositor import pack_rgba
+    from coherence_tpu.raster.region import shape_of_box
+
+    rng = np.random.default_rng(5)
+    W, H = 4 * TILE_W, 3 * TILE_H
+    a = TS.TiledScene(W, H)
+    b = TS.TiledScene(W, H)
+    items = []
+    order = []
+    for k in range(12):
+        x0 = int(rng.integers(1, W - 40))
+        y0 = int(rng.integers(1, H - 40))
+        w = int(rng.integers(5, 200))
+        h = int(rng.integers(5, 200))
+        box = (x0, y0, min(W, x0 + w - 1), min(H, y0 + h - 1))
+        col = C.dissolve(
+            C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255),
+            delta=150 if k % 2 else 255,
+        )
+        spr = region.fillshape(shape_of_box(box), rfills.plain(col))
+        a.add_object(k, spr)
+        items.append((k, box, C.rgba_of_colour(col)))
+        order.append(k)
+    b.add_boxes(items)
+    bg = pack_rgba(jnp.broadcast_to(jnp.asarray([255, 255, 255, 255], jnp.int32), (H, W, 4)))
+    fa = a.render(bg, *a.build_lists(order))
+    fb = b.render(bg, *b.build_lists(order))
+    assert np.array_equal(np.asarray(fa), np.asarray(fb))
