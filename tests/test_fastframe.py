@@ -112,3 +112,56 @@ def test_full_sprite_of_object_covers_shape():
     assert region.is_null_shape(
         region.shape_difference(shp, region.shape_of_sprite(spr))
     )
+
+
+def test_deviceview_fuzz_matches_general_renderer():
+    """Seeded random scenes (polygons, both windings, stroked paths, mixed
+    opacity, transforms) through the batched fast path vs the general HSR
+    renderer — whole-window pixel equality."""
+    import random
+
+    import coherence_tpu.transform as tr
+    from coherence_tpu.geometry import path as gpath
+
+    w, h = 192, 160
+    spec = gshapes.StrokeSpec(
+        startcap=gshapes.RoundCap,
+        join=gshapes.MitredJoin,
+        endcap=gshapes.ProjectingCap,
+        mitrelimit=10.0,
+        linewidth=2.5,
+    )
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        cache.clear()
+        scene = []
+        for k in range(6):
+            pts = [
+                (rng.uniform(5, w - 5), rng.uniform(5, h - 5)) for _ in range(5)
+            ]
+            winding = gpath.NONZERO if k % 2 else gpath.EVEN_ODD
+            p = gpath.path_of_pointlist(winding, pts)
+            colour = C.dissolve(
+                C.colour_of_rgba(
+                    rng.randrange(256), rng.randrange(256), rng.randrange(256), 255
+                ),
+                delta=rng.choice([255, 180, 120]),
+            )
+            shape = (
+                R.StrokedPathShape(p, spec) if k == 4 else R.PathShape(p)
+            )
+            t = (
+                (tr.Rotate((w / 2, h / 2), rng.uniform(-0.4, 0.4)),)
+                if k == 5
+                else ()
+            )
+            scene.append(
+                R.Obj(ident.new_ids(), R.Basic(rfills.plain(colour), shape), t, R.OVER)
+            )
+        dv = DeviceView(w, h)
+        dv.set_scene(scene)
+        dv.render(full=True)
+        got = dv.read()
+        cache.clear()
+        expect = general_render(scene, w, h)
+        assert np.array_equal(got, expect), f"seed {seed}"
