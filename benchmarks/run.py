@@ -170,9 +170,7 @@ def config5():
     import jax.numpy as jnp
 
     import coherence_tpu.colour as C
-    from coherence_tpu.raster import fills as rfills, region
     from coherence_tpu.raster.pallas_compositor import pack_rgba
-    from coherence_tpu.raster.region import shape_of_box
     from coherence_tpu.raster.tiled_scene import TiledScene
 
     # 1000 primitives; FULL-frame 4K re-render every frame through the

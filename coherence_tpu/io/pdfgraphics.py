@@ -162,10 +162,6 @@ class _GState:
     CA: float = 1.0  # stroke alpha
     textmode: int = 0  # Tr render mode (text_attributes)
     softmask: object = None  # ExtGState /SMask (None when /None)
-    # Clip path set by W/W*, consumed by the next n; part of the graphics
-    # state so Q discards it (the reference keeps clip in its q/Q-saved
-    # state record, pdfgraphics.ml:578-595).
-    pending_clip: object = None
 
 
 # Text-state/show operators captured into TextBlock runs
@@ -238,6 +234,12 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
     sinks: List[list] = [elements]
     sink_levels: List[int] = [-1]
     qlevel = 0
+    # Clip path captured by W/W*; per PDF 8.5.4 it is consumed by the NEXT
+    # path-painting operator, whichever it is (a Clip element is created
+    # only for n, matching the reference's Op_n-only wrapping), and it is
+    # NOT part of the q/Q-saved state (path construction cannot straddle
+    # q/Q), so it must not be resurrected by Q.
+    pending_clip: Optional[gpath.Path] = None
     in_text = False
     text_ops: List[object] = []
     text_tf: Matrix = _ID
@@ -305,6 +307,8 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
         return gpath.Path(winding, tuple(built))
 
     def emit(path_fill, path_line, winding):
+        nonlocal pending_clip
+        pending_clip = None  # any painting operator consumes the candidate
         p = finish_path(winding)
         if p is None:
             return
@@ -433,19 +437,19 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 closepath()
                 emit(False, True, gpath.NONZERO)
             elif op == "n":
-                if gs.pending_clip is not None:
+                if pending_clip is not None:
                     finish_path(gpath.NONZERO)  # discard the painted path
-                    c = Clip(gs.pending_clip, [])
+                    c = Clip(pending_clip, [])
                     sinks[-1].append(c)
                     sinks.append(c.elements)
                     sink_levels.append(qlevel)
-                    gs.pending_clip = None
+                    pending_clip = None
                 else:
                     emit(False, False, gpath.NONZERO)
             elif op == "W":
-                gs.pending_clip = snapshot_path(gpath.NONZERO)
+                pending_clip = snapshot_path(gpath.NONZERO)
             elif op == "W*":
-                gs.pending_clip = snapshot_path(gpath.EVEN_ODD)
+                pending_clip = snapshot_path(gpath.EVEN_ODD)
             elif op == "g":
                 gs.fill = (DEVICE_GRAY, [num(stack.pop())])
             elif op == "G":

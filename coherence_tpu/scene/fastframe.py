@@ -150,6 +150,23 @@ def _group_b(n: int) -> int:
     return raa.span_bucket(n, floor=1)
 
 
+def _minshape_empty(rows, cov_s, cov_e, x_rows, x_s, x_e, h: int, w: int) -> bool:
+    """True iff (crossings − coverage) is empty — host span expansion at 1x
+    (the minshape rule of polygon.ml:520-528).  Inputs are box-relative."""
+
+    def dense(rr, ss, ee):
+        diff = np.zeros((h, w + 1), dtype=np.int32)
+        np.add.at(diff, (rr, np.clip(ss, 0, w)), 1)
+        np.add.at(diff, (rr, np.clip(ee + 1, 0, w)), -1)
+        return np.cumsum(diff, axis=1)[:, :-1] > 0
+
+    if x_rows.size == 0:
+        return True
+    cov = dense(rows, cov_s, cov_e)
+    cross = dense(x_rows, x_s, x_e)
+    return not bool((cross & ~cov).any())
+
+
 def full_sprites_of_objects(objs) -> List[object]:
     """Batched ``full_sprite_of_object`` over a scene: one fused device
     dispatch per (bucket, span-capacity) group for plain-filled paths and
@@ -179,6 +196,11 @@ def full_sprites_of_objects(objs) -> List[object]:
         y0 = int(rows.min())
         y1 = int(rows.max())
         w, h = x1 - x0 + 1, y1 - y0 + 1
+        # Minshape emptiness, host-side (cheap 1x span expansion): empty
+        # interiors seed NULL_SHAPE below, exactly like the scalar path.
+        min_empty = _minshape_empty(
+            rows - y0, cov_s - x0, cov_e - x0, x_rows - y0, x_s - x0, x_e - x0, h, w
+        )
         hb, wb = region.bucket_hw(h, w)
         if (raa._H * hb + raa._H) * (raa._H * wb + raa._H) > raa._MAX_T_ELEMS:
             out[i] = full_sprite_of_object(o)  # needs row-band chunking
@@ -197,6 +219,7 @@ def full_sprites_of_objects(objs) -> List[object]:
                 np.array([x0, y0, w, h], dtype=np.int32),
                 np.asarray(f4, dtype=np.int32),
                 (x0, y0, x1, y1),
+                min_empty,
             )
         )
 
@@ -231,13 +254,20 @@ def full_sprites_of_objects(objs) -> List[object]:
             out[i] = region.Sprite(box, masks[j], rgbas[j])
             # Seed the shape cache so later interactions (pick, dirty
             # regions, replace) skip the host scanline sweep, matching the
-            # warm-cache behavior of the scalar path.  The minshape keeps the
-            # shape's box (untightened) — box-aware ops make that harmless.
+            # warm-cache behavior of the scalar path.  Empty minshapes seed
+            # NULL_SHAPE (as the scalar path caches them); non-empty ones
+            # keep the shape's box (untightened) — box-aware ops make that
+            # harmless — with emptiness known, avoiding a later lazy sync.
             if R.cache.usecache and R.cache.getshape(objs[i].idset) is None:
+                minshp = (
+                    region.NULL_SHAPE
+                    if it[7]
+                    else region.Shape(box, minmasks[j], empty_known=False)
+                )
                 R.cache.addshape(
                     objs[i].idset,
                     region.Shape(box, masks[j], empty_known=False),
-                    region.Shape(box, minmasks[j]),
+                    minshp,
                 )
     return out
 

@@ -56,3 +56,34 @@ def test_batch_build_matches_scalar():
         assert ref.box == got.box, (i, ref.box, got.box)
         assert np.array_equal(np.asarray(ref.mask), np.asarray(got.mask)), i
         assert np.array_equal(np.asarray(ref.rgba), np.asarray(got.rgba)), i
+
+
+def test_batch_seeds_cache_like_scalar():
+    """Cache entries seeded by the batch build agree with the scalar path on
+    minshape NULL-ness (empty interiors must seed NULL_SHAPE)."""
+    from coherence_tpu.scene import cache
+
+    spec = gshapes.StrokeSpec(
+        startcap=gshapes.ButtCap,
+        join=gshapes.BevelJoin,
+        endcap=gshapes.ButtCap,
+        mitrelimit=10.0,
+        linewidth=0.6,  # hairline: empty interior
+    )
+    thin = _obj(
+        R.Basic(rfills.plain(C.red), R.StrokedPathShape(gshapes.circle(30.0, 30.0, 12.0), spec))
+    )
+    fat = _obj(R.Basic(rfills.plain(C.blue), R.PathShape(gshapes.rectangle(5.0, 5.0, 30.0, 30.0))))
+    cache.clear()
+    FF.full_sprites_of_objects([thin, fat])
+    got_thin = cache.getshape(thin.idset)
+    got_fat = cache.getshape(fat.idset)
+    assert got_thin is not None and got_fat is not None
+    cache.clear()
+    s_thin = R.shape_of_basicshape(thin)
+    s_fat = R.shape_of_basicshape(fat)
+    assert (got_thin[1] is None) == (s_thin[1] is None)
+    assert got_thin[1] is None  # hairline stroke has no interior
+    assert (got_fat[1] is None) == (s_fat[1] is None)
+    assert got_fat[1] is not None
+    cache.clear()

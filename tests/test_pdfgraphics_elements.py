@@ -136,13 +136,26 @@ def test_writer_round_trips_binary_data_exactly():
 
 
 def test_stale_clip_does_not_survive_Q():
-    # W followed by a non-n paint: the clip candidate dies with the Q.
+    # W followed by a non-n paint: the clip candidate is consumed by the
+    # painting operator (PDF 8.5.4) and never resurfaces.
     g = _graphic_of_content(
         b"q 0 0 50 50 re W f Q 1 0 0 rg 1 1 2 2 re f 5 5 6 6 re n"
     )
     kinds = [type(e).__name__ for e in g.elements]
     assert "Clip" not in kinds, kinds
     assert kinds[0] == "GPath" and kinds[1] == "GPath"
+
+
+def test_clip_candidate_not_resurrected_by_Q():
+    # The pending clip is not part of the q/Q-saved state: after the n
+    # inside q consumes it, the restoring Q must not bring it back for the
+    # later bare n.
+    g = _graphic_of_content(
+        b"0 0 50 50 re W q n Q 5 5 6 6 re n 1 0 0 rg 1 1 2 2 re f"
+    )
+    kinds = [type(e).__name__ for e in g.elements]
+    assert kinds.count("Clip") == 1, kinds
+    assert isinstance(g.elements[-1], PG.GPath)  # fill at top level, unclipped
 
 
 def test_inline_image_exact_length_with_embedded_EI():
