@@ -31,43 +31,33 @@ from .. import colour as C
 from . import region
 from .region import Box, Sprite, box_intersect, box_wh, bucket_hw
 
-# Layer-count buckets: pad K to the next of these so the scan compiles a
-# handful of times.
-_K_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
-
-
-def _k_bucket(k: int) -> int:
-    for b in _K_BUCKETS:
-        if k <= b:
-            return b
-    return ((k + 127) // 128) * 128
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _composite_window_kernel(frame, layers_rgba, layers_mask, oy, ox):
-    """Composite a front-to-back layer pack into frame[oy:, ox:].
-
-    layers_rgba: (K, h, w, 4) int32; layers_mask: (K, h, w) bool; layer 0 is
-    topmost.  The pack accumulates top-down exactly like the renderer's
-    `caf over` fold; the result then goes `over` the existing frame content
-    (which plays the role of anything beneath the dirty region — callers
-    clear the window first when re-rendering from scratch).
-    """
-    k, h, w = layers_mask.shape
-    acc = jnp.zeros((h, w, 4), dtype=jnp.int32)
-    open_mask = jnp.ones((h, w), dtype=bool)
-
-    def body(carry, layer):
-        acc, open_mask = carry
-        rgba, mask = layer
-        paint = mask & open_mask
-        blended = C.over_rgba(acc, rgba)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("hb", "wb"))
+def _composite_window_fused(frame, offs, oy, ox, *layers, hb, wb):
+    """Front-to-back composite of K sprites into frame[oy:, ox:] with the
+    per-layer window shift fused in.  layers = (rgba0, mask0, rgba1, mask1,
+    ...) raw bucketed sprite planes (rgba 0 outside mask, mask False in
+    padding — the region invariants make reading padding harmless); offs:
+    (K, 2) int32 per-layer (dy, dx) of the sprite origin in window coords.
+    Static shapes: one XLA program per (window bucket, layer-shape tuple).
+    Semantics identical to the layer-pack scan (caf-over + newly-opaque,
+    render.ml:1291-1308)."""
+    acc = jnp.zeros((hb, wb, 4), dtype=jnp.int32)
+    open_mask = jnp.ones((hb, wb), dtype=bool)
+    for i in range(len(layers) // 2):
+        rgba, mask = layers[2 * i], layers[2 * i + 1]
+        hs, ws = mask.shape
+        iy = jnp.arange(hb) - offs[i, 0]
+        ix = jnp.arange(wb) - offs[i, 1]
+        vy = (iy >= 0) & (iy < hs)
+        vx = (ix >= 0) & (ix < ws)
+        m = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
+        m = m & vy[:, None] & vx[None, :]
+        r = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
+        paint = m & open_mask
+        blended = C.over_rgba(acc, r)
         acc = jnp.where(paint[..., None], blended, acc)
         open_mask = open_mask & ~(paint & (acc[..., 3] == 255))
-        return (acc, open_mask), None
-
-    (acc, open_mask), _ = jax.lax.scan(body, (acc, open_mask), (layers_rgba, layers_mask))
-    window = jax.lax.dynamic_slice(frame, (oy, ox, 0), (h, w, 4))
+    window = jax.lax.dynamic_slice(frame, (oy, ox, 0), (hb, wb, 4))
     out = C.over_rgba(acc, window)
     return jax.lax.dynamic_update_slice(frame, out, (oy, ox, 0))
 
@@ -102,9 +92,14 @@ class FrameBuffer:
         )
 
     def composite(self, box: Box, layers: Sequence[Sprite]):
-        """Composite sprites (front-to-back) into the window `box`."""
+        """Composite sprites (front-to-back) into the window `box` — ONE
+        dispatch per call: reprojection (per-layer shift into the window) is
+        fused into the kernel instead of two eager shift calls per sprite,
+        so a chunk of K sprites costs 1 device round trip, not 2K+1."""
         ib = box_intersect(box, self.box)
         if ib is None:
+            return
+        if not layers:
             return
         w, h = box_wh(ib)
         hb, wb = bucket_hw(h, w)
@@ -114,21 +109,20 @@ class FrameBuffer:
         wb = min(wb, self.width)
         oy = min(ib[1] - 1, self.height - hb)
         ox = min(ib[0] - 1, self.width - wb)
-        wbox = (ox + 1, oy + 1, ox + wb, oy + hb)
-        k = _k_bucket(max(1, len(layers)))
-        rgba_stack = []
-        mask_stack = []
+        offs = [(s.box[1] - (oy + 1), s.box[0] - (ox + 1)) for s in layers]
+        flat = []
         for s in layers:
-            m = region._reproject_mask(s, wbox, hb, wb)
-            r = region._reproject_rgba(s, wbox, hb, wb)
-            mask_stack.append(m)
-            rgba_stack.append(r)
-        while len(rgba_stack) < k:
-            rgba_stack.append(jnp.zeros((hb, wb, 4), dtype=jnp.int32))
-            mask_stack.append(jnp.zeros((hb, wb), dtype=bool))
-        layers_rgba = jnp.stack(rgba_stack)
-        layers_mask = jnp.stack(mask_stack)
-        self.rgba = _composite_window_kernel(self.rgba, layers_rgba, layers_mask, oy, ox)
+            flat.append(s.rgba)
+            flat.append(s.mask)
+        self.rgba = _composite_window_fused(
+            self.rgba,
+            jnp.asarray(offs, jnp.int32),
+            oy,
+            ox,
+            *flat,
+            hb=hb,
+            wb=wb,
+        )
 
     def read(self) -> np.ndarray:
         return np.asarray(self.rgba)
