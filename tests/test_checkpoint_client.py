@@ -184,3 +184,12 @@ def test_remote_display_end_to_end():
     assert tuple(win.image[40, 40]) == (255, 0, 0)
     # Background (light grey) around the rect.
     assert tuple(win.image[5, 5]) == tuple(C.rgba_of_colour(C.lightgrey)[:3])
+    # PNG dump of the client-side window decodes to the same pixels.
+    import tempfile
+
+    from coherence_tpu.utils.png import read_png
+
+    with tempfile.NamedTemporaryFile(suffix=".png") as f:
+        c.save_png(view.window, f.name)
+        back = read_png(f.name)
+    assert np.array_equal(back, win.image)
