@@ -32,17 +32,23 @@ from . import region
 from .region import Box, Sprite, box_intersect, box_wh, bucket_hw
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("hb", "wb"))
-def _composite_window_fused(frame, offs, oy, ox, *layers, hb, wb):
+def _composite_window_fused(frame, offs, oy, ox, ry0, rx0, h, w, *layers, hb, wb):
     """Front-to-back composite of K sprites into frame[oy:, ox:] with the
     per-layer window shift fused in.  layers = (rgba0, mask0, rgba1, mask1,
     ...) raw bucketed sprite planes (rgba 0 outside mask, mask False in
     padding — the region invariants make reading padding harmless); offs:
     (K, 2) int32 per-layer (dy, dx) of the sprite origin in window coords.
-    Static shapes: one XLA program per (window bucket, layer-shape tuple).
-    Semantics identical to the layer-pack scan (caf-over + newly-opaque,
-    render.ml:1291-1308)."""
+    The logical window is rows [ry0, ry0+h) x cols [rx0, rx0+w) of the
+    bucketed (hb, wb) block: painting is clipped to it so sprites reaching
+    into the bucket-padding ring never double-blend over frame content that
+    already contains them (ADVICE r1).  Static shapes: one XLA program per
+    (window bucket, layer-shape tuple).  Semantics identical to the
+    layer-pack scan (caf-over + newly-opaque, render.ml:1291-1308)."""
+    rows = jnp.arange(hb)[:, None]
+    cols = jnp.arange(wb)[None, :]
+    inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
     acc = jnp.zeros((hb, wb, 4), dtype=jnp.int32)
-    open_mask = jnp.ones((hb, wb), dtype=bool)
+    open_mask = inwin
     for i in range(len(layers) // 2):
         rgba, mask = layers[2 * i], layers[2 * i + 1]
         hs, ws = mask.shape
@@ -119,6 +125,10 @@ class FrameBuffer:
             jnp.asarray(offs, jnp.int32),
             oy,
             ox,
+            ib[1] - 1 - oy,
+            ib[0] - 1 - ox,
+            h,
+            w,
             *flat,
             hb=hb,
             wb=wb,

@@ -152,15 +152,20 @@ def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int):
     )(starts, idxs, background, atlas)
 
 
-def _kernel_subset(coords_ref, starts_ref, idxs_ref, bg_ref, atlas_hbm, frame_in, out_ref, scratch, sems):
+def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, atlas_hbm, frame_hbm, out_ref, scratch, sems):
     """Like _kernel but the grid runs over a compacted dirty-tile list; the
     tile position comes from scalar-prefetched coords (block index maps read
-    them).  Padding grid slots (valid == 0) copy the existing frame block
-    through unchanged (out blocks are write-only, so the passthrough must be
-    explicit)."""
+    them) and each slot carries its own [lo, hi) span into idxs.  Padding
+    slots duplicate the LAST dirty tile's coords+span, so they idempotently
+    re-composite identical content — safe under Pallas' deferred output
+    flush / input-refetch elision when consecutive grid steps map the same
+    block (a passthrough padding slot would race the aliased frame buffer
+    and could overwrite a freshly rendered tile with stale pixels).
+    frame_hbm is the donated/aliased framebuffer; it is never read."""
+    del frame_hbm
     t = pl.program_id(0)
-    lo = starts_ref[t]
-    hi = starts_ref[t + 1]
+    lo = spans_ref[t, 0]
+    hi = spans_ref[t, 1]
 
     def piece_copy(k, slot):
         return pltpu.make_async_copy(
@@ -202,17 +207,16 @@ def _kernel_subset(coords_ref, starts_ref, idxs_ref, bg_ref, atlas_hbm, frame_in
 
     jax.lax.fori_loop(k_fin, jnp.minimum(k_fin + N_BUF, hi), drain, 0)
 
-    # valid == 0 marks padding grid slots: pass the frame block through.
-    valid = coords_ref[t, 2] != 0
-    out_ref[:] = jnp.where(valid, _over_packed(acc, bg_ref[:]), frame_in[:])
+    out_ref[:] = _over_packed(acc, bg_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("n_slots",), donate_argnums=(4,))
-def _render_dirty_tiles(coords, starts, idxs, background, frame, atlas, *, n_slots: int):
+def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *, n_slots: int):
     """Re-render only the listed tiles in-place in `frame` (donated).
 
-    coords: (n_slots, 3) int32 [tile_y, tile_x, valid]; padding slots must
-    point at a real tile (e.g. (0, 0, 0)) and are left untouched."""
+    coords: (n_slots, 2) int32 [tile_y, tile_x]; spans: (n_slots, 2) int32
+    [lo, hi) into idxs.  Padding slots must duplicate the last real slot
+    (idempotent re-render; see _kernel_subset)."""
     grid = (n_slots,)
     return pl.pallas_call(
         _kernel_subset,
@@ -222,19 +226,15 @@ def _render_dirty_tiles(coords, starts, idxs, background, frame, atlas, *, n_slo
             in_specs=[
                 pl.BlockSpec(
                     (TILE_H, TILE_W),
-                    lambda t, coords, starts, idxs: (coords[t, 0], coords[t, 1]),
+                    lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (TILE_H, TILE_W),
-                    lambda t, coords, starts, idxs: (coords[t, 0], coords[t, 1]),
-                    memory_space=pltpu.VMEM,
-                ),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (TILE_H, TILE_W),
-                lambda t, coords, starts, idxs: (coords[t, 0], coords[t, 1]),
+                lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -244,7 +244,7 @@ def _render_dirty_tiles(coords, starts, idxs, background, frame, atlas, *, n_slo
         ),
         out_shape=jax.ShapeDtypeStruct(frame.shape, jnp.uint32),
         input_output_aliases={5: 0},  # frame (3 prefetch + bg, atlas, frame)
-    )(coords, starts, idxs, background, atlas, frame)
+    )(coords, spans, idxs, background, atlas, frame)
 
 
 class TiledScene:
@@ -400,14 +400,19 @@ class TiledScene:
         n_slots = 8
         while n_slots < n:
             n_slots *= 2
-        coords = np.zeros((n_slots, 3), np.int32)
-        starts = np.zeros(n_slots + 1, np.int32)
+        coords = np.zeros((n_slots, 2), np.int32)
+        spans = np.zeros((n_slots, 2), np.int32)
         idxs_list = []
         for j, t in enumerate(dirty):
-            coords[j] = (t // self.ntx, t % self.ntx, 1)
+            coords[j] = (t // self.ntx, t % self.ntx)
+            lo = len(idxs_list)
             idxs_list.extend(per_tile[t])
-            starts[j + 1] = len(idxs_list)
-        starts[n + 1 :] = starts[n]
+            spans[j] = (lo, len(idxs_list))
+        # Padding slots duplicate the last dirty tile: an idempotent
+        # re-render is correct under any Pallas block flush/fetch timing,
+        # where a frame passthrough would not be (see _kernel_subset).
+        coords[n:] = coords[n - 1]
+        spans[n:] = spans[n - 1]
         # Pad the entry list to a pow2 length so the jitted kernel's shape
         # key is stable across frames (no retraces as lists grow/shrink).
         n_idx = 8
@@ -417,7 +422,7 @@ class TiledScene:
         idxs[: len(idxs_list)] = idxs_list
         return _render_dirty_tiles(
             jnp.asarray(coords),
-            jnp.asarray(starts),
+            jnp.asarray(spans),
             jnp.asarray(idxs),
             background,
             frame,

@@ -89,3 +89,22 @@ def test_clear_window():
     got = fb.read()
     assert tuple(got[25 - 1, 25 - 1]) == C.rgba_of_colour(C.white)
     assert tuple(got[15 - 1, 15 - 1]) == C.rgba_of_colour(C.red)
+
+
+def test_partial_window_composite_no_double_blend():
+    """Re-compositing a non-bucket-aligned dirty window must not re-blend a
+    translucent sprite into the bucket-padding ring, where the frame already
+    contains it (ADVICE r1: composite is clipped to the logical box)."""
+    fb = FrameBuffer(256, 64, C.white)
+    spr = region.fillshape(
+        region.shape_of_box((1, 1, 200, 40)),
+        rfills.plain(C.dissolve(C.navy, delta=120)),
+    )
+    fb.composite((1, 1, 256, 64), [spr])
+    expect = fb.read().copy()
+    # Dirty box (1,1,150,20) buckets to (32, 256): the ring rows 20..31 and
+    # cols 150..255 intersect the sprite.
+    box = (1, 1, 150, 20)
+    fb.clear_window(box)
+    fb.composite(box, [spr])
+    assert np.array_equal(fb.read(), expect)

@@ -139,6 +139,61 @@ def test_sharded_render_matches_reference():
     assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_render_dirty_subsets_match_full():
+    """render_dirty == full re-render on the dirty tiles, untouched elsewhere.
+
+    Drives _render_dirty_tiles directly (the production incremental path),
+    explicitly including tile 0 dirty with 7 padding slots (the ADVICE-r1
+    aliasing hazard: padding slots must idempotently re-render, never pass
+    stale frame content through) and a single-tile dirty set."""
+    W, H = TILE_W * 2, TILE_H * 2
+    ts, order = _mk_scene(W, H, 10)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    frame0 = ts.render(bg, *ts.build_lists(order))
+    # Scene change: topmost object removed -> dirty tiles must show the new
+    # scene, clean tiles must keep the OLD frame (still showing the object).
+    order2 = order[1:]
+    full_new = np.asarray(ts.render(bg, *ts.build_lists(order2)))
+    before = np.asarray(frame0)
+    for dirty in ([0], [3], [0, 1], [1, 2], [0, 1, 2, 3]):
+        frame = frame0 + 0  # fresh buffer: render_dirty donates its input
+        out = np.asarray(ts.render_dirty(frame, bg, order2, dirty))
+        expect = before.copy()
+        for t in dirty:
+            ty, tx = t // ts.ntx, t % ts.ntx
+            sl = np.s_[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W]
+            expect[sl] = full_new[sl]
+        assert np.array_equal(out, expect), f"dirty={dirty}"
+
+
+def test_render_dirty_padding_slots_duplicate_last_tile():
+    """The host-side list builder pads slots with the last dirty tile's
+    coords+span (idempotence invariant the kernel relies on)."""
+    W, H = TILE_W * 2, TILE_H * 2
+    ts, order = _mk_scene(W, H, 6)
+    import coherence_tpu.raster.tiled_scene as mod
+
+    captured = {}
+    orig = mod._render_dirty_tiles
+
+    def spy(coords, spans, idxs, background, frame, atlas, *, n_slots):
+        captured["coords"] = np.asarray(coords)
+        captured["spans"] = np.asarray(spans)
+        return orig(coords, spans, idxs, background, frame, atlas, n_slots=n_slots)
+
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    frame = ts.render(bg, *ts.build_lists(order)) + 0
+    mod._render_dirty_tiles = spy
+    try:
+        ts.render_dirty(frame, bg, order, [0])
+    finally:
+        mod._render_dirty_tiles = orig
+    coords, spans = captured["coords"], captured["spans"]
+    assert coords.shape[0] == 8 and spans.shape[0] == 8
+    assert (coords == coords[0]).all(), "padding must duplicate the dirty tile"
+    assert (spans == spans[0]).all()
+
+
 def test_add_boxes_matches_add_object():
     """Bulk box ingestion produces the same frame as per-object shattering."""
     import numpy as np
