@@ -1,20 +1,27 @@
-"""Headline benchmark: animated sprite over the lion scene at 1920x1080 with
-frame-to-frame coherence (BASELINE.md north star / config 3).
+"""Headline benchmark — the BASELINE.md north star: lion + LIVE blur filter
+at 1920x1080, animated sprite, frame-to-frame coherence.
 
-Per frame: a translucent blob translates across the lion; its raster is
-reused via translation (a box shift), the dirty region is the union of its
-old and new bounds, and only the dirty window recomposites — all device-side
-with zero host syncs inside the timed loop (raster/framepath).
+Per frame: a translucent blob translates across the lion under a blur-filter
+band covering its path (filters.ml:247-261 semantics — the filter shows the
+blurred scene below, re-convolved wherever its inputs changed); the dirty
+window (old ∪ new blob bounds) restores from the composited static scene,
+repaints the blob, and re-blurs bloat(dirty, r) ∩ filter — ONE fused device
+dispatch per frame, zero host syncs inside the timed loop
+(raster/framepath._blit_blur_kernel, equivalence-tested against the general
+renderer in tests/test_blit_blur.py).
 
-Prints ONE JSON line: fps vs the 60 fps target.
+Scene build uses the tile-normalized batched rasterizer
+(raster/tile_raster): the whole lion rasterizes into the tiled-scene atlas
+with a handful of XLA programs, then composites in one Pallas dispatch —
+cold start is dominated by program-load latency on the remote TPU
+transport, so fewer programs == faster first frame.
+
+Prints ONE JSON line: fps (with the filter live every frame) vs the 60 fps
+target; extras carry the plain no-filter loop and the build wall time.
 """
 
 import json
-import os
-import sys
 import time
-
-import numpy as np
 
 
 def _setup_cache():
@@ -31,20 +38,27 @@ def _setup_cache():
 
 _setup_cache()
 
+W, H = 1920, 1080
+BLUR_RADIUS = 5
+# Blur band over the blob's whole diagonal path, >= 2r inside the frame.
+F_BOX = (40, 320, 1680, 1060)
+
 
 def build():
     import jax.numpy as jnp
+    import numpy as np
 
     import coherence_tpu.colour as C
     import coherence_tpu.transform as tr
     from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.raster import convolve as rconvolve
     from coherence_tpu.raster import fills as rfills
-    from coherence_tpu.raster import region
     from coherence_tpu.raster.framepath import FrameBuffer
+    from coherence_tpu.raster.pallas_compositor import TILE_H, TILE_W, pack_rgba
+    from coherence_tpu.raster.tiled_scene import TiledScene
     from coherence_tpu.scene import examples as E
     from coherence_tpu.scene import render as R
-
-    W, H = 1920, 1080
+    from coherence_tpu.scene.fastframe import build_tiled_scene, tiled_sprite_of_object
 
     # Lion scaled to fill 1080p, y-flipped into raster orientation.
     lion = E.smalllion()
@@ -61,7 +75,6 @@ def build():
     )
     objs = list(lion.geometry.objects)
 
-    # The moving blob: a translucent circle.
     blob = R.Obj(
         __import__("coherence_tpu.ident", fromlist=["new_ids"]).new_ids(),
         R.Basic(
@@ -72,49 +85,90 @@ def build():
         R.OVER,
     )
 
-    # Precompute each object's full raster once (the per-object cache the
-    # coherent renderer maintains; here materialized eagerly) — batched:
-    # one fused device dispatch per bucket group instead of ~8 round trips
-    # per object.
-    from coherence_tpu.scene.fastframe import full_sprites_of_objects
-
-    built = full_sprites_of_objects(objs + [blob])
-    sprites = [s for s in built[:-1] if s is not None]
-    boxes = [s.box for s in sprites]
-    blob_spr = built[-1]
+    # Static scene: tile-normalized batched rasterization into the atlas,
+    # then ONE Pallas dispatch composites the 1080p frame.
+    pw = ((W + TILE_W - 1) // TILE_W) * TILE_W
+    ph = ((H + TILE_H - 1) // TILE_H) * TILE_H
+    ts = TiledScene(pw, ph)
+    keyed = [(i, o) for i, o in enumerate(objs)]
+    build_tiled_scene(ts, keyed)
+    bg_packed = pack_rgba(
+        jnp.broadcast_to(
+            jnp.asarray(C.rgba_of_colour(C.white), jnp.int32), (ph, pw, 4)
+        ).astype(jnp.int32)
+    )
+    starts, idxs = ts.build_lists([i for i, _ in keyed])
+    frame_packed = ts.render(bg_packed, starts, idxs)
 
     fb = FrameBuffer(W, H, C.white)
-    # Initial full render: composite bottom-up in chunks (right fold).
-    full_box = (1, 1, W, H)
-    chunk = 8
-    for k in range(len(sprites), 0, -chunk):
-        fb.composite(full_box, sprites[max(0, k - chunk) : k])
-    return fb, sprites, boxes, blob_spr
+    fb.rgba = _unpack_crop(frame_packed, h=H, w=W)
+
+    blob_spr = tiled_sprite_of_object(blob, pw, ph)
+    kernel = rconvolve.mkgaussian(BLUR_RADIUS)
+
+    # The blur filter's geometry: an opaque rect band over the blob's path;
+    # its alpha plane is what the general renderer's blend' weights by.
+    from coherence_tpu.scene.fastframe import alpha_plane_of_object
+
+    f_geom = R.Obj(
+        __import__("coherence_tpu.ident", fromlist=["new_ids"]).new_ids(),
+        R.Basic(
+            rfills.plain(C.white),
+            R.rectangle(
+                float(F_BOX[0]),
+                float(F_BOX[1]),
+                float(F_BOX[2] - F_BOX[0] + 1),
+                float(F_BOX[3] - F_BOX[1] + 1),
+            ),
+        ),
+        (),
+        R.OVER,
+    )
+    f_alpha = alpha_plane_of_object(f_geom, W, H, pw, ph)
+
+    # Per-layer static sprites for the window recomposite (assembled from
+    # the atlas just built — one readback, no scalar re-rasterization),
+    # restricted to the band the blob's path can dirty: a FIXED layer list
+    # keeps the per-frame kernel at ONE XLA program for the whole loop.
+    from coherence_tpu.raster.region import box_intersect
+    from coherence_tpu.scene.fastframe import sprites_of_keys
+
+    statics = sprites_of_keys(ts, [i for i, _ in keyed])
+    bx = blob_spr.box
+    reach_x, reach_y = 206 * 7, 206 * 3  # oscillation amplitude + warmup slack
+    pad = 2 * BLUR_RADIUS + 2
+    band = (
+        bx[0] - reach_x - pad,
+        bx[1] - reach_y - pad,
+        bx[2] + reach_x + pad,
+        bx[3] + reach_y + pad,
+    )
+    statics_band = [
+        s for s in statics if s is not None and box_intersect(s.box, band)
+    ]
+    return fb, blob_spr, statics_band, kernel, f_alpha
+
+
+import functools
+
+
+def _unpack_crop(packed, *, h, w):
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("h", "w"))
+    def f(p, *, h, w):
+        from coherence_tpu.raster.pallas_compositor import unpack_rgba
+
+        return unpack_rgba(p)[:h, :w]
+
+    return f(packed, h=h, w=w)
 
 
 def main():
     from coherence_tpu.raster.region import box_union, translate_sprite
 
     t0 = time.time()
-    fb, sprites, boxes, blob_spr = build()
-    fb.rgba.block_until_ready()
-    build_time = time.time() - t0
-
-    # Static scene below the animated sprite, composited once — the device
-    # form of the reference's frame-to-frame coherence (the scene below the
-    # LMO is unchanged between frames, so its raster is reused wholesale).
-    background = fb.snapshot()
-
-    # Animated loop: translate the blob along a diagonal; each frame restores
-    # the dirty window (old ∪ new bounds) from the background and paints the
-    # translated blob over it — ONE fused device dispatch, no syncs.
-    def frame(k, prev_spr):
-        dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
-        cur = translate_sprite(dxy[0], dxy[1], prev_spr)
-        dirty = box_union(prev_spr.box, cur.box)
-        fb.blit_over_background(background, cur, dirty)
-        return cur
-
+    fb, blob_spr, statics_band, kernel, f_alpha = build()
     import jax.numpy as jnp
 
     def force_done():
@@ -122,45 +176,73 @@ def main():
         # a scalar readback of a value that depends on every frame does.
         return int(jnp.sum(fb.rgba[::64, ::64, 3]))
 
-    # Warm up compiles.
+    # Initial frame: paint the blob (exact window recomposite over the
+    # statics — integer `over` is non-associative, so the layer stack folds
+    # front-to-back exactly as render_scene), apply the filter band in full.
+    fb.recomposite(blob_spr.box, [blob_spr] + statics_band, prefilter=False)
+    fb.apply_blur(f_alpha, kernel)
+
+    def frame(k, prev_spr):
+        dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
+        cur = translate_sprite(dxy[0], dxy[1], prev_spr)
+        dirty = box_union(prev_spr.box, cur.box)
+        fb.recomposite_blur(
+            dirty, [cur] + statics_band, f_alpha, kernel, prefilter=False
+        )
+        return cur
+
+    def frame_plain(k, prev_spr):
+        dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
+        cur = translate_sprite(dxy[0], dxy[1], prev_spr)
+        dirty = box_union(prev_spr.box, cur.box)
+        fb.recomposite(dirty, [cur] + statics_band, prefilter=False)
+        return cur
+
+    # Warm up both loop kernels (the only per-frame programs).
     spr = blob_spr
     for k in range(3):
         spr = frame(k, spr)
+    spr_p = frame_plain(3, spr)
     force_done()
+    build_time = time.time() - t0
 
     # Readback-overhead baseline (amortized out of the frame loop).
     t0 = time.time()
     force_done()
     readback_s = time.time() - t0
 
-    # Median of 5 timed loops: the tunnel's dispatch-latency jitter over a
-    # ~0.2s window is large, so a single loop is noisy by 2x.
-    n_frames = 400
-    results = []
-    spr2 = spr
-    for _rep in range(5):
-        dirty_pix = 0
-        t0 = time.time()
-        for k in range(n_frames):
-            prev_box = spr2.box
-            spr2 = frame(k, spr2)
-            d = box_union(prev_box, spr2.box)
-            dirty_pix += (d[2] - d[0] + 1) * (d[3] - d[1] + 1)
-        force_done()
-        dt = max(1e-9, time.time() - t0 - readback_s)
-        results.append((n_frames / dt, dirty_pix / dt / 1e6))
-    results.sort()
-    fps, mpix_s = results[len(results) // 2]
+    def timed_loop(fn, spr0, n_frames=400, reps=5):
+        """Median fps of `reps` loops (tunnel latency jitter is ~2x)."""
+        results = []
+        spr2 = spr0
+        for _rep in range(reps):
+            dirty_pix = 0
+            t0 = time.time()
+            for k in range(n_frames):
+                prev_box = spr2.box
+                spr2 = fn(k, spr2)
+                d = box_union(prev_box, spr2.box)
+                dirty_pix += (d[2] - d[0] + 1) * (d[3] - d[1] + 1)
+            force_done()
+            dt = max(1e-9, time.time() - t0 - readback_s)
+            results.append((n_frames / dt, dirty_pix / dt / 1e6))
+        results.sort()
+        return results[len(results) // 2]
+
+    fps, mpix_s = timed_loop(frame, spr)
+    fps_plain, _ = timed_loop(frame_plain, spr)
 
     result = {
-        "metric": "lion_1080p_animated_sprite_fps",
+        "metric": "lion_1080p_blurfilter_sprite_fps",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
         "extra": {
+            "plain_sprite_fps": round(fps_plain, 2),
             "dirty_mpix_per_s": round(mpix_s, 1),
             "build_s": round(build_time, 1),
-            "frames": n_frames,
+            "blur_radius": BLUR_RADIUS,
+            "frames": 400,
         },
     }
     print(json.dumps(result))

@@ -125,7 +125,12 @@ def coverage_counts_from_spans_impl(rr, cc, vv, tr0, tc0, rmax, cmax, h, w):
     """
     th, tw = _H * h + _H, _H * w + _H
     r = rr - tr0
-    r = jnp.where(r < rmax, r, -1)  # out-of-extent rows -> dropped
+    # Out-of-window rows (above: r < 0, or beyond the logical extent:
+    # r >= rmax) must be remapped to a LARGE positive index: with
+    # mode="drop" JAX follows numpy semantics and WRAPS negative indices
+    # (r = -1 would scatter into the plane's last row), so spans above a
+    # chunked band's origin would alias into the band as phantom coverage.
+    r = jnp.where((r >= 0) & (r < rmax), r, 1 << 30)
     c = jnp.clip(cc - tc0, 0, jnp.minimum(cmax, tw))
     diff = jnp.zeros((th, tw + 1), jnp.int32).at[r, c].add(vv, mode="drop")
     t_mask = jnp.cumsum(diff, axis=1)[:, :-1] > 0

@@ -47,22 +47,7 @@ def _composite_window_fused(frame, offs, oy, ox, ry0, rx0, h, w, *layers, hb, wb
     rows = jnp.arange(hb)[:, None]
     cols = jnp.arange(wb)[None, :]
     inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
-    acc = jnp.zeros((hb, wb, 4), dtype=jnp.int32)
-    open_mask = inwin
-    for i in range(len(layers) // 2):
-        rgba, mask = layers[2 * i], layers[2 * i + 1]
-        hs, ws = mask.shape
-        iy = jnp.arange(hb) - offs[i, 0]
-        ix = jnp.arange(wb) - offs[i, 1]
-        vy = (iy >= 0) & (iy < hs)
-        vx = (ix >= 0) & (ix < ws)
-        m = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
-        m = m & vy[:, None] & vx[None, :]
-        r = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
-        paint = m & open_mask
-        blended = C.over_rgba(acc, r)
-        acc = jnp.where(paint[..., None], blended, acc)
-        open_mask = open_mask & ~(paint & (acc[..., 3] == 255))
+    acc = _fold_layers(offs, layers, inwin, hb, wb)
     window = jax.lax.dynamic_slice(frame, (oy, ox, 0), (hb, wb, 4))
     out = C.over_rgba(acc, window)
     return jax.lax.dynamic_update_slice(frame, out, (oy, ox, 0))
@@ -137,44 +122,213 @@ class FrameBuffer:
     def read(self) -> np.ndarray:
         return np.asarray(self.rgba)
 
-    def snapshot(self):
-        """Immutable copy of the current contents (e.g. as a static
-        background plane for animated-sprite coherence)."""
-        return self.rgba + 0
-
-    def blit_over_background(self, background, spr: Sprite, dirty: Box):
-        """One-dispatch animated-sprite frame: restore the dirty window from
-        `background` (the composited static scene below the sprite) and paint
-        the sprite over it.  This is the device form of the reference's
-        translated-object fast path (cache.ml TranslatedObject + dirty-region
-        rendering): no re-rasterization, no per-object traffic."""
-        ib = box_intersect(dirty, self.box)
-        if ib is None:
-            return
-        w, h = box_wh(ib)
+    def _window(self, box: Box):
+        """Bucketed device window covering box: (oy, ox, ry0, rx0, h, w, hb, wb)."""
+        w, h = box_wh(box)
         hb, wb = bucket_hw(h, w)
         hb = min(hb, self.height)
         wb = min(wb, self.width)
-        oy = min(ib[1] - 1, self.height - hb)
-        ox = min(ib[0] - 1, self.width - wb)
-        # Sprite offset within the window (window scene origin = (ox+1, oy+1)).
-        dy = spr.box[1] - (oy + 1)
-        dx = spr.box[0] - (ox + 1)
-        self.rgba = _blit_over_bg_kernel(
-            self.rgba, background, spr.rgba, spr.mask, dy, dx, oy, ox, hb=hb, wb=wb
+        oy = min(box[1] - 1, self.height - hb)
+        ox = min(box[0] - 1, self.width - wb)
+        return oy, ox, box[1] - 1 - oy, box[0] - 1 - ox, h, w, hb, wb
+
+    def _layer_pack(
+        self, layers: Sequence[Sprite], win: Box, oy: int, ox: int, prefilter: bool
+    ):
+        """Front-to-back layers meeting `win`, flattened for the kernels.
+        prefilter=False keeps every layer (out-of-window layers contribute
+        nothing in-kernel) so a fixed layer list compiles ONE program for a
+        whole animation loop instead of one per box-overlap combination."""
+        keep = [
+            s
+            for s in layers
+            if s is not None and (not prefilter or box_intersect(s.box, win))
+        ]
+        offs = [(s.box[1] - (oy + 1), s.box[0] - (ox + 1)) for s in keep]
+        flat = []
+        for s in keep:
+            flat.append(s.rgba)
+            flat.append(s.mask)
+        offs_arr = (
+            jnp.asarray(offs, jnp.int32) if offs else jnp.zeros((0, 2), jnp.int32)
+        )
+        return offs_arr, flat
+
+    def recomposite(self, box: Box, layers: Sequence[Sprite], prefilter: bool = True):
+        """Replace the window `box` with the front-to-back fold of `layers`
+        over the background colour — the incremental re-render of a dirty
+        region.  `layers` is the scene's full front-to-back layer list (or
+        any superset of those meeting the box); box filtering happens here.
+
+        Bit-exactness note: integer `over` is NOT associative, so painting a
+        sprite over a pre-composited background snapshot diverges (±1) from
+        the reference's front-to-back fold wherever two translucent layers
+        stack (e.g. a sprite crossing another object's AA fringe).  Hence
+        dirty windows recomposite the layer stack left-to-right exactly as
+        render_scene's caf-over fold (render.ml:1310-1335), in ONE fused
+        dispatch."""
+        ib = box_intersect(box, self.box)
+        if ib is None:
+            return
+        oy, ox, ry0, rx0, h, w, hb, wb = self._window(ib)
+        offs, flat = self._layer_pack(layers, ib, oy, ox, prefilter)
+        self.rgba = _recomposite_window_kernel(
+            self.rgba, offs, self.bg, oy, ox, ry0, rx0, h, w, *flat, hb=hb, wb=wb
+        )
+
+    def apply_blur(self, f_alpha, kernel):
+        """Blend the blur of the current frame into the filter geometry's
+        alpha plane (the blur filter's initial full application;
+        filters.ml:247-261 + the blend' of render.ml:1248-1265)."""
+        self.rgba = _apply_blur_rect_kernel(
+            self.rgba, f_alpha, weights=tuple(kernel.values), total=kernel.total
+        )
+
+    def recomposite_blur(
+        self,
+        dirty: Box,
+        layers: Sequence[Sprite],
+        f_alpha,
+        kernel,
+        prefilter: bool = True,
+    ):
+        """One-dispatch animated frame with a live blur filter: the window
+        (dirty bloated by 2*radius) is recomposited from the scene's layer
+        stack (same exact fold as `recomposite`), the changed part of the
+        filter re-convolved, and the result alpha-blended by the filter
+        geometry's alpha plane — all in a single fused kernel.  f_alpha:
+        (height, width) int32 device plane of the filter geometry's PURE-AA
+        alpha (fastframe.alpha_plane_of_object)."""
+        radius = kernel.radius
+        d = box_intersect(dirty, self.box)
+        if d is None:
+            return
+        d2 = box_intersect(
+            (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
+            self.box,
+        )
+        oy, ox, ry0, rx0, h, w, hb, wb = self._window(d2)
+        offs, flat = self._layer_pack(layers, d2, oy, ox, prefilter)
+        d_box = jnp.asarray(
+            [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], jnp.int32
+        )
+        self.rgba = _recomposite_blur_kernel(
+            self.rgba,
+            offs,
+            self.bg,
+            f_alpha,
+            oy,
+            ox,
+            ry0,
+            rx0,
+            h,
+            w,
+            d_box,
+            *flat,
+            hb=hb,
+            wb=wb,
+            weights=tuple(kernel.values),
+            total=kernel.total,
         )
 
 
+def _fold_layers(offs, layers, inwin, hb, wb):
+    """Front-to-back caf-over fold of the layer pack into an acc plane with
+    early-termination masking (render.ml:1291-1308 semantics), clipped to
+    the logical window."""
+    acc = jnp.zeros((hb, wb, 4), dtype=jnp.int32)
+    open_mask = inwin
+    for i in range(len(layers) // 2):
+        rgba, mask = layers[2 * i], layers[2 * i + 1]
+        hs, ws = mask.shape
+        iy = jnp.arange(hb) - offs[i, 0]
+        ix = jnp.arange(wb) - offs[i, 1]
+        vy = (iy >= 0) & (iy < hs)
+        vx = (ix >= 0) & (ix < ws)
+        m = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
+        m = m & vy[:, None] & vx[None, :]
+        r = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
+        paint = m & open_mask
+        blended = C.over_rgba(acc, r)
+        acc = jnp.where(paint[..., None], blended, acc)
+        open_mask = open_mask & ~(paint & (acc[..., 3] == 255))
+    return acc
+
+
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("hb", "wb"))
-def _blit_over_bg_kernel(frame, background, rgba, mask, dy, dx, oy, ox, *, hb, wb):
-    hs, ws = mask.shape
-    iy = jnp.arange(hb) - dy
-    ix = jnp.arange(wb) - dx
-    vy = (iy >= 0) & (iy < hs)
-    vx = (ix >= 0) & (ix < ws)
-    m = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
-    m = m & vy[:, None] & vx[None, :]
-    r = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
-    bg_win = jax.lax.dynamic_slice(background, (oy, ox, 0), (hb, wb, 4))
-    out = jnp.where(m[..., None], C.over_rgba(r, bg_win), bg_win)
+def _recomposite_window_kernel(frame, offs, bg, oy, ox, ry0, rx0, h, w, *layers, hb, wb):
+    rows = jnp.arange(hb)[:, None]
+    cols = jnp.arange(wb)[None, :]
+    inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
+    acc = _fold_layers(offs, layers, inwin, hb, wb)
+    window = jax.lax.dynamic_slice(frame, (oy, ox, 0), (hb, wb, 4))
+    base = jnp.where(inwin[..., None], jnp.broadcast_to(bg, (hb, wb, 4)), window)
+    out = C.over_rgba(acc, base)
     return jax.lax.dynamic_update_slice(frame, out, (oy, ox, 0))
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("hb", "wb", "weights", "total")
+)
+def _recomposite_blur_kernel(
+    frame, offs, bg, f_alpha, oy, ox, ry0, rx0, h, w, d_box, *layers, hb, wb, weights, total
+):
+    """One-dispatch animated frame WITH a live blur filter: recomposite the
+    window content from the layer stack (exact front-to-back fold over the
+    background colour), run the exact separable integer convolution (the
+    XYKernel semantics of convolve.ml:115-158 via convolve._conv1d_exact/
+    _setcanvas_xy), and blend by the filter geometry's alpha plane exactly
+    as the general renderer's blend' (render.ml:1248-1265): out =
+    dissolve(scene, 255-a) + dissolve(blurred, a) — so the filter's
+    antialiased border matches the filter-recursion path bit for bit.
+
+    f_alpha: (H, W) int32 full-frame alpha plane of the filter geometry.
+    d_box: (4,) int32 dirty rect in WINDOW coordinates (row0, col0, row1,
+    col1 inclusive).  The window must be the dirty box bloated by 2*radius
+    (clamped to the frame): blended writes go to bloat(dirty, r) ∩
+    (alpha > 0) ∪ dirty, whose convolution support stays inside the
+    logical window (where content is true recomposited scene), so neither
+    SAME-zero padding nor the stale bucket-padding ring ever leaks into
+    written pixels (and AT frame borders zero padding equals the
+    reference's clear-canvas border, convolve.ml:239-258)."""
+    from .convolve import _conv1d_exact, _setcanvas_xy
+
+    rows = jnp.arange(hb)[:, None]
+    cols = jnp.arange(wb)[None, :]
+    inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
+    acc = _fold_layers(offs, layers, inwin, hb, wb)
+    frame_win = jax.lax.dynamic_slice(frame, (oy, ox, 0), (hb, wb, 4))
+    base = jnp.where(inwin[..., None], jnp.broadcast_to(bg, (hb, wb, 4)), frame_win)
+    content = C.over_rgba(acc, base)
+
+    cx = _setcanvas_xy(_conv1d_exact(content, weights=weights, axis=1), total)
+    cy = _setcanvas_xy(_conv1d_exact(cx, weights=weights, axis=0), total)
+
+    radius = len(weights) // 2
+
+    def rect(b0, b1, b2, b3):
+        return (rows >= b0) & (rows <= b2) & (cols >= b1) & (cols <= b3)
+
+    fa = jax.lax.dynamic_slice(f_alpha, (oy, ox), (hb, wb))
+    in_d = rect(d_box[0], d_box[1], d_box[2], d_box[3])
+    in_blur = rect(
+        d_box[0] - radius, d_box[1] - radius, d_box[2] + radius, d_box[3] + radius
+    )
+    changed = (in_d | (in_blur & (fa > 0))) & inwin
+    blended = C.dissolve_rgba(content, 255 - fa) + C.dissolve_rgba(cy, fa)
+    out = jnp.where(changed[..., None], blended, frame_win)
+    return jax.lax.dynamic_update_slice(frame, out, (oy, ox, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("weights", "total"))
+def _apply_blur_rect_kernel(frame, f_alpha, *, weights, total):
+    """Full-frame pass: blend the blur of the frame into the filter
+    geometry's alpha plane (used once after the initial composite; frames
+    thereafter maintain it incrementally via _recomposite_blur_kernel)."""
+    from .convolve import _conv1d_exact, _setcanvas_xy
+
+    cx = _setcanvas_xy(_conv1d_exact(frame, weights=weights, axis=1), total)
+    cy = _setcanvas_xy(_conv1d_exact(cx, weights=weights, axis=0), total)
+    fa = f_alpha[..., None]
+    blended = C.dissolve_rgba(frame, 255 - f_alpha) + C.dissolve_rgba(cy, f_alpha)
+    return jnp.where(fa > 0, blended, frame)

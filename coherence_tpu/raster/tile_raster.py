@@ -1,0 +1,365 @@
+"""Tile-normalized batched rasterizer: objects -> fixed-size atlas pieces.
+
+The bucketed per-object build (scene/fastframe._build_group_kernel) compiles
+one XLA program per (box bucket, span-capacity) group — ~32 distinct
+programs for the lion scene, each costing ~1 s of first-dispatch latency on
+a remote TPU transport.  This module replaces it for the tiled-scene path
+with a shape-NORMALIZED design: every object is rasterized directly into
+frame-aligned TILE_H x TILE_W pieces (the unit of raster/tiled_scene's
+atlas), so the whole scene builds with a handful of programs total:
+
+  * the host scanline sweep runs once per object (exact integer spans, the
+    same sweeps the general renderer uses: scanline._edge_spans at 1x and
+    16x — parity with polygon.ml:520-528 and polygon.ml:673-705);
+  * spans are assigned to the tiles they overlap (vectorized numpy; AA
+    spans go only to tiles that have fringe pixels — interior tiles need no
+    Gaussian table work at all, polygon.ml:707-746 only evaluates coverage
+    on the non-interior spans);
+  * per (object, tile) work items batch by a small number of span-capacity
+    classes; ONE jitted kernel per class rasterizes every item: scatter the
+    difference triples, cumsum to masks, Gaussian-matte AA via the stride-16
+    table matmul (raster/aa), colour, and pack.
+
+Pixel values are bit-identical to full_sprite_of_object: same span lists,
+same table sums, same integer dissolve (tests/test_tile_raster.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import colour as C
+from . import aa as raa
+from .pallas_compositor import TILE_H, TILE_W, pack_rgba
+
+_H = raa._H  # 16
+_TTH = _H * TILE_H + _H  # scaled t-plane rows per tile (1040)
+_TTW = _H * TILE_W + _H  # scaled t-plane cols per tile (2064)
+_PAD_ROW = -(1 << 30)
+
+# Span-capacity classes: (K1 for each 1x family, KA for the 16x AA family).
+# K1 grows by 4x per class, KA likewise; items pick the smallest fit.  The
+# number of distinct XLA programs is bounded by len(_CLASSES) x len(N
+# buckets), independent of scene content.
+_CLASSES = [(256, 4096), (1024, 16384), (4096, 65536)]
+# Interior pieces (no AA fringe in the tile) carry only crossing spans.
+_K_INTERIOR = 256
+
+
+def _scatter_mask(rr, cc, vv, h: int, w: int):
+    """bool (h, w) mask from difference triples.  Padding rows use
+    _PAD_ROW = -2^30, which is outside [-h, h) and therefore dropped by
+    mode="drop" (small negatives would WRAP — callers must pre-filter)."""
+    diff = jnp.zeros((h, w + 1), jnp.int32).at[rr, cc].add(vv, mode="drop")
+    return jnp.cumsum(diff, axis=1)[:, :-1] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _edge_tile_kernel(cov, cross, aasp, fills, *, n: int):
+    """Rasterize n edge-tile pieces: (n, 3, K1) cov/cross triples, (n, 3,
+    KA) AA triples (all tile-relative), (n, 4) plain premultiplied fills.
+    Returns (n, TILE_H, TILE_W) packed u32 pieces."""
+
+    def one(args):
+        cov1, cross1, aa1, f4 = args
+        covm = _scatter_mask(cov1[0], cov1[1], cov1[2], TILE_H, TILE_W)
+        crossm = _scatter_mask(cross1[0], cross1[1], cross1[2], TILE_H, TILE_W)
+        mmask = crossm & ~covm  # interior (minshape rule, polygon.ml:520-528)
+        fringe = covm  # shape - minshape == coverage spans
+        tmask = _scatter_mask(aa1[0], aa1[1], aa1[2], _TTH, _TTW)
+        opacity = raa._coverage_counts(tmask, h=TILE_H, w=TILE_W)
+        colour = f4[None, None, :]
+        dissolved = C.dissolve_rgba(colour, opacity)
+        rgba = jnp.where(
+            mmask[..., None], colour, jnp.where(fringe[..., None], dissolved, 0)
+        )
+        return pack_rgba(rgba)
+
+    return lax.map(one, (cov, cross, aasp, fills))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _interior_tile_kernel(cross, fills, *, n: int):
+    """Rasterize n interior pieces (no fringe in the tile): colour where the
+    crossing mask covers.  (n, 3, K) triples, (n, 4) fills."""
+
+    def one(args):
+        cross1, f4 = args
+        crossm = _scatter_mask(cross1[0], cross1[1], cross1[2], TILE_H, TILE_W)
+        return pack_rgba(jnp.where(crossm[..., None], f4[None, None, :], 0))
+
+    return lax.map(one, (cross, fills))
+
+
+def _n_bucket(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _expand_1x(rows, ss, ee, nty: int, ntx: int):
+    """Assign 1x pixel spans (absolute 1-based coords) to the tiles they
+    overlap.  Returns (tile, r_rel, s_rel, e_rel) int64 arrays, one entry
+    per (span, overlapped tile)."""
+    rows = np.asarray(rows, np.int64)
+    ss = np.asarray(ss, np.int64)
+    ee = np.asarray(ee, np.int64)
+    band = (rows - 1) // TILE_H
+    tx_lo = np.maximum((ss - 1) // TILE_W, 0)
+    tx_hi = np.minimum((ee - 1) // TILE_W, ntx - 1)
+    keep = (band >= 0) & (band < nty) & (tx_hi >= tx_lo) & (ee >= 1)
+    rows, ss, ee = rows[keep], ss[keep], ee[keep]
+    band, tx_lo, tx_hi = band[keep], tx_lo[keep], tx_hi[keep]
+    if rows.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    counts = tx_hi - tx_lo + 1
+    idx = np.repeat(np.arange(rows.shape[0]), counts)
+    within = np.arange(int(counts.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    tx = tx_lo[idx] + within
+    col0 = tx * TILE_W + 1  # first 1-based pixel column of the tile
+    r_rel = rows[idx] - (band[idx] * TILE_H + 1)
+    s_rel = np.maximum(ss[idx] - col0, 0)
+    e_rel = np.minimum(ee[idx] - col0, TILE_W - 1)
+    return band[idx] * ntx + tx, r_rel, s_rel, e_rel
+
+
+def _expand_aa(rows, ss, ee, nty: int, ntx: int, edge_tiles: np.ndarray):
+    """Assign 16x scaled spans to the edge tiles whose t-plane windows they
+    overlap (window rows [1024*ty-16, 1024*ty+1024), cols [2048*tx-16,
+    2048*tx+2048) for TILE 64x128 at scale 16).  edge_tiles: bool
+    (nty*ntx,) — only pieces with fringe pixels need AA spans.  Returns
+    (tile, r_rel, s_rel, e_rel)."""
+    rows = np.asarray(rows, np.int64)
+    ss = np.asarray(ss, np.int64)
+    ee = np.asarray(ee, np.int64)
+    hstep = _H * TILE_H  # 1024
+    wstep = _H * TILE_W  # 2048
+    # Row band candidates: ty with hstep*ty - _H <= r <= hstep*ty + hstep - 1.
+    outs = []
+    for cand in (0, 1):
+        ty = (rows + _H) // hstep - cand
+        rowok = (
+            (ty >= 0)
+            & (ty < nty)
+            & (hstep * ty - _H <= rows)
+            & (rows <= hstep * ty + hstep - 1)
+        )
+        r, s, e, t = rows[rowok], ss[rowok], ee[rowok], ty[rowok]
+        # Column tiles: tx with wstep*tx - _H <= e and s <= wstep*tx + wstep - 1.
+        tx_lo = np.maximum(-(-(s - (wstep - 1)) // wstep), 0)  # ceil
+        tx_hi = np.minimum((e + _H) // wstep, ntx - 1)
+        keep = tx_hi >= tx_lo
+        r, s, e, t = r[keep], s[keep], e[keep], t[keep]
+        tx_lo, tx_hi = tx_lo[keep], tx_hi[keep]
+        if r.size == 0:
+            z = np.zeros(0, np.int64)
+            outs.append((z, z, z, z))
+            continue
+        counts = tx_hi - tx_lo + 1
+        idx = np.repeat(np.arange(r.shape[0]), counts)
+        within = np.arange(int(counts.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        tx = tx_lo[idx] + within
+        tile = t[idx] * ntx + tx
+        keep2 = edge_tiles[tile]
+        idx, tx, tile = idx[keep2], tx[keep2], tile[keep2]
+        tr0 = hstep * t[idx] - _H
+        tc0 = wstep * tx - _H
+        r_rel = r[idx] - tr0
+        s_rel = np.clip(s[idx] - tc0, 0, _TTW - 1)
+        e_rel = np.clip(e[idx] - tc0, 0, _TTW - 1)
+        outs.append((tile, r_rel, s_rel, e_rel))
+    return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+
+def _group_slices(tiles: np.ndarray):
+    """Sort entry arrays by tile id; yield (tile, lo, hi) per group."""
+    if tiles.size == 0:
+        return np.zeros(0, np.int64), []
+    order = np.argsort(tiles, kind="stable")
+    sorted_tiles = tiles[order]
+    bounds = np.flatnonzero(np.diff(sorted_tiles)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [sorted_tiles.shape[0]]])
+    return order, [
+        (int(sorted_tiles[s]), s, e) for s, e in zip(starts, ends)
+    ]
+
+
+def _triples(r, s, e, k: int):
+    """(3, k) int32 difference-scatter triples from relative spans."""
+    n = r.shape[0]
+    out = np.zeros((3, k), np.int32)
+    out[0, :] = _PAD_ROW
+    out[0, :n] = r
+    out[0, n : 2 * n] = r
+    out[1, :n] = s
+    out[1, n : 2 * n] = e + 1
+    out[2, :n] = 1
+    out[2, n : 2 * n] = -1
+    return out
+
+
+class TileBuild:
+    """Accumulated batched work items, flushed with one kernel per class."""
+
+    def __init__(self, nty: int, ntx: int):
+        self.nty, self.ntx = nty, ntx
+        # class id -> list of (owner_key, tile, cov, cross, aa, fill)
+        self.edge_items: Dict[int, list] = {}
+        # list of (owner_key, tile, cross, fill)
+        self.interior_items: list = []
+        # owner_key -> list of tiles (for registry building after flush)
+        self.unsupported: List[object] = []
+
+    def add_object(self, key, edges, shape_winding, aa_winding, fill4) -> bool:
+        """Sweep + assign one object's spans to tile work items.  Returns
+        False if the object exceeds every capacity class (caller falls back
+        to the scalar path)."""
+        from . import scanline
+        from .scanline import _HALF
+
+        e64 = np.asarray(edges, dtype=np.int64)
+        spans = scanline._edge_spans(e64, shape_winding, _HALF)
+        if spans is None:
+            return True  # empty object: no pieces
+        rows, cov_s, cov_e, x_rows, x_s, x_e = spans
+        if rows.size == 0 and x_rows.size == 0:
+            return True
+
+        cov_tile, cov_r, cov_ss, cov_ee = _expand_1x(
+            rows, cov_s, cov_e, self.nty, self.ntx
+        )
+        x_tile, x_r, x_ss, x_ee = _expand_1x(
+            x_rows, x_s, x_e, self.nty, self.ntx
+        )
+        n_tiles = self.nty * self.ntx
+        edge_tiles = np.zeros(n_tiles, dtype=bool)
+        edge_tiles[cov_tile] = True
+
+        aa = scanline.scaled_spans_of_edgelist(e64, aa_winding, _H)
+        if aa is not None and edge_tiles.any():
+            a_tile, a_r, a_ss, a_ee = _expand_aa(
+                aa[0], aa[1], aa[2], self.nty, self.ntx, edge_tiles
+            )
+        else:
+            a_tile = np.zeros(0, np.int64)
+            a_r = a_ss = a_ee = a_tile
+
+        # Per-tile grouping for each family.
+        def grouped(tiles, r, s, e):
+            order, slices = _group_slices(tiles)
+            rs, ss_, es = r[order], s[order], e[order]
+            return {t: (rs[lo:hi], ss_[lo:hi], es[lo:hi]) for t, lo, hi in slices}
+
+        covg = grouped(cov_tile, cov_r, cov_ss, cov_ee)
+        crossg = grouped(x_tile, x_r, x_ss, x_ee)
+        aag = grouped(a_tile, a_r, a_ss, a_ee)
+
+        # Validate capacities up front so a too-complex object falls back
+        # atomically (no partial piece sets).
+        staged_edge = []
+        staged_interior = []
+        for t in sorted(set(covg) | set(crossg)):
+            cov1 = covg.get(t)
+            cross1 = crossg.get(t, (np.zeros(0, np.int64),) * 3)
+            if cov1 is None:
+                if 2 * cross1[0].shape[0] > _K_INTERIOR:
+                    return False
+                staged_interior.append((key, t, _triples(*cross1, _K_INTERIOR)))
+                continue
+            aa1 = aag.get(t, (np.zeros(0, np.int64),) * 3)
+            need1 = 2 * max(cov1[0].shape[0], cross1[0].shape[0])
+            needa = 2 * aa1[0].shape[0]
+            cls = None
+            for ci, (k1, ka) in enumerate(_CLASSES):
+                if need1 <= k1 and needa <= ka:
+                    cls = ci
+                    break
+            if cls is None:
+                return False
+            k1, ka = _CLASSES[cls]
+            staged_edge.append(
+                (
+                    cls,
+                    (
+                        key,
+                        t,
+                        _triples(*cov1, k1),
+                        _triples(*cross1, k1),
+                        _triples(*aa1, ka),
+                    ),
+                )
+            )
+        for cls, item in staged_edge:
+            self.edge_items.setdefault(cls, []).append(item + (fill4,))
+        for item in staged_interior:
+            self.interior_items.append(item + (fill4,))
+        return True
+
+    def flush(self):
+        """Run the batched kernels.  Returns (blocks, registry): blocks is a
+        list of (n, TILE_H, TILE_W) u32 device arrays; registry maps
+        owner_key -> list of (tile, block_id, slot)."""
+        blocks = []
+        registry: Dict[object, List[Tuple[int, int, int]]] = {}
+
+        def reg(key, tile, block_id, slot):
+            registry.setdefault(key, []).append((tile, block_id, slot))
+
+        for cls in sorted(self.edge_items):
+            items = self.edge_items[cls]
+            k1, ka = _CLASSES[cls]
+            nb = _n_bucket(len(items))
+            pad = nb - len(items)
+            zero1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
+            zeroa = _triples(np.zeros(0, np.int64), 0, 0, ka)
+            cov = np.stack([it[2] for it in items] + [zero1] * pad)
+            cross = np.stack([it[3] for it in items] + [zero1] * pad)
+            aasp = np.stack([it[4] for it in items] + [zeroa] * pad)
+            fills = np.stack(
+                [np.asarray(it[5], np.int32) for it in items]
+                + [np.zeros(4, np.int32)] * pad
+            )
+            block_id = len(blocks)
+            blocks.append(
+                _edge_tile_kernel(
+                    jnp.asarray(cov),
+                    jnp.asarray(cross),
+                    jnp.asarray(aasp),
+                    jnp.asarray(fills),
+                    n=nb,
+                )
+            )
+            for slot, it in enumerate(items):
+                reg(it[0], it[1], block_id, slot)
+
+        if self.interior_items:
+            items = self.interior_items
+            nb = _n_bucket(len(items))
+            pad = nb - len(items)
+            zero1 = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
+            cross = np.stack([it[2] for it in items] + [zero1] * pad)
+            fills = np.stack(
+                [np.asarray(it[3], np.int32) for it in items]
+                + [np.zeros(4, np.int32)] * pad
+            )
+            block_id = len(blocks)
+            blocks.append(
+                _interior_tile_kernel(jnp.asarray(cross), jnp.asarray(fills), n=nb)
+            )
+            for slot, it in enumerate(items):
+                reg(it[0], it[1], block_id, slot)
+
+        return blocks, registry

@@ -341,6 +341,22 @@ class TiledScene:
             self.pieces[key] = entries
         self._atlas = None
 
+    def add_rastered(self, registry, blocks) -> None:
+        """Ingest pieces produced by the tile-normalized batched rasterizer
+        (raster/tile_raster): `blocks` is a list of (n, TILE_H, TILE_W) u32
+        device arrays, `registry` maps key -> [(tile, block_id, slot)]."""
+        base = []
+        for blk in blocks:
+            base.append(self._n_pieces)
+            self._chunks.append(blk)
+            self._n_pieces += int(blk.shape[0])
+        for key, pieces in registry.items():
+            self.pieces[key] = [
+                (tile, base[b] + slot) for tile, b, slot in pieces
+            ]
+        if blocks:
+            self._atlas = None
+
     def atlas(self) -> jnp.ndarray:
         if self._atlas is None:
             if len(self._chunks) > 1:

@@ -113,7 +113,9 @@ def _build_group_kernel(cov, cross, aaspans, geo, fills, *, hb, wb, B):
 
         def mask1x(rr, cc, vv):
             r = rr - y0
-            r = jnp.where(r < h, r, -1)  # beyond logical rows -> dropped
+            # Out-of-extent rows remap to a LARGE positive index: with
+            # mode="drop" a -1 would WRAP to the last row (numpy semantics).
+            r = jnp.where((r >= 0) & (r < h), r, 1 << 30)
             c = jnp.clip(cc - x0, 0, w)
             diff = jnp.zeros((hb, wb + 1), jnp.int32).at[r, c].add(vv, mode="drop")
             return jnp.cumsum(diff, axis=1)[:, :-1] > 0
@@ -272,6 +274,156 @@ def full_sprites_of_objects(objs) -> List[object]:
     return out
 
 
+def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
+    """Batched scene ingestion into a TiledScene via the tile-normalized
+    rasterizer (raster/tile_raster): ONE jitted kernel per span-capacity
+    class rasterizes every supported object's pieces directly at atlas tile
+    granularity — a handful of XLA programs for the whole scene instead of
+    one per (box bucket, span capacity) group.  Unsupported or too-complex
+    objects fall back to the scalar pipeline + shatter.
+
+    keyed_objs: [(key, R.Obj)] front-to-back or any order (piece lists are
+    per-key; compositing order comes from the caller's order list)."""
+    from ..raster.tile_raster import TileBuild
+
+    tb = TileBuild(ts.nty, ts.ntx)
+    fallback = []
+    handled = []
+    for key, o in keyed_objs:
+        ext = _batch_extract(o)
+        if ext is None or not tb.add_object(key, *ext):
+            fallback.append((key, o))
+        else:
+            handled.append(key)
+    blocks, registry = tb.flush()
+    ts.add_rastered(registry, blocks)
+    for key in handled:
+        ts.pieces.setdefault(key, [])  # swept-empty objects have no pieces
+    for key, o in fallback:
+        spr = full_sprite_of_object(o)
+        if spr is not None:
+            ts.add_object(key, spr)
+        else:
+            ts.pieces[key] = []
+
+
+def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
+    """One object's Sprite assembled from tile-kernel pieces — the cheap
+    path when the tile-class programs are already compiled (e.g. the scene
+    was just built with build_tiled_scene): reuses them instead of paying
+    the scalar pipeline's per-bucket program zoo.
+
+    The mask is (alpha > 0): pixels the scalar path keeps in the mask at
+    opacity 0 drop out, which is bit-neutral under `over` (prelerp with a
+    clear source is the identity).  Frame-grid aligned: `width`/`height`
+    must be tile multiples; parts outside fall away (content is clipped to
+    the grid like TiledScene.add_object)."""
+    from ..raster.pallas_compositor import TILE_H, TILE_W, unpack_rgba
+    from ..raster.tile_raster import TileBuild
+
+    nty, ntx = height // TILE_H, width // TILE_W
+    ext = _batch_extract(o)
+    if ext is None:
+        return full_sprite_of_object(o)
+    tb = TileBuild(nty, ntx)
+    if not tb.add_object("k", *ext):
+        return full_sprite_of_object(o)
+    blocks, registry = tb.flush()
+    pieces = registry.get("k", [])
+    if not pieces:
+        return None
+    tys = [t // ntx for t, _, _ in pieces]
+    txs = [t % ntx for t, _, _ in pieces]
+    ty0, tx0 = min(tys), min(txs)
+    th, tw = max(tys) - ty0 + 1, max(txs) - tx0 + 1
+    packed = jnp.zeros((th * TILE_H, tw * TILE_W), jnp.uint32)
+    for t, b, s in pieces:
+        ty, tx = t // ntx - ty0, t % ntx - tx0
+        packed = jax.lax.dynamic_update_slice(
+            packed, blocks[b][s], (ty * TILE_H, tx * TILE_W)
+        )
+    rgba = unpack_rgba(packed)
+    mask = rgba[..., 3] > 0
+    box = (
+        tx0 * TILE_W + 1,
+        ty0 * TILE_H + 1,
+        (tx0 + tw) * TILE_W,
+        (ty0 + th) * TILE_H,
+    )
+    return region.Sprite(box, mask, rgba)
+
+
+def sprites_of_keys(ts: TiledScene, keys):
+    """Materialize per-object Sprites from a built TiledScene's atlas pieces
+    — ONE atlas readback + numpy assembly + one device push per object, so
+    a scene built with build_tiled_scene (a handful of XLA programs) also
+    yields the per-layer sprites the framepath window kernels fold, without
+    re-paying the scalar pipeline's per-bucket program zoo.
+
+    Boxes are tile-aligned; mask is (alpha > 0), which is bit-neutral under
+    `over` (premultiplied clear pixels are the identity source)."""
+    from ..raster.pallas_compositor import TILE_H, TILE_W
+
+    atlas = np.asarray(ts.atlas())  # (n, TILE_H, TILE_W) uint32
+    out = []
+    for key in keys:
+        pieces = ts.pieces.get(key)
+        if not pieces:
+            out.append(None)
+            continue
+        tys = [t // ts.ntx for t, _ in pieces]
+        txs = [t % ts.ntx for t, _ in pieces]
+        ty0, tx0 = min(tys), min(txs)
+        th, tw = max(tys) - ty0 + 1, max(txs) - tx0 + 1
+        packed = np.zeros((th * TILE_H, tw * TILE_W), np.uint32)
+        for t, e in pieces:
+            ty, tx = t // ts.ntx - ty0, t % ts.ntx - tx0
+            packed[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W] = atlas[e]
+        rgba = np.stack(
+            [packed & 0xFF, (packed >> 8) & 0xFF, (packed >> 16) & 0xFF, packed >> 24],
+            axis=-1,
+        ).astype(np.int32)
+        mask = rgba[..., 3] > 0
+        box = (
+            tx0 * TILE_W + 1,
+            ty0 * TILE_H + 1,
+            (tx0 + tw) * TILE_W,
+            (ty0 + th) * TILE_H,
+        )
+        out.append(region.Sprite(box, jnp.asarray(mask), jnp.asarray(rgba)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _paste_alpha(alpha_src, dy, dx, *, H, W):
+    hs, ws = alpha_src.shape
+    iy = jnp.arange(H) - dy
+    ix = jnp.arange(W) - dx
+    vy = (iy >= 0) & (iy < hs)
+    vx = (ix >= 0) & (ix < ws)
+    g = alpha_src[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
+    return jnp.where(vy[:, None] & vx[None, :], g, 0)
+
+
+def alpha_plane_of_object(o: R.Obj, width: int, height: int, pad_w: int = 0, pad_h: int = 0):
+    """(height, width) int32 alpha plane of an object's raster — the filter
+    geometry alpha that blend' weights by (render.ml:1248-1265).
+
+    Must match the general renderer's `sprite_of_basicshape` (render.ml:1097)
+    BIT-EXACTLY, which rasterizes pure AA coverage with NO minshape shortcut:
+    geometrically-interior pixels within the Gaussian softness bleed of an
+    edge get alpha < 255 (e.g. 240 one pixel inside an axis-aligned edge).
+    The tile/batched fast paths use the minshape split (interior = flat 255),
+    so they are wrong here by design — this is a once-per-filter setup cost,
+    not a per-frame one, so the general path's dispatch cost is fine."""
+    shp = R.shapeonly_of_basicshape(o)
+    spr = R.sprite_of_basicshape(o, shp, [o])
+    if spr is None or region.is_null_sprite(spr):
+        return jnp.zeros((height, width), jnp.int32)
+    alpha = jnp.where(spr.mask, spr.rgba[..., 3], 0)
+    return _paste_alpha(alpha, spr.box[1] - 1, spr.box[0] - 1, H=height, W=width)
+
+
 class DeviceView:
     """A window-sized packed framebuffer + tiled scene with dirty tracking."""
 
@@ -296,9 +448,23 @@ class DeviceView:
     def _tiles_of(self, key) -> Set[int]:
         return {tile for tile, _ in self.ts.pieces.get(key, ())}
 
-    def set_scene(self, scene: List[R.Obj]):
-        """(Re)build from a scene list (front-to-back), batch-rasterized."""
+    def set_scene(self, scene: List[R.Obj], tiled: bool = False):
+        """(Re)build from a scene list (front-to-back), batch-rasterized.
+
+        tiled=True uses the tile-normalized rasterizer (a handful of XLA
+        programs for the whole scene — the fast cold start); it does not
+        materialize per-object Sprites, so translate_object on such objects
+        re-rasterizes via replace_object instead of shifting a cached
+        raster."""
         self.order = []
+        if tiled:
+            keyed = [(o.idset, o) for o in scene]
+            build_tiled_scene(self.ts, keyed)
+            for o in scene:
+                self.sprites[o.idset] = None
+                self.order.append(o.idset)
+                self.dirty |= self._tiles_of(o.idset)
+            return
         sprites = full_sprites_of_objects(list(scene))
         for o, spr in zip(scene, sprites):
             self._install(o, spr, None)

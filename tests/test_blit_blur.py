@@ -1,0 +1,163 @@
+"""The fused blit+blur frame kernel == the general renderer's blur filter.
+
+bench.py's north-star loop (animated sprite + a live blur filter at every
+frame) maintains the frame with ONE fused dispatch per frame
+(framepath._blit_blur_kernel).  These tests pin its semantics to the
+general renderer: a scene [blur-filter, blob, statics..., background]
+rendered through the full HSR + filter-recursion path (render.ml:1080-1131,
+filters.ml:247-261) must match the incremental frames pixel for pixel."""
+
+import numpy as np
+import pytest
+
+import coherence_tpu.colour as C
+from coherence_tpu import ident
+from coherence_tpu.geometry import shapes as gshapes
+from coherence_tpu.raster import convolve as rconvolve
+from coherence_tpu.raster import fills as rfills
+from coherence_tpu.raster import region
+from coherence_tpu.raster.framepath import FrameBuffer
+from coherence_tpu.raster.region import box_union, translate_sprite
+from coherence_tpu.scene import cache, filters as F, render as R
+from coherence_tpu.scene.fastframe import alpha_plane_of_object, full_sprite_of_object
+
+
+def _f_alpha(kernel):
+    """The filter geometry's alpha plane (what blend' weights by)."""
+    geom_obj = R.Obj(ident.new_ids(), _filter_obj(kernel).geometry.filter.geometry, (), R.OVER)
+    return alpha_plane_of_object(geom_obj, W, H, 256, 128)
+
+
+@pytest.fixture(autouse=True)
+def clear_cache():
+    cache.clear()
+    yield
+    cache.clear()
+
+
+W, H = 160, 120
+RADIUS = 2
+F_BOX = (30, 20, 130, 100)  # filter rect, >= 2*radius inside the frame
+
+
+def rect_obj(colour, x, y, w, h):
+    return R.Obj(
+        ident.new_ids(),
+        R.Basic(rfills.plain(colour), R.rectangle(float(x), float(y), float(w), float(h))),
+        (),
+        R.OVER,
+    )
+
+
+def _blob_at(cx, cy):
+    return R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(C.crimson, delta=170)),
+            R.PathShape(gshapes.circle(float(cx), float(cy), 9.0)),
+        ),
+        (),
+        R.OVER,
+    )
+
+
+def _statics():
+    return [
+        rect_obj(C.dissolve(C.steelblue, delta=200), 50, 35, 40, 30),
+        R.Obj(
+            ident.new_ids(),
+            R.Basic(rfills.plain(C.darkgreen), R.PathShape(gshapes.circle(100.0, 70.0, 18.0))),
+            (),
+            R.OVER,
+        ),
+        rect_obj(C.white, 1, 1, W, H),  # opaque background
+    ]
+
+
+def _filter_obj(kernel):
+    geom = R.Basic(
+        rfills.plain(C.white),
+        R.rectangle(
+            float(F_BOX[0]),
+            float(F_BOX[1]),
+            float(F_BOX[2] - F_BOX[0] + 1),
+            float(F_BOX[3] - F_BOX[1] + 1),
+        ),
+    )
+    return R.Obj(ident.new_ids(), F.blur(geom, kernel), (), R.OVER)
+
+
+def _general_frame(kernel, blob):
+    import jax.numpy as jnp
+
+    scene = [_filter_obj(kernel), blob] + _statics()
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, W, H)))
+    top = np.zeros((H, W, 4), np.int32)
+    x0, y0, x1, y1 = spr.box
+    m = np.asarray(spr.mask)
+    r4 = np.asarray(spr.rgba)
+    for rr in range(max(1, y0), min(H, y1) + 1):
+        for cc in range(max(1, x0), min(W, x1) + 1):
+            if m[rr - y0, cc - x0]:
+                top[rr - 1, cc - 1] = r4[rr - y0, cc - x0]
+    # Over the white backdrop the FrameBuffer starts from.
+    white = np.full((H, W, 4), 255, np.int32)
+    return np.asarray(C.over_rgba(jnp.asarray(top), jnp.asarray(white)))
+
+
+def test_blit_blur_matches_general_renderer():
+    kernel = rconvolve.mkgaussian(RADIUS)
+
+    # Fast path: one full-frame composite with the blob, then the loop.
+    fb = FrameBuffer(W, H, C.white)
+    statics_spr = [s for s in (full_sprite_of_object(o) for o in _statics()) if s]
+
+    f_alpha = _f_alpha(kernel)
+    positions = [(40, 50), (47, 53), (54, 56), (61, 59)]
+    blob0 = full_sprite_of_object(_blob_at(*positions[0]))
+
+    # Initial frame: composite the whole stack, then apply the filter fully.
+    fb.composite((1, 1, W, H), [blob0] + statics_spr)
+    fb.apply_blur(f_alpha, kernel)
+    got = fb.read()
+    want = _general_frame(kernel, _blob_at(*positions[0]))
+    assert (got == want).all(), "initial frame mismatch"
+
+    spr = blob0
+    for k, (cx, cy) in enumerate(positions[1:], start=1):
+        dxy = (positions[k][0] - positions[k - 1][0], positions[k][1] - positions[k - 1][1])
+        prev_box = spr.box
+        spr = translate_sprite(dxy[0], dxy[1], spr)
+        dirty = box_union(prev_box, spr.box)
+        fb.recomposite_blur(dirty, [spr] + statics_spr, f_alpha, kernel)
+        got = fb.read()
+        cache.clear()
+        want = _general_frame(kernel, _blob_at(cx, cy))
+        assert (got == want).all(), f"frame {k} mismatch"
+
+
+def test_blit_blur_dirty_crossing_filter_edge():
+    """Dirty boxes straddling the filter rect's border must update both the
+    blurred interior and the plain exterior correctly."""
+    kernel = rconvolve.mkgaussian(RADIUS)
+    fb = FrameBuffer(W, H, C.white)
+    statics_spr = [s for s in (full_sprite_of_object(o) for o in _statics()) if s]
+
+    # Start outside the filter rect, step across its left edge.
+    f_alpha = _f_alpha(kernel)
+    positions = [(18, 60), (26, 61), (34, 62)]
+    blob0 = full_sprite_of_object(_blob_at(*positions[0]))
+    fb.composite((1, 1, W, H), [blob0] + statics_spr)
+    fb.apply_blur(f_alpha, kernel)
+    spr = blob0
+    for k in range(1, len(positions)):
+        dxy = (positions[k][0] - positions[k - 1][0], positions[k][1] - positions[k - 1][1])
+        prev_box = spr.box
+        spr = translate_sprite(dxy[0], dxy[1], spr)
+        fb.recomposite_blur(
+            box_union(prev_box, spr.box), [spr] + statics_spr, f_alpha, kernel
+        )
+    got = fb.read()
+    cache.clear()
+    want = _general_frame(kernel, _blob_at(*positions[-1]))
+    assert (got == want).all()

@@ -62,18 +62,22 @@ def test_framebuffer_composite_matches_general_renderer():
     assert np.array_equal(got[:h, :w], expect)
 
 
-def test_blit_over_background_matches_composite():
+def test_recomposite_window_matches_full_composite():
+    """Dirty-window recomposite (restore + repaint via the exact layer fold)
+    must equal a from-scratch full-frame composite — including where the
+    translucent blob crosses the base circle's translucent AA fringe, which
+    a blit-over-background-snapshot path gets wrong by ±1 (integer `over`
+    is non-associative)."""
     base = circle_obj(50, 50, 30, C.green)
     blob = circle_obj(30, 30, 12, C.crimson, 170)
     base_spr = full_sprite(base)
     blob_spr = full_sprite(blob)
     fb = FrameBuffer(128, 128, C.white)
-    fb.composite((1, 1, 128, 128), [base_spr])
-    background = fb.snapshot()
-    # Move the blob and blit.
+    fb.composite((1, 1, 128, 128), [blob_spr, base_spr])
+    # Move the blob; recomposite only the dirty window from the layer stack.
     moved = translate_sprite(15, 10, blob_spr)
     dirty = region.box_union(blob_spr.box, moved.box)
-    fb.blit_over_background(background, moved, dirty)
+    fb.recomposite(dirty, [moved, base_spr])
     got = fb.read()
     # Reference: full recomposite of [moved blob, base] over white.
     fb2 = FrameBuffer(128, 128, C.white)

@@ -1,0 +1,170 @@
+"""Tile-normalized batched rasterizer == scalar pipeline, pixel for pixel.
+
+The tile path (raster/tile_raster) must produce the same composited frame
+as shattering full_sprite_of_object rasters (the round-1 path), for the
+same scenes: same span sweeps, same Gaussian table sums, same integer
+dissolve (parity anchors polygon.ml:520-528, 694-746)."""
+
+import numpy as np
+import pytest
+
+import coherence_tpu.colour as C
+import coherence_tpu.transform as tr
+from coherence_tpu.geometry import path as gpath
+from coherence_tpu.geometry import shapes as gshapes
+from coherence_tpu.raster import fills as rfills
+from coherence_tpu.raster.pallas_compositor import pack_rgba
+from coherence_tpu.raster.tiled_scene import TiledScene
+from coherence_tpu.scene import render as R
+from coherence_tpu.scene.fastframe import build_tiled_scene, full_sprite_of_object
+
+import jax.numpy as jnp
+
+W, H = 512, 256  # 4 x 4 tiles of 128 x 64
+
+
+def _bg():
+    return pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+
+
+def _render_both(objs):
+    """(tile-path frame, scalar-path frame) for a front-to-back scene."""
+    keyed = [(i, o) for i, o in enumerate(objs)]
+    order = [i for i, _ in keyed]
+
+    ts_tile = TiledScene(W, H)
+    build_tiled_scene(ts_tile, keyed)
+    starts, idxs = ts_tile.build_lists(order)
+    frame_tile = np.asarray(ts_tile.render(_bg(), starts, idxs))
+
+    ts_ref = TiledScene(W, H)
+    for key, o in keyed:
+        spr = full_sprite_of_object(o)
+        if spr is not None:
+            ts_ref.add_object(key, spr)
+        else:
+            ts_ref.pieces[key] = []
+    starts, idxs = ts_ref.build_lists(order)
+    frame_ref = np.asarray(ts_ref.render(_bg(), starts, idxs))
+    return frame_tile, frame_ref
+
+
+def _poly(points, colour, winding=gpath.NONZERO, alpha=255):
+    path = gpath.path_of_pointlist(winding, points)
+    fill = rfills.plain(C.dissolve(colour, delta=alpha) if alpha != 255 else colour)
+    return R.Obj(R.ident.new_ids(), R.Basic(fill, R.PathShape(path)), (), R.OVER)
+
+
+def test_single_triangle_matches_scalar_path():
+    o = _poly([(30.0, 20.0), (400.0, 60.0), (120.0, 200.0)], C.steelblue)
+    got, want = _render_both([o])
+    assert (got == want).all()
+
+
+def test_mixed_scene_matches_scalar_path():
+    objs = [
+        _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson, alpha=170),
+        R.Obj(
+            R.ident.new_ids(),
+            R.Basic(rfills.plain(C.darkgreen), R.PathShape(gshapes.circle(300.0, 128.0, 90.0))),
+            (),
+            R.OVER,
+        ),
+        R.Obj(
+            R.ident.new_ids(),
+            R.Basic(
+                rfills.plain(C.black),
+                R.StrokedPathShape(
+                    gpath.path_of_pointlist(
+                        gpath.NONZERO, [(40.0, 220.0), (470.0, 40.0), (470.0, 41.0)]
+                    ),
+                    gshapes.StrokeSpec(linewidth=6.0),
+                ),
+            ),
+            (),
+            R.OVER,
+        ),
+        # Full-frame background rectangle: exercises interior tiles.
+        _poly([(-20.0, -20.0), (600.0, -20.0), (600.0, 300.0), (-20.0, 300.0)], C.wheat),
+    ]
+    got, want = _render_both(objs)
+    assert (got == want).all()
+
+
+def test_evenodd_star_matches_scalar_path():
+    pts = []
+    import math
+
+    for k in range(5):
+        a = -math.pi / 2 + k * 4 * math.pi / 5
+        pts.append((256.0 + 110.0 * math.cos(a), 128.0 + 110.0 * math.sin(a)))
+    o = _poly(pts, C.purple, winding=gpath.EVEN_ODD)
+    o2 = _poly(pts, C.purple, winding=gpath.NONZERO)
+    got, want = _render_both([o, o2])
+    assert (got == want).all()
+
+
+def test_offscreen_clipping_matches_scalar_path():
+    # Object partially left/above the frame and beyond the right edge.
+    o = _poly([(-90.0, -40.0), (580.0, 10.0), (300.0, 290.0)], C.navy, alpha=200)
+    got, want = _render_both([o])
+    assert (got == want).all()
+
+
+def test_random_scenes_match_scalar_path():
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        objs = []
+        for _ in range(6):
+            n = int(rng.integers(3, 7))
+            pts = [
+                (float(rng.uniform(-40, W + 40)), float(rng.uniform(-40, H + 40)))
+                for _ in range(n)
+            ]
+            colour = C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255)
+            alpha = int(rng.integers(60, 256))
+            winding = gpath.NONZERO if rng.integers(2) else gpath.EVEN_ODD
+            objs.append(_poly(pts, colour, winding=winding, alpha=alpha))
+        got, want = _render_both(objs)
+        assert (got == want).all(), f"trial {trial}"
+
+
+def test_chunked_aa_equals_unchunked():
+    """Row-band chunking in coverage_opacity must equal the one-shot path.
+
+    Regression: spans ABOVE a band's origin produced negative scatter rows,
+    which mode="drop" WRAPS (numpy semantics) instead of dropping — bands
+    after the first acquired phantom coverage (found round 2; the bug made
+    every chunked object's AA fringe wrong below the first band)."""
+    from coherence_tpu.raster import aa as raa
+    from coherence_tpu.raster import scanline
+
+    pts = [(-90.0, -40.0), (580.0, 10.0), (300.0, 290.0)]
+    path = gpath.path_of_pointlist(gpath.NONZERO, pts)
+    edges = np.asarray(gpath.edgelist_of_path(path), np.int64)
+    aa_spans = scanline.scaled_spans_of_edgelist(edges, gpath.NONZERO, raa._H)
+    box = (-90, -41, 580, 290)
+    one_shot = np.asarray(raa.coverage_opacity(box, aa_spans))
+    old = raa._MAX_T_ELEMS
+    raa._MAX_T_ELEMS = 1 << 22  # force several row bands
+    try:
+        chunked = np.asarray(raa.coverage_opacity(box, aa_spans))
+    finally:
+        raa._MAX_T_ELEMS = old
+    assert (chunked == one_shot).all()
+
+
+def test_device_view_tiled_set_scene_matches():
+    from coherence_tpu.scene.fastframe import DeviceView
+
+    objs = [
+        _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson, alpha=170),
+        _poly([(-20.0, -20.0), (600.0, -20.0), (600.0, 300.0), (-20.0, 300.0)], C.wheat),
+    ]
+    dv_t = DeviceView(W, H)
+    dv_t.set_scene(objs, tiled=True)
+    dv_t.render(full=True)
+    dv_s = DeviceView(W, H)
+    dv_s.set_scene(objs)
+    dv_s.render(full=True)
+    assert (dv_t.read() == dv_s.read()).all()
