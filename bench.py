@@ -3,24 +3,35 @@ at 1920x1080, animated sprite, frame-to-frame coherence.
 
 Per frame: a translucent blob translates across the lion under a blur-filter
 band covering its path (filters.ml:247-261 semantics — the filter shows the
-blurred scene below, re-convolved wherever its inputs changed); the dirty
-window (old ∪ new blob bounds) restores from the composited static scene,
-repaints the blob, and re-blurs bloat(dirty, r) ∩ filter — ONE fused device
-dispatch per frame, zero host syncs inside the timed loop
-(raster/framepath._blit_blur_kernel, equivalence-tested against the general
-renderer in tests/test_blit_blur.py).
+blurred scene below, re-convolved wherever its inputs changed).  The frame
+path is the tiled animated pipeline (scene/fastframe.FilteredDisplay):
+
+  1. the blob's atlas pieces update IN PLACE (one fused shatter dispatch
+     into reserved slots — cache.ml's TranslatedObject, device-side);
+  2. the content tiles covering bloat(dirty, 2r) recomposite front-to-back
+     in one Pallas dispatch (render.ml:1310-1335's exact caf-over fold, so
+     integer-`over` non-associativity never diverges from the reference);
+  3. the dirty window re-convolves and alpha-blends into the display plane
+     (blend' of render.ml:1248-1265) in one fused kernel.
+
+Three dispatches per frame, zero host syncs inside the timed loop;
+pixel-identical to the general renderer's filter recursion
+(tests/test_blit_blur.py::test_tiled_filtered_display_matches_general).
 
 Scene build uses the tile-normalized batched rasterizer
 (raster/tile_raster): the whole lion rasterizes into the tiled-scene atlas
-with a handful of XLA programs, then composites in one Pallas dispatch —
-cold start is dominated by program-load latency on the remote TPU
-transport, so fewer programs == faster first frame.
+with a handful of XLA programs — cold start is dominated by program-load
+latency on the remote TPU transport, so fewer programs == faster first
+frame.  The first device op of a process pays a large one-time tunnel
+initialization (~60-300 s, size-independent); it is measured separately as
+extra.backend_init_s.
 
 Prints ONE JSON line: fps (with the filter live every frame) vs the 60 fps
 target; extras carry the plain no-filter loop and the build wall time.
 """
 
 import json
+import os
 import time
 
 
@@ -42,23 +53,46 @@ W, H = 1920, 1080
 BLUR_RADIUS = 5
 # Blur band over the blob's whole diagonal path, >= 2r inside the frame.
 F_BOX = (40, 320, 1680, 1060)
+BACKEND_INIT_S = 0.0
 
 
 def build():
+    import time as _time
+
     import jax.numpy as jnp
-    import numpy as np
+
+    # The first device interaction of a process pays a large one-time
+    # backend/tunnel initialization (measured ~60-300 s on the axon
+    # transport, independent of op size).  Absorb and report it separately
+    # so build_s measures the actual scene build.
+    t0 = _time.time()
+    float(jnp.sum(jnp.ones((8, 8))))
+    global BACKEND_INIT_S
+    BACKEND_INIT_S = _time.time() - t0
+
+    _dbg = os.environ.get("BENCH_DEBUG")
+    _last = [_time.time()]
+
+    def _tick(label):
+        if _dbg:
+            now = _time.time()
+            print(f"# {label}: {now - _last[0]:.1f}s", flush=True)
+            _last[0] = now
 
     import coherence_tpu.colour as C
+    import coherence_tpu.ident as ident
     import coherence_tpu.transform as tr
     from coherence_tpu.geometry import shapes as gshapes
     from coherence_tpu.raster import convolve as rconvolve
     from coherence_tpu.raster import fills as rfills
-    from coherence_tpu.raster.framepath import FrameBuffer
-    from coherence_tpu.raster.pallas_compositor import TILE_H, TILE_W, pack_rgba
-    from coherence_tpu.raster.tiled_scene import TiledScene
     from coherence_tpu.scene import examples as E
     from coherence_tpu.scene import render as R
-    from coherence_tpu.scene.fastframe import build_tiled_scene, tiled_sprite_of_object
+    from coherence_tpu.scene.fastframe import (
+        DeviceView,
+        FilteredDisplay,
+        alpha_plane_of_object,
+        tiled_sprite_of_object,
+    )
 
     # Lion scaled to fill 1080p, y-flipped into raster orientation.
     lion = E.smalllion()
@@ -76,7 +110,7 @@ def build():
     objs = list(lion.geometry.objects)
 
     blob = R.Obj(
-        __import__("coherence_tpu.ident", fromlist=["new_ids"]).new_ids(),
+        ident.new_ids(),
         R.Basic(
             rfills.plain(C.dissolve(C.crimson, delta=170)),
             R.PathShape(gshapes.circle(0.0, 0.0, 60.0)),
@@ -85,33 +119,27 @@ def build():
         R.OVER,
     )
 
-    # Static scene: tile-normalized batched rasterization into the atlas,
-    # then ONE Pallas dispatch composites the 1080p frame.
-    pw = ((W + TILE_W - 1) // TILE_W) * TILE_W
-    ph = ((H + TILE_H - 1) // TILE_H) * TILE_H
-    ts = TiledScene(pw, ph)
-    keyed = [(i, o) for i, o in enumerate(objs)]
-    build_tiled_scene(ts, keyed)
-    bg_packed = pack_rgba(
-        jnp.broadcast_to(
-            jnp.asarray(C.rgba_of_colour(C.white), jnp.int32), (ph, pw, 4)
-        ).astype(jnp.int32)
-    )
-    starts, idxs = ts.build_lists([i for i, _ in keyed])
-    frame_packed = ts.render(bg_packed, starts, idxs)
+    # Static scene: tile-normalized batched rasterization into the atlas.
+    view = DeviceView(W, H)
+    view.set_scene(objs, tiled=True)
+    _tick("set_scene (tile-normalized build)")
 
-    fb = FrameBuffer(W, H, C.white)
-    fb.rgba = _unpack_crop(frame_packed, h=H, w=W)
+    # The animated blob: raster from the (already compiled) tile kernels,
+    # topmost in z, moving via in-place reserved-slot atlas updates.
+    blob_spr = tiled_sprite_of_object(blob, view.pw, view.ph)
+    blob_key = blob.idset
+    view.sprites[blob_key] = blob_spr
+    view.order.insert(0, blob_key)
+    view.make_animated(blob_key)
+    view.render(full=True)
+    _tick("blob + full content render")
 
-    blob_spr = tiled_sprite_of_object(blob, pw, ph)
     kernel = rconvolve.mkgaussian(BLUR_RADIUS)
 
     # The blur filter's geometry: an opaque rect band over the blob's path;
     # its alpha plane is what the general renderer's blend' weights by.
-    from coherence_tpu.scene.fastframe import alpha_plane_of_object
-
     f_geom = R.Obj(
-        __import__("coherence_tpu.ident", fromlist=["new_ids"]).new_ids(),
+        ident.new_ids(),
         R.Basic(
             rfills.plain(C.white),
             R.rectangle(
@@ -124,85 +152,49 @@ def build():
         (),
         R.OVER,
     )
-    f_alpha = alpha_plane_of_object(f_geom, W, H, pw, ph)
+    f_alpha = alpha_plane_of_object(f_geom, W, H)
+    _tick("alpha_plane")
 
-    # Per-layer static sprites for the window recomposite (assembled from
-    # the atlas just built — one readback, no scalar re-rasterization),
-    # restricted to the band the blob's path can dirty: a FIXED layer list
-    # keeps the per-frame kernel at ONE XLA program for the whole loop.
-    from coherence_tpu.raster.region import box_intersect
-    from coherence_tpu.scene.fastframe import sprites_of_keys
-
-    statics = sprites_of_keys(ts, [i for i, _ in keyed])
-    bx = blob_spr.box
-    reach_x, reach_y = 206 * 7, 206 * 3  # oscillation amplitude + warmup slack
-    pad = 2 * BLUR_RADIUS + 2
-    band = (
-        bx[0] - reach_x - pad,
-        bx[1] - reach_y - pad,
-        bx[2] + reach_x + pad,
-        bx[3] + reach_y + pad,
-    )
-    statics_band = [
-        s for s in statics if s is not None and box_intersect(s.box, band)
-    ]
-    return fb, blob_spr, statics_band, kernel, f_alpha
-
-
-import functools
-
-
-def _unpack_crop(packed, *, h, w):
-    import jax
-
-    @functools.partial(jax.jit, static_argnames=("h", "w"))
-    def f(p, *, h, w):
-        from coherence_tpu.raster.pallas_compositor import unpack_rgba
-
-        return unpack_rgba(p)[:h, :w]
-
-    return f(packed, h=h, w=w)
+    disp = FilteredDisplay(view, f_alpha, kernel)
+    disp.full_refresh()
+    _tick("initial filtered frame")
+    return view, disp, blob_key, kernel, f_alpha
 
 
 def main():
-    from coherence_tpu.raster.region import box_union, translate_sprite
+    from coherence_tpu.raster.region import box_union
 
     t0 = time.time()
-    fb, blob_spr, statics_band, kernel, f_alpha = build()
+    view, disp, blob_key, kernel, f_alpha = build()
     import jax.numpy as jnp
 
     def force_done():
         # block_until_ready does not actually block on the axon transport;
         # a scalar readback of a value that depends on every frame does.
-        return int(jnp.sum(fb.rgba[::64, ::64, 3]))
-
-    # Initial frame: paint the blob (exact window recomposite over the
-    # statics — integer `over` is non-associative, so the layer stack folds
-    # front-to-back exactly as render_scene), apply the filter band in full.
-    fb.recomposite(blob_spr.box, [blob_spr] + statics_band, prefilter=False)
-    fb.apply_blur(f_alpha, kernel)
-
-    def frame(k, prev_spr):
-        dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
-        cur = translate_sprite(dxy[0], dxy[1], prev_spr)
-        dirty = box_union(prev_spr.box, cur.box)
-        fb.recomposite_blur(
-            dirty, [cur] + statics_band, f_alpha, kernel, prefilter=False
+        return int(jnp.sum(disp.rgba[::64, ::64, 3])) + int(
+            jnp.sum(view.frame[::64, ::64] & 0xFF)
         )
-        return cur
 
-    def frame_plain(k, prev_spr):
+    def frame(k):
         dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
-        cur = translate_sprite(dxy[0], dxy[1], prev_spr)
-        dirty = box_union(prev_spr.box, cur.box)
-        fb.recomposite(dirty, [cur] + statics_band, prefilter=False)
-        return cur
+        prev_box = view.sprites[blob_key].box
+        view.translate_object(blob_key, dxy[0], dxy[1])
+        dirty = box_union(prev_box, view.sprites[blob_key].box)
+        disp.step(dirty)
+        return dirty
+
+    def frame_plain(k):
+        dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
+        prev_box = view.sprites[blob_key].box
+        view.translate_object(blob_key, dxy[0], dxy[1])
+        dirty = box_union(prev_box, view.sprites[blob_key].box)
+        view.render()
+        return dirty
 
     # Warm up both loop kernels (the only per-frame programs).
-    spr = blob_spr
     for k in range(3):
-        spr = frame(k, spr)
-    spr_p = frame_plain(3, spr)
+        frame(k)
+    frame_plain(3)
     force_done()
     build_time = time.time() - t0
 
@@ -211,17 +203,14 @@ def main():
     force_done()
     readback_s = time.time() - t0
 
-    def timed_loop(fn, spr0, n_frames=400, reps=5):
+    def timed_loop(fn, n_frames=400, reps=5):
         """Median fps of `reps` loops (tunnel latency jitter is ~2x)."""
         results = []
-        spr2 = spr0
         for _rep in range(reps):
             dirty_pix = 0
             t0 = time.time()
             for k in range(n_frames):
-                prev_box = spr2.box
-                spr2 = fn(k, spr2)
-                d = box_union(prev_box, spr2.box)
+                d = fn(k)
                 dirty_pix += (d[2] - d[0] + 1) * (d[3] - d[1] + 1)
             force_done()
             dt = max(1e-9, time.time() - t0 - readback_s)
@@ -229,8 +218,8 @@ def main():
         results.sort()
         return results[len(results) // 2]
 
-    fps, mpix_s = timed_loop(frame, spr)
-    fps_plain, _ = timed_loop(frame_plain, spr)
+    fps, mpix_s = timed_loop(frame)
+    fps_plain, _ = timed_loop(frame_plain)
 
     result = {
         "metric": "lion_1080p_blurfilter_sprite_fps",
@@ -240,7 +229,8 @@ def main():
         "extra": {
             "plain_sprite_fps": round(fps_plain, 2),
             "dirty_mpix_per_s": round(mpix_s, 1),
-            "build_s": round(build_time, 1),
+            "build_s": round(build_time - BACKEND_INIT_S, 1),
+            "backend_init_s": round(BACKEND_INIT_S, 1),
             "blur_radius": BLUR_RADIUS,
             "frames": 400,
         },

@@ -166,54 +166,185 @@ def config4():
 
 
 def config5():
+    """Interactive 4K per BASELINE configs[4]: 1000+ MIXED primitives (AA
+    circle/rect paths, translucent and opaque, plus brush strokes), a live
+    blur filter, per-frame dirty-tile coherence for an animated object, and
+    a zoom step (whole-scene transform + re-rasterization,
+    engine.ml:1015-1057 semantics).  The old full-frame 4K re-render is
+    kept as a separate throughput extra."""
     _cache_cfg()
     import jax.numpy as jnp
 
     import coherence_tpu.colour as C
-    from coherence_tpu.raster.pallas_compositor import pack_rgba
-    from coherence_tpu.raster.tiled_scene import TiledScene
+    import coherence_tpu.ident as ident
+    import coherence_tpu.transform as tr
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.raster import brush as rbrush
+    from coherence_tpu.raster import convolve as rconvolve
+    from coherence_tpu.raster import fills as rfills
+    from coherence_tpu.raster.region import box_union
+    from coherence_tpu.scene import render as R
+    from coherence_tpu.scene.fastframe import (
+        DeviceView,
+        FilteredDisplay,
+        alpha_plane_of_object,
+        tiled_sprite_of_object,
+    )
 
-    # 1000 primitives; FULL-frame 4K re-render every frame through the
-    # sparse tiled-scene Pallas kernel (per-tile front-to-back object lists,
-    # early termination per tile).  A dense (K, H, W) stack would be ~33 GB.
+    W, H = 3840, 2160
     rng = np.random.default_rng(0)
-    W, H = 3840, 2176
-    ts = TiledScene(W, H)
-    items = []
-    order = []
-    for k in range(1000):
-        x0, y0 = int(rng.integers(1, W - 80)), int(rng.integers(1, H - 80))
-        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+
+    def rand_colour(k):
         alpha = 255 if k % 3 else 150
-        col = C.dissolve(
+        return C.dissolve(
             C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255),
             delta=alpha,
         )
-        items.append((k, (x0, y0, x0 + w - 1, y0 + h - 1), C.rgba_of_colour(col)))
-        order.append(k)
-    ts.add_boxes(items)  # one device call for all 1000 primitives' pieces
-    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
-    starts, idxs = ts.build_lists(order)
-    out = ts.render(bg, starts, idxs)
-    int(jnp.sum(out >> 24))
+
+    objs = []
+    for k in range(1000):
+        cx = float(rng.integers(60, W - 60))
+        cy = float(rng.integers(60, H - 60))
+        col = rand_colour(k)
+        if k % 2 == 0:
+            geom = R.PathShape(gshapes.circle(cx, cy, float(rng.integers(6, 30))))
+        else:
+            geom = R.rectangle(
+                cx, cy, float(rng.integers(8, 56)), float(rng.integers(8, 56))
+            )
+        objs.append(R.Obj(ident.new_ids(), R.Basic(rfills.plain(col), geom), (), R.OVER))
+    # Brush strokes (brush.ml:126-131 stamping) scattered over the canvas.
+    for j in range(6):
+        cx = float(rng.integers(300, W - 300))
+        cy = float(rng.integers(300, H - 300))
+        pth = gshapes.circle(cx, cy, float(rng.integers(60, 140)))
+        objs.append(
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(
+                    rfills.plain(C.dissolve(C.darkorange, delta=185)),
+                    R.BrushStroke((rbrush.mkround(12.0, 0.5), pth)),
+                ),
+                (),
+                R.OVER,
+            )
+        )
+
+    t0 = time.time()
+    view = DeviceView(W, H)
+    view.set_scene(objs, tiled=True)
+
+    # Animated object: a translucent circle moving over the scene.
+    blob = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(C.crimson, delta=170)),
+            R.PathShape(gshapes.circle(0.0, 0.0, 70.0)),
+        ),
+        (tr.Translate(400.0, 700.0),),
+        R.OVER,
+    )
+    blob_spr = tiled_sprite_of_object(blob, view.pw, view.ph)
+    view.sprites[blob.idset] = blob_spr
+    view.order.insert(0, blob.idset)
+    view.make_animated(blob.idset)
+    view.render(full=True)
+
+    # Blur filter band over the blob's path.
+    kernel = rconvolve.mkgaussian(4)
+    f_geom = R.Obj(
+        ident.new_ids(),
+        R.Basic(rfills.plain(C.white), R.rectangle(200.0, 500.0, 3000.0, 1300.0)),
+        (),
+        R.OVER,
+    )
+    f_alpha = alpha_plane_of_object(f_geom, W, H)
+    disp = FilteredDisplay(view, f_alpha, kernel)
+    disp.full_refresh()
+    int(jnp.sum(disp.rgba[::128, ::128, 3]))
+    build_s = time.time() - t0
+
+    def force():
+        return int(jnp.sum(disp.rgba[::128, ::128, 3])) + int(
+            jnp.sum(view.frame[::128, ::128] & 0xFF)
+        )
+
+    def frame(k):
+        dxy = (9, 4) if (k // 100) % 2 == 0 else (-9, -4)
+        prev_box = view.sprites[blob.idset].box
+        view.translate_object(blob.idset, dxy[0], dxy[1])
+        view_dirty = box_union(prev_box, view.sprites[blob.idset].box)
+        disp.step(view_dirty)
+
+    def frame_plain(k):
+        dxy = (9, 4) if (k // 100) % 2 == 0 else (-9, -4)
+        view.translate_object(blob.idset, dxy[0], dxy[1])
+        view.render()
+
+    for k in range(3):
+        frame(k)
+    frame_plain(3)
+    force()
+    t0 = time.time()
+    force()
+    readback_s = time.time() - t0
+
+    def timed(fn, n=200, reps=3):
+        results = []
+        for _ in range(reps):
+            t0 = time.time()
+            for k in range(n):
+                fn(k)
+            force()
+            results.append(n / max(1e-9, time.time() - t0 - readback_s))
+        results.sort()
+        return results[len(results) // 2]
+
+    fps_filtered = timed(frame)
+    fps_plain = timed(frame_plain)
+
+    # Zoom step: scale the whole scene 2x about the frame centre and
+    # re-rasterize + re-render (the reference transforms the scene and
+    # redraws, engine.ml:1015-1057).
+    zoom = [
+        tr.Translate(W / 2.0, H / 2.0),
+        tr.Scale((0.0, 0.0), 2.0, 2.0),
+        tr.Translate(-W / 2.0, -H / 2.0),
+    ]
+    zoomed = [R.transform_renderobject_many(zoom, o) for o in objs]
+    t0 = time.time()
+    view2 = DeviceView(W, H)
+    view2.set_scene(zoomed, tiled=True)
+    view2.render(full=True)
+    int(jnp.sum(view2.frame[::128, ::128] & 0xFF))
+    zoom_s = time.time() - t0
+
+    # Full-frame 4K throughput (all tiles recomposite every frame).
+    starts, idxs = view.ts.build_lists(view.order)
+    x = view.ts.render(view.background, starts, idxs)
+    int(jnp.sum(x[::128, ::128] & 0xFF))
     n = 30
     t0 = time.time()
-    x = bg
+    x = view.background
     for _ in range(n):
-        x = ts.render(x, starts, idxs)
-    int(jnp.sum(x >> 24))
-    t1 = time.time()
-    t2 = time.time()
-    int(jnp.sum(bg >> 24))
-    t3 = time.time()
-    dt = max(1e-9, (t1 - t0) - (t3 - t2))
-    fps = n / dt
+        x = view.ts.render(x, starts, idxs)
+    int(jnp.sum(x[::128, ::128] & 0xFF))
+    full_fps = n / max(1e-9, time.time() - t0 - readback_s)
+
     emit(
-        "fullframe_4k_1000prims_fps",
-        fps,
+        "interactive_4k_1000prims_fps",
+        fps_filtered,
         "fps",
         60.0,
-        {"mpix_per_s": round(W * H * fps / 1e6), "pieces": sum(len(v) for v in ts.pieces.values())},
+        {
+            "plain_dirty_fps": round(fps_plain, 1),
+            "fullframe_fps": round(full_fps, 1),
+            "fullframe_mpix_per_s": round(W * H * full_fps / 1e6),
+            "zoom_step_s": round(zoom_s, 2),
+            "build_s": round(build_s, 1),
+            "objects": len(objs) + 1,
+            "pieces": sum(len(v) for v in view.ts.pieces.values()),
+        },
     )
 
 

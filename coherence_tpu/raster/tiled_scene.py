@@ -52,6 +52,16 @@ def _shatter_kernel(packed, oys, oxs):
     return jax.vmap(one)(oys, oxs)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _shatter_into_kernel(atlas, rgba, oys, oxs, base):
+    """Pack `rgba` and shatter it into len(oys) tile pieces written into the
+    (donated) atlas at slots [base, base+len).  One fused dispatch — the
+    per-frame atlas update of an animated object (packing happens in-kernel
+    so an unchanged raster costs no eager ops and no re-upload)."""
+    block = _shatter_kernel.__wrapped__(pack_rgba(rgba), oys, oxs)
+    return jax.lax.dynamic_update_slice(atlas, block, (base, 0, 0))
+
+
 @jax.jit
 def _box_pieces_kernel(meta):
     """meta (n, 8) int32 [ox, oy, w, h, r, g, b, a]: piece[r, c] = packed
@@ -260,6 +270,8 @@ class TiledScene:
         # object id -> list of (tile_index, atlas_entry)
         self.pieces: Dict[object, List[Tuple[int, int]]] = {}
         self._atlas: Optional[jnp.ndarray] = None
+        # animated objects: key -> (slot base, capacity)
+        self._reserved: Dict[object, Tuple[int, int]] = {}
 
     def add_object(self, key, spr: Sprite) -> None:
         """Shatter a sprite's raster into frame-aligned tile pieces
@@ -357,6 +369,58 @@ class TiledScene:
         if blocks:
             self._atlas = None
 
+    def reserve_slots(self, key, cap: int) -> None:
+        """Reserve `cap` fixed atlas slots for an ANIMATED object: its
+        pieces update in place every frame (update_object_inplace) instead
+        of appending a fresh block per move — the atlas stays fixed-size
+        and no per-frame concatenation/upload happens."""
+        self.atlas()  # consolidate existing chunks first
+        base = self._n_pieces
+        self._chunks = [
+            jnp.concatenate(
+                [self.atlas(), jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)], axis=0
+            )
+        ]
+        self._atlas = self._chunks[0]
+        self._n_pieces += cap
+        self._reserved[key] = (base, cap)
+        self.pieces[key] = []
+
+    def update_object_inplace(self, key, spr: Sprite) -> None:
+        """Move/replace an animated object's raster: shatter into its
+        reserved slots with ONE fused dispatch (donated atlas).  The
+        sprite must fit the reserved capacity ((tiles_y+?) x (tiles_x+?)
+        of the sprite that was reserved for)."""
+        base, cap = self._reserved[key]
+        x0, y0, x1, y1 = spr.box
+        tx_lo = max(0, (x0 - 1) // TILE_W)
+        tx_hi = min(self.ntx - 1, (x1 - 1) // TILE_W)
+        ty_lo = max(0, (y0 - 1) // TILE_H)
+        ty_hi = min(self.nty - 1, (y1 - 1) // TILE_H)
+        coords = [
+            (ty, tx)
+            for ty in range(ty_lo, ty_hi + 1)
+            for tx in range(tx_lo, tx_hi + 1)
+        ]
+        if len(coords) > cap:
+            raise ValueError(f"update_object_inplace: {len(coords)} pieces > cap {cap}")
+        if not coords:
+            self.pieces[key] = []
+            return
+        # Pad to cap by repeating the last piece (unreferenced duplicates
+        # are harmless; a fixed count keeps one XLA program).
+        padded = coords + [coords[-1]] * (cap - len(coords))
+        # np (not device) arrays: jit argument conversion rides the dispatch
+        # instead of paying a standalone eager transfer round trip.
+        oys = np.asarray([ty * TILE_H - (y0 - 1) for ty, _ in padded], np.int32)
+        oxs = np.asarray([tx * TILE_W - (x0 - 1) for _, tx in padded], np.int32)
+        atlas = _shatter_into_kernel(self.atlas(), spr.rgba, oys, oxs, base)
+        self._chunks = [atlas]
+        self._atlas = atlas
+        self.pieces[key] = [
+            (ty * self.ntx + tx, base + j) for j, (ty, tx) in enumerate(coords)
+        ]
+
     def atlas(self) -> jnp.ndarray:
         if self._atlas is None:
             if len(self._chunks) > 1:
@@ -436,10 +500,12 @@ class TiledScene:
             n_idx *= 2
         idxs = np.zeros(n_idx, np.int32)
         idxs[: len(idxs_list)] = idxs_list
+        # np arrays ride the jit dispatch; eager jnp.asarray would cost a
+        # standalone transfer round trip each per frame.
         return _render_dirty_tiles(
-            jnp.asarray(coords),
-            jnp.asarray(spans),
-            jnp.asarray(idxs),
+            coords,
+            spans,
+            idxs,
             background,
             frame,
             self.atlas(),

@@ -486,16 +486,34 @@ class DeviceView:
             self.order.insert(index, key)
         self.dirty |= self._tiles_of(key)
 
+    def make_animated(self, key):
+        """Reserve in-place atlas slots for an object that will move every
+        frame: translate_object then updates its pieces with one fused
+        dispatch into a fixed-size atlas, instead of appending a new block
+        (which would regrow and re-concatenate the atlas per frame)."""
+        spr = self.sprites.get(key)
+        if spr is None:
+            raise ValueError("make_animated: object has no materialized sprite")
+        hs, ws = spr.mask.shape
+        cap = ((hs + TILE_H - 1) // TILE_H + 1) * ((ws + TILE_W - 1) // TILE_W + 1)
+        self.ts.reserve_slots(key, cap)
+        self.ts.update_object_inplace(key, spr)
+        self.dirty |= self._tiles_of(key)
+
     def translate_object(self, key, dx: int, dy: int):
         """Move an object by whole pixels: reuse its raster (box shift) and
-        re-shatter — no re-rasterization."""
+        re-shatter — no re-rasterization.  Animated objects (make_animated)
+        update their reserved atlas slots in place."""
         old_tiles = self._tiles_of(key)
         spr = self.sprites.get(key)
         if spr is None:
             return
         moved = translate_sprite(dx, dy, spr)
         self.sprites[key] = moved
-        self.ts.add_object(key, moved)  # replaces the piece list
+        if key in self.ts._reserved:
+            self.ts.update_object_inplace(key, moved)
+        else:
+            self.ts.add_object(key, moved)  # replaces the piece list
         self.dirty |= old_tiles | self._tiles_of(key)
 
     def replace_object(self, key, o: R.Obj):
@@ -545,3 +563,146 @@ class DeviceView:
         """(height, width, 4) uint8 RGBA of the logical window."""
         rgba = unpack_rgba(self.frame)
         return np.asarray(rgba, dtype=np.uint8)[: self.height, : self.width]
+
+
+# ---------------------------------------------------------------------------
+# Blur-filtered display: a display plane maintained as the blur-filter blend
+# of a DeviceView's (unfiltered) tiled content.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("hb", "wb", "weights", "total")
+)
+def _blur_blend_window_kernel(
+    display, content_packed, f_alpha, oy, ox, ry0, rx0, h, w, d_box, *, hb, wb, weights, total
+):
+    """Blend the blur of the CONTENT plane into the display window — the
+    per-frame filter pass of the tiled animated path.  Semantics match
+    framepath._recomposite_blur_impl's conv+blend stage exactly (the exact
+    separable integer convolution of convolve.ml:115-158 and the blend' of
+    render.ml:1248-1265); the content fold itself already happened in the
+    tiled compositor (render_dirty), which performs the same front-to-back
+    caf-over fold per tile.
+
+    d_box: (4,) int32 dirty rect in WINDOW coords (row0, col0, row1, col1
+    inclusive).  The window must be the dirty box bloated by 2*radius and
+    the content tiles covering it must be freshly recomposited, so the
+    convolution support of every written pixel reads true scene content."""
+    from ..raster.convolve import _conv1d_exact, _setcanvas_xy
+
+    win = lax.dynamic_slice(content_packed, (oy, ox), (hb, wb))
+    content = unpack_rgba(win)
+    cx = _setcanvas_xy(_conv1d_exact(content, weights=weights, axis=1), total)
+    cy = _setcanvas_xy(_conv1d_exact(cx, weights=weights, axis=0), total)
+
+    radius = len(weights) // 2
+    rows = jnp.arange(hb)[:, None]
+    cols = jnp.arange(wb)[None, :]
+    inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
+
+    def rect(b0, b1, b2, b3):
+        return (rows >= b0) & (rows <= b2) & (cols >= b1) & (cols <= b3)
+
+    fa = lax.dynamic_slice(f_alpha, (oy, ox), (hb, wb))
+    in_d = rect(d_box[0], d_box[1], d_box[2], d_box[3])
+    in_blur = rect(
+        d_box[0] - radius, d_box[1] - radius, d_box[2] + radius, d_box[3] + radius
+    )
+    changed = (in_d | (in_blur & (fa > 0))) & inwin
+    blended = C.dissolve_rgba(content, 255 - fa) + C.dissolve_rgba(cy, fa)
+    display_win = lax.dynamic_slice(display, (oy, ox, 0), (hb, wb, 4))
+    out = jnp.where(changed[..., None], blended, display_win)
+    return lax.dynamic_update_slice(display, out, (oy, ox, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _unpack_crop_kernel(packed, *, h, w):
+    return unpack_rgba(packed)[:h, :w]
+
+
+class FilteredDisplay:
+    """Display = blur(content) blended by a filter geometry's alpha plane.
+
+    Drives the tiled animated path: the DeviceView's frame is the exact
+    UNFILTERED scene content (per-tile front-to-back folds); this class
+    derives the displayed frame by blending the blur filter into it —
+    full-frame once, then incrementally per dirty window (3 dispatches per
+    animated frame: atlas piece update + dirty-tile recomposite + blur
+    blend).  Bit-identical to the general renderer's filter recursion
+    (tests/test_blit_blur.py)."""
+
+    def __init__(self, view: DeviceView, f_alpha, kernel):
+        self.view = view
+        self.f_alpha = f_alpha
+        self.kernel = kernel
+        self.rgba = None  # (height, width, 4) int32 display plane
+        self.box = (1, 1, view.width, view.height)
+
+    def full_refresh(self):
+        """Initial full application: render content, blur-blend everywhere."""
+        from ..raster.framepath import _apply_blur_rect_kernel
+
+        self.view.render(full=True)
+        content = _unpack_crop_kernel(
+            self.view.frame, h=self.view.height, w=self.view.width
+        )
+        self.rgba = _apply_blur_rect_kernel(
+            content,
+            self.f_alpha,
+            weights=tuple(self.kernel.values),
+            total=self.kernel.total,
+        )
+
+    def step(self, dirty: Box) -> None:
+        """One animated frame: recomposite the content tiles covering
+        bloat(dirty, 2r), then blur-blend the dirty window into the
+        display."""
+        radius = self.kernel.radius
+        d = region.box_intersect(dirty, self.box)
+        if d is None:
+            self.view.render()
+            return
+        d2 = region.box_intersect(
+            (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
+            self.box,
+        )
+        # Content tiles covering the conv support must be fresh.
+        tx_lo = (d2[0] - 1) // TILE_W
+        tx_hi = (d2[2] - 1) // TILE_W
+        ty_lo = (d2[1] - 1) // TILE_H
+        ty_hi = (d2[3] - 1) // TILE_H
+        self.view.dirty |= {
+            ty * self.view.ts.ntx + tx
+            for ty in range(ty_lo, ty_hi + 1)
+            for tx in range(tx_lo, tx_hi + 1)
+        }
+        self.view.render()
+        w, h = region.box_wh(d2)
+        hb, wb = region.bucket_hw(h, w)
+        hb = min(hb, self.view.height)
+        wb = min(wb, self.view.width)
+        oy = min(d2[1] - 1, self.view.height - hb)
+        ox = min(d2[0] - 1, self.view.width - wb)
+        d_box = np.asarray(
+            [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], np.int32
+        )
+        self.rgba = _blur_blend_window_kernel(
+            self.rgba,
+            self.view.frame,
+            self.f_alpha,
+            oy,
+            ox,
+            d2[1] - 1 - oy,
+            d2[0] - 1 - ox,
+            h,
+            w,
+            d_box,
+            hb=hb,
+            wb=wb,
+            weights=tuple(self.kernel.values),
+            total=self.kernel.total,
+        )
+
+    def read(self) -> np.ndarray:
+        return np.asarray(self.rgba)

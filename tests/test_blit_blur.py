@@ -136,6 +136,63 @@ def test_blit_blur_matches_general_renderer():
         assert (got == want).all(), f"frame {k} mismatch"
 
 
+def test_bound_layers_match_unbound():
+    """BoundLayers (planes baked into the program) must be pixel-identical
+    to the argument-passing kernels, for both the plain and blur paths."""
+    from coherence_tpu.raster.framepath import BoundLayers
+
+    kernel = rconvolve.mkgaussian(RADIUS)
+    statics_spr = [s for s in (full_sprite_of_object(o) for o in _statics()) if s]
+    f_alpha = _f_alpha(kernel)
+    blob0 = full_sprite_of_object(_blob_at(40, 50))
+    moved = translate_sprite(9, 4, blob0)
+    dirty = box_union(blob0.box, moved.box)
+
+    fbs = []
+    for bound in (None, BoundLayers([blob0] + statics_spr)):
+        fb = FrameBuffer(W, H, C.white)
+        fb.composite((1, 1, W, H), [blob0] + statics_spr)
+        fb.apply_blur(f_alpha, kernel)
+        fb.recomposite_blur(dirty, [moved] + statics_spr, f_alpha, kernel, bound=bound)
+        fb.recomposite(moved.box, [moved] + statics_spr, bound=bound)
+        fbs.append(fb.read())
+    assert (fbs[0] == fbs[1]).all()
+
+
+def test_tiled_filtered_display_matches_general():
+    """The tiled animated path (DeviceView content + FilteredDisplay blend:
+    in-place atlas piece updates, dirty-tile recomposite, windowed
+    blur-blend) must match the general renderer frame for frame."""
+    from coherence_tpu.scene.fastframe import DeviceView, FilteredDisplay
+
+    kernel = rconvolve.mkgaussian(RADIUS)
+    view = DeviceView(W, H)
+    view.set_scene(_statics())
+    blob_obj = _blob_at(40, 50)
+    view.add_object(blob_obj, index=0)
+    view.make_animated(blob_obj.idset)
+    f_alpha = _f_alpha(kernel)
+    disp = FilteredDisplay(view, f_alpha, kernel)
+    disp.full_refresh()
+    got = disp.read()
+    cache.clear()
+    want = _general_frame(kernel, _blob_at(40, 50))
+    assert (got == want).all(), "initial tiled frame mismatch"
+
+    positions = [(40, 50), (47, 53), (54, 56)]
+    for k in range(1, len(positions)):
+        dx = positions[k][0] - positions[k - 1][0]
+        dy = positions[k][1] - positions[k - 1][1]
+        prev_box = view.sprites[blob_obj.idset].box
+        view.translate_object(blob_obj.idset, dx, dy)
+        dirty = box_union(prev_box, view.sprites[blob_obj.idset].box)
+        disp.step(dirty)
+        got = disp.read()
+        cache.clear()
+        want = _general_frame(kernel, _blob_at(*positions[k]))
+        assert (got == want).all(), f"tiled frame {k} mismatch"
+
+
 def test_blit_blur_dirty_crossing_filter_edge():
     """Dirty boxes straddling the filter rect's border must update both the
     blurred interior and the plain exterior correctly."""
