@@ -20,8 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+BACKEND_INIT_S = None
+
+
 def _cache_cfg():
+    import time as _time
+
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -30,6 +36,14 @@ def _cache_cfg():
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:
         pass
+    # Absorb the one-time backend/tunnel init (size-independent, ~60-300 s
+    # on the axon transport) so build timings measure actual work.
+    global BACKEND_INIT_S
+    if BACKEND_INIT_S is None:
+        t0 = _time.time()
+        float(jnp.sum(jnp.ones((8, 8))))
+        BACKEND_INIT_S = _time.time() - t0
+        print(f"# backend_init_s: {BACKEND_INIT_S:.1f}", flush=True)
 
 
 def emit(metric, value, unit, baseline, extra=None):
@@ -323,13 +337,17 @@ def config5():
     starts, idxs = view.ts.build_lists(view.order)
     x = view.ts.render(view.background, starts, idxs)
     int(jnp.sum(x[::128, ::128] & 0xFF))
+    # Readback baseline matching THIS loop's sync (one packed-frame sum).
+    t0 = time.time()
+    int(jnp.sum(x[::128, ::128] & 0xFF))
+    readback_x = time.time() - t0
     n = 30
     t0 = time.time()
     x = view.background
     for _ in range(n):
         x = view.ts.render(x, starts, idxs)
     int(jnp.sum(x[::128, ::128] & 0xFF))
-    full_fps = n / max(1e-9, time.time() - t0 - readback_s)
+    full_fps = n / max(1e-9, time.time() - t0 - readback_x)
 
     emit(
         "interactive_4k_1000prims_fps",

@@ -211,7 +211,25 @@ def sprite_of_brushstroke(brushstroke, fill, shp):
     bwr, bhr = (bw - 1) // 2, (bh - 1) // 2
     bloated = region.bloat(bwr, bhr, shp)
     points = _int_points(points_of_brushstroke(brushstroke))
-    points = [p for p in points if region.point_in_shape(bloated, p)]
+    # Filter stamp points to the bloated shape with ONE mask readback:
+    # per-point region.point_in_shape would cost one device sync per stamp
+    # (thousands for a long stroke over a remote transport).
+    if points and bloated is not None:
+        parr = np.asarray(points, np.int64)
+        bx0, by0, bx1, by1 = bloated.box
+        inb = (
+            (parr[:, 0] >= bx0)
+            & (parr[:, 0] <= bx1)
+            & (parr[:, 1] >= by0)
+            & (parr[:, 1] <= by1)
+        )
+        m = np.asarray(bloated.mask)
+        keep = np.zeros(len(points), dtype=bool)
+        sel = np.nonzero(inb)[0]
+        keep[sel] = m[parr[sel, 1] - by0, parr[sel, 0] - bx0]
+        points = [points[i] for i in np.nonzero(keep)[0]]
+    elif bloated is None:
+        points = []
     bloatedtwice = region.bloat(bwr, bhr, bloated)
     if bloatedtwice is None:
         raise ValueError("sprite_of_brushstroke: internal inconsistency")
