@@ -87,6 +87,13 @@ def config1():
     spr = R.render_simple_scene([obj], shape)
     int(jnp.sum(spr.rgba))
     cold = time.time() - t0
+    # Fresh scene, warm programs: the steady-state cost of building a new
+    # scene in a running process (coherence cache cleared).
+    cache.clear()
+    t0 = time.time()
+    spr = R.render_simple_scene([obj], shape)
+    int(jnp.sum(spr.rgba))
+    rebuild = time.time() - t0
     t0 = time.time()
     spr = R.render_simple_scene([obj], shape)
     int(jnp.sum(spr.rgba))
@@ -96,7 +103,7 @@ def config1():
         warm * 1000,
         "ms",
         None,
-        {"cold_s": round(cold, 1)},
+        {"cold_s": round(cold, 1), "scene_rebuild_s": round(rebuild, 2)},
     )
 
 

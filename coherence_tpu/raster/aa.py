@@ -89,8 +89,13 @@ def _coverage_counts(t_mask, *, h: int, w: int):
     Returns int32 (h, w) per-pixel opacities (0..255).
     """
     b = t_mask.reshape(h + 1, _H, w + 1, _H).transpose(0, 2, 1, 3)
-    b = b.reshape(h + 1, w + 1, _H * _H).astype(_MATMUL_DTYPE)
-    p = jnp.dot(b, _WQ_DEV, preferred_element_type=jnp.float32)  # (h+1, w+1, 4)
+    # Flatten the batch dims: XLA CPU compiles a (n, 256) @ (256, 4) GEMM in
+    # seconds but takes ~100 s on the equivalent (h+1, w+1, 256) batched dot
+    # (measured at h=w=128); same products, same per-element order, so
+    # results are bit-identical.
+    b = b.reshape((h + 1) * (w + 1), _H * _H).astype(_MATMUL_DTYPE)
+    p = jnp.dot(b, _WQ_DEV, preferred_element_type=jnp.float32)
+    p = p.reshape(h + 1, w + 1, 4)
     cov = p[:h, :w, 0] + p[:h, 1:, 1] + p[1:, :w, 2] + p[1:, 1:, 3]
     counts = jnp.round(cov).astype(jnp.int32)
     # opacity_of_tableval fused in (polygon.ml:650-652).

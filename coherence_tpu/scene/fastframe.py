@@ -353,6 +353,78 @@ def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
     return region.Sprite(box, mask, rgba)
 
 
+_GROUP_FOLD_CHUNK = 16
+
+
+@functools.partial(jax.jit, static_argnames=("hb", "wb"))
+def _group_fold_chunk(acc, open_mask, covered, offs, *layers, hb, wb):
+    """Continue a front-to-back caf-over fold over one chunk of layers.
+
+    Carries (acc, open_mask, covered) between chunks so the whole fold is
+    the exact sequential left fold of render_scene (chunking with an acc
+    carry is identity for a left fold); `covered` accumulates the painted
+    union (the result sprite's mask)."""
+    for i in range(len(layers) // 2):
+        rgba, mask = layers[2 * i], layers[2 * i + 1]
+        hs, ws = mask.shape
+        iy = jnp.arange(hb) - offs[i, 0]
+        ix = jnp.arange(wb) - offs[i, 1]
+        vy = (iy >= 0) & (iy < hs)
+        vx = (ix >= 0) & (ix < ws)
+        m = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
+        m = m & vy[:, None] & vx[None, :]
+        r = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
+        paint = m & open_mask
+        blended = C.over_rgba(acc, r)
+        acc = jnp.where(paint[..., None], blended, acc)
+        covered = covered | paint
+        open_mask = open_mask & ~(paint & (acc[..., 3] == 255))
+    return acc, open_mask, covered
+
+
+def group_sprite_batched(objs, shp):
+    """A Group's rendered sprite via the batched pipeline: rasterize every
+    member with full_sprites_of_objects (one fused dispatch per bucket
+    group), then fold them front-to-back restricted to `shp` in a few
+    chunked kernel calls — replacing the per-member render_scene fold
+    (render.ml:1310-1335), whose per-object dispatch chains and growing
+    accumulator buckets dominate a cold scene build.  Bit-identical: same
+    sprites (fuzz-tested vs the scalar path), same left fold, same
+    restriction; group-internal early termination happens by masking.
+
+    Returns NotImplemented when any member is unsupported (non-Basic,
+    non-plain fill, or a compop the fold does not model) — the caller
+    falls back to the per-object path."""
+    if shp is None:
+        return region.NULL_SPRITE
+    for o in objs:
+        if o.compop is not R.OVER or _batch_extract(o) is None:
+            return NotImplemented
+    sprites = full_sprites_of_objects(objs)
+    layers = [s for s in sprites if s is not None]
+    if not layers:
+        return region.NULL_SPRITE
+    H, W = shp.mask.shape
+    box = shp.box
+    acc = jnp.zeros((H, W, 4), jnp.int32)
+    open_mask = shp.mask
+    covered = jnp.zeros((H, W), bool)
+    for lo in range(0, len(layers), _GROUP_FOLD_CHUNK):
+        chunk = layers[lo : lo + _GROUP_FOLD_CHUNK]
+        offs = np.asarray(
+            [(s.box[1] - box[1], s.box[0] - box[0]) for s in chunk], np.int32
+        )
+        flat = []
+        for s in chunk:
+            flat.append(s.rgba)
+            flat.append(s.mask)
+        acc, open_mask, covered = _group_fold_chunk(
+            acc, open_mask, covered, offs, *flat, hb=H, wb=W
+        )
+    rgba = jnp.where(covered[..., None], acc, 0)
+    return region.Sprite(box, covered, rgba)
+
+
 def sprites_of_keys(ts: TiledScene, keys):
     """Materialize per-object Sprites from a built TiledScene's atlas pieces
     — ONE atlas readback + numpy assembly + one device push per object, so

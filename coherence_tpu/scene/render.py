@@ -778,6 +778,14 @@ def sprite_of_basicshape(o: Obj, shp, whole_scene, force_fancy: bool = False):
             )
             for x in g.objects
         ]
+        from ..utils import flags as _flags
+
+        if _flags.get("batch_group_raster"):
+            from . import fastframe as _ff
+
+            got = _ff.group_sprite_batched(objs, shp)
+            if got is not NotImplemented:
+                return got
         a, _, _ = render_scene(ident.new_ids(), False, (shp, NULL_SPRITE), objs, whole_scene, NULL_SHAPE)
         return a
     if isinstance(g, Basic):

@@ -50,3 +50,9 @@ debug_spritecheck = define(
 cachemaxsize = define("cachemaxsize", 100 * 1024 * 1024, "coherence cache bytes")
 pdf_debug = define("pdf_debug", False, "accumulate renderer debug PDFs")
 pdf_filter_debug = define("pdf_filter_debug", False, "accumulate filter debug PDFs")
+batch_group_raster = define(
+    "batch_group_raster",
+    True,
+    "pre-rasterize group members with one fused dispatch per bucket group "
+    "(trades group-internal early termination for dispatch count)",
+)
