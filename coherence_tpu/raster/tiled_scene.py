@@ -604,6 +604,121 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     return jax.jit(fn)(starts, idxs, bg)
 
 
+def render_dirty_sharded(
+    ts: TiledScene, frame, background, order, dirty_tiles, mesh, interpret: bool = False
+):
+    """Multi-chip IN-PLACE dirty-tile re-render: the frame shards by tile
+    rows over the mesh; each device re-renders its band's dirty tiles with
+    the compacted-grid kernel (_kernel_subset).  The atlas replicates; the
+    per-band scalar lists are built host-side and stacked.  No cross-device
+    communication — dirty tiles are spatially local to their band.
+
+    Bands with no dirty tiles get one slot pointing at their local tile 0
+    with its FULL entry list: an idempotent re-render of correct content is
+    safe under any Pallas flush timing, where a frame passthrough or an
+    empty span (which would composite bare background) would not be.
+    Returns the updated sharded frame (donated)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert ts.nty % n_dev == 0, (ts.nty, n_dev)
+    band_ty = ts.nty // n_dev
+    band_h = band_ty * TILE_H
+
+    dirty = sorted(set(dirty_tiles))
+    per_tile = {t: [] for t in dirty}
+    # Local tile 0 of each band may serve as the idle-band filler.
+    fillers = {d * band_ty * ts.ntx for d in range(n_dev)}
+    for t in fillers:
+        per_tile.setdefault(t, [])
+    for key in order:
+        for tile, entry in ts.pieces.get(key, ()):
+            if tile in per_tile:
+                per_tile[tile].append(entry)
+
+    by_band: List[List[int]] = [[] for _ in range(n_dev)]
+    for t in dirty:
+        by_band[t // (band_ty * ts.ntx)].append(t)
+    n_slots = 8
+    while n_slots < max((len(b) for b in by_band), default=1):
+        n_slots *= 2
+
+    all_coords, all_spans, all_idxs = [], [], []
+    max_idx = 8
+    staged = []
+    for d in range(n_dev):
+        tiles = by_band[d] or [d * band_ty * ts.ntx]
+        coords = np.zeros((n_slots, 2), np.int32)
+        spans = np.zeros((n_slots, 2), np.int32)
+        idxs_list: List[int] = []
+        for j, t in enumerate(tiles):
+            ty_local = t // ts.ntx - d * band_ty
+            coords[j] = (ty_local, t % ts.ntx)
+            lo = len(idxs_list)
+            idxs_list.extend(per_tile[t])
+            spans[j] = (lo, len(idxs_list))
+        coords[len(tiles) :] = coords[len(tiles) - 1]
+        spans[len(tiles) :] = spans[len(tiles) - 1]
+        staged.append((coords, spans, idxs_list))
+        while max_idx < len(idxs_list):
+            max_idx *= 2
+    for coords, spans, idxs_list in staged:
+        idxs = np.zeros(max_idx, np.int32)
+        idxs[: len(idxs_list)] = idxs_list
+        all_coords.append(coords)
+        all_spans.append(spans)
+        all_idxs.append(idxs)
+
+    atlas = ts.atlas()
+
+    def band_dirty(coords_l, spans_l, idxs_l, bg_l, fr_l):
+        return pl.pallas_call(
+            _kernel_subset,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(n_slots,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (TILE_H, TILE_W),
+                        lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((N_BUF, TILE_H, TILE_W), jnp.uint32),
+                    pltpu.SemaphoreType.DMA((N_BUF,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((band_h, ts.width), jnp.uint32),
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )(coords_l[0], spans_l[0], idxs_l[0], bg_l, atlas, fr_l)
+
+    fn = shard_map(
+        band_dirty,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    sh = NamedSharding(mesh, P(axis, None))
+    coords_all = jax.device_put(np.stack(all_coords), NamedSharding(mesh, P(axis, None, None)))
+    spans_all = jax.device_put(np.stack(all_spans), NamedSharding(mesh, P(axis, None, None)))
+    idxs_all = jax.device_put(np.stack(all_idxs), sh)
+    bg = jax.device_put(background, sh)
+    fr = jax.device_put(frame, sh)
+    return jax.jit(fn, donate_argnums=(4,))(coords_all, spans_all, idxs_all, bg, fr)
+
+
 def render_scene_xla_reference(ts: TiledScene, background, order):
     """Slow reference: per-object sequential over-composite (host loop),
     same semantics as the tiled kernel, for testing."""

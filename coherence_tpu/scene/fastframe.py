@@ -514,6 +514,23 @@ class DeviceView:
         self.order: List[object] = []  # idsets front-to-back
         self.sprites: Dict[object, object] = {}
         self.dirty: Set[int] = set(range(self.ts.nty * self.ts.ntx))
+        self.mesh = None
+        self._interpret = False
+
+    def use_mesh(self, mesh, interpret: bool = False):
+        """Shard this view's frame by tile rows over `mesh` (the production
+        multi-chip path): full renders go through render_sharded, dirty
+        renders through render_dirty_sharded — per-band Pallas kernels, the
+        atlas replicated, zero cross-device traffic.  `interpret` runs the
+        Pallas kernels in interpret mode (CPU meshes)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert self.ts.nty % mesh.devices.size == 0, (mesh, self.ts.nty)
+        self.mesh = mesh
+        self._interpret = interpret
+        sh = NamedSharding(mesh, P(mesh.axis_names[0], None))
+        self.background = jax.device_put(self.background, sh)
+        self.frame = jax.device_put(self.frame, sh)
 
     # --- scene maintenance ----------------------------------------------------
 
@@ -618,17 +635,31 @@ class DeviceView:
 
     def render(self, full: bool = False) -> None:
         """Composite dirty tiles (or everything) into the frame buffer."""
+        from ..raster.tiled_scene import render_dirty_sharded, render_sharded
+
         if full:
-            starts, idxs = self.ts.build_lists(self.order)
-            self.frame = self.ts.render(self.background, starts, idxs)
+            if self.mesh is not None:
+                self.frame = render_sharded(
+                    self.ts, self.background, self.order, self.mesh,
+                    interpret=self._interpret,
+                )
+            else:
+                starts, idxs = self.ts.build_lists(self.order)
+                self.frame = self.ts.render(self.background, starts, idxs)
         else:
             if not self.dirty:
                 return
             # In-place dirty-tile re-render: the grid runs only over the
             # dirty list (frame is donated into the kernel).
-            self.frame = self.ts.render_dirty(
-                self.frame, self.background, self.order, sorted(self.dirty)
-            )
+            if self.mesh is not None:
+                self.frame = render_dirty_sharded(
+                    self.ts, self.frame, self.background, self.order,
+                    sorted(self.dirty), self.mesh, interpret=self._interpret,
+                )
+            else:
+                self.frame = self.ts.render_dirty(
+                    self.frame, self.background, self.order, sorted(self.dirty)
+                )
         self.dirty.clear()
 
     def read(self) -> np.ndarray:

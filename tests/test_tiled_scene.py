@@ -228,3 +228,94 @@ def test_add_boxes_matches_add_object():
     fa = a.render(bg, *a.build_lists(order))
     fb = b.render(bg, *b.build_lists(order))
     assert np.array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_sharded_dirty_tiles_match_unsharded():
+    """The PRODUCT multi-chip path: a mesh-sharded DeviceView's dirty-tile
+    re-render must be pixel-equal to the unsharded view — across dirty
+    subsets including tile 0, bands with no dirty tiles, and an animated
+    in-place object move."""
+    import jax.numpy as jnp
+
+    from coherence_tpu.parallel import make_mesh
+    from coherence_tpu.raster.region import shape_of_box
+
+    W, H = TILE_W * 2, TILE_H * 8
+    ts, order = _mk_scene(W, H, 24)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    mesh = make_mesh(8)
+    frame_u = ts.render(bg, *ts.build_lists(order))
+    frame_s = frame_u + 0
+
+    for dirty in [
+        {0},  # tile 0 only (the aliasing hazard slot), 7 bands idle
+        {1, 3},  # one band partially dirty
+        set(range(ts.nty * ts.ntx)),  # everything
+        {ts.ntx * (ts.nty - 1) + 1},  # last band only
+    ]:
+        # Scene change: recolour the topmost object so dirty tiles differ.
+        k = order[0]
+        col = C.dissolve(C.colour_of_rgba(30 + len(dirty), 80, 160, 255), delta=200)
+        x0, y0 = 5 + 3 * len(dirty), 9
+        spr = region.fillshape(
+            shape_of_box((x0, y0, x0 + 30, y0 + 30)), rfills.plain(col)
+        )
+        ts.add_object(k, spr)
+        frame_u = ts.render_dirty(frame_u, bg, order, sorted(dirty))
+        frame_s = TS.render_dirty_sharded(
+            ts, frame_s, bg, order, sorted(dirty), mesh, interpret=True
+        )
+        assert np.array_equal(np.asarray(frame_u), np.asarray(frame_s)), dirty
+
+
+def test_sharded_deviceview_matches_unsharded():
+    """DeviceView.use_mesh: full render + translate_object dirty re-render
+    sharded over an 8-device CPU mesh equals the unsharded view."""
+    from coherence_tpu import ident
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.parallel import make_mesh
+    from coherence_tpu.scene import render as R
+    from coherence_tpu.scene.fastframe import DeviceView
+
+    W, H = TILE_W * 2, TILE_H * 8
+
+    def build():
+        v = DeviceView(W, H)
+        scene = [
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(
+                    rfills.plain(C.dissolve(C.crimson, delta=170)),
+                    R.PathShape(gshapes.circle(60.0, 80.0, 25.0)),
+                ),
+                (),
+                R.OVER,
+            ),
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(rfills.plain(C.steelblue), R.rectangle(20.0, 40.0, 150.0, 300.0)),
+                (),
+                R.OVER,
+            ),
+        ]
+        v.set_scene(scene)
+        return v, scene
+
+    v1, scene1 = build()
+    v2, scene2 = build()
+    v2.use_mesh(make_mesh(8), interpret=True)
+    v1.render(full=True)
+    v2.render(full=True)
+    assert np.array_equal(v1.read(), v2.read())
+
+    for (va, sc) in ((v1, scene1), (v2, scene2)):
+        va.make_animated(sc[0].idset)
+        va.render()
+    assert np.array_equal(v1.read(), v2.read())
+
+    for step in [(7, 30), (0, 64), (-3, -10)]:
+        v1.translate_object(scene1[0].idset, *step)
+        v2.translate_object(scene2[0].idset, *step)
+        v1.render()
+        v2.render()
+        assert np.array_equal(v1.read(), v2.read()), step
