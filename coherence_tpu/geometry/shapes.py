@@ -303,6 +303,20 @@ def capsegment(spec: StrokeSpec, r, r2):
     return start_segments + r2 + end_segments + _reverserail(r)
 
 
+def _fdiv(a: float, b: float) -> float:
+    """IEEE float division, as OCaml's ``/.``: x/0 = ±inf, 0/0 = nan.
+    Python raises ZeroDivisionError instead, which the stroker must not do
+    — parallel/degenerate rails (e.g. a path reversing along itself) hit
+    these divisions and rely on the inf/nan propagating into the
+    mitre-limit and on-line checks, which then reject the crosspoint
+    exactly as the reference does (shapes.ml:284-304, 344-403)."""
+    if b == 0.0:
+        if a == 0.0 or a != a:
+            return math.nan
+        return math.inf if (a > 0.0) == (math.copysign(1.0, b) > 0.0) else -math.inf
+    return a / b
+
+
 def crosspoint(p1: Point, v1: Point, p2: Point, v2: Point) -> Point:
     """Intersection of two point+vector lines (shapes.ml:284-304)."""
     px, py = p1
@@ -314,22 +328,22 @@ def crosspoint(p1: Point, v1: Point, p2: Point, v2: Point) -> Point:
     if vx == 0.0 and vy2 == 0.0:
         return (px, py2)
     if vx2 == 0.0:
-        return (px2, (vy / vx) * (px2 - px) + py)
+        return (px2, _fdiv(vy, vx) * (px2 - px) + py)
     if vx == 0.0:
-        return (px, (vy2 / vx2) * (px - px2) + py2)
+        return (px, _fdiv(vy2, vx2) * (px - px2) + py2)
     if vy2 == 0.0:
-        return ((py2 - py) / (vy / vx) + px, py2)
+        return (_fdiv(py2 - py, _fdiv(vy, vx)) + px, py2)
     if vy == 0.0:
-        return ((py - py2) / (vy2 / vx2) + px2, py)
-    m = vy / vx
-    m2 = vy2 / vx2
+        return (_fdiv(py - py2, _fdiv(vy2, vx2)) + px2, py)
+    m = _fdiv(vy, vx)
+    m2 = _fdiv(vy2, vx2)
     c = py + (-px * m)
     c2 = py2 + (-px2 * m2)
-    p = m / m2
+    p = _fdiv(m, m2)
     c3 = c2 * p
     ycoeff = 1.0 - p
-    y = (c - c3) / ycoeff
-    x = (c - y) / (-m)
+    y = _fdiv(c - c3, ycoeff)
+    x = _fdiv(c - y, -m)
     return (x, y)
 
 
