@@ -121,6 +121,113 @@ class GraphicInlineImage:
 
 
 @dataclass
+class PdfFunction:
+    """Minimal Pdffun (reference Pdffun.parse_function): Type 2
+    (exponential interpolation), Type 3 (stitching) and a raw passthrough
+    for other kinds (sampled/PostScript keep their dict for round-trip)."""
+
+    kind: int
+    domain: tuple
+    c0: tuple = (0.0,)
+    c1: tuple = (1.0,)
+    n: float = 1.0
+    functions: tuple = ()  # type 3 subfunctions
+    bounds: tuple = ()
+    encode: tuple = ()
+    raw: object = None  # unsupported kinds: the resolved dict
+
+
+def eval_function(f: PdfFunction, t: float):
+    """Evaluate at t (clamped to the domain).  Type 2/3 per the PDF spec;
+    unsupported kinds evaluate as identity-ish constants (c0)."""
+    d0, d1 = f.domain[0], f.domain[1]
+    t = min(max(t, d0), d1)
+    if f.kind == 2:
+        return [
+            c0 + (t ** f.n) * (c1 - c0) for c0, c1 in zip(f.c0, f.c1)
+        ]
+    if f.kind == 3:
+        k = 0
+        while k < len(f.bounds) and t >= f.bounds[k]:
+            k += 1
+        lo = d0 if k == 0 else f.bounds[k - 1]
+        hi = d1 if k == len(f.bounds) else f.bounds[k]
+        e0, e1 = f.encode[2 * k], f.encode[2 * k + 1]
+        tt = e0 if hi == lo else e0 + (t - lo) * (e1 - e0) / (hi - lo)
+        return eval_function(f.functions[k], tt)
+    return list(f.c0)
+
+
+@dataclass
+class FunctionShadingK:
+    """function_shading (pdfgraphics.mli:36-39)."""
+
+    domain: tuple  # (x0, x1, y0, y1)
+    matrix: "Matrix"
+    function: PdfFunction
+
+
+@dataclass
+class AxialShadingK:
+    """axial_shading (pdfgraphics.mli:47-51)."""
+
+    coords: tuple  # (x0, y0, x1, y1)
+    domain: tuple  # (t0, t1)
+    functions: tuple  # PdfFunction list
+    extend: tuple  # (bool, bool)
+
+
+@dataclass
+class RadialShadingK:
+    """radial_shading (pdfgraphics.mli:41-45)."""
+
+    coords: tuple  # (x0, y0, r0, x1, y1, r1)
+    domain: tuple
+    functions: tuple
+    extend: tuple
+
+
+@dataclass
+class Shading:
+    """shading (pdfgraphics.mli:62-69)."""
+
+    colourspace: object
+    background: object
+    bbox: object
+    antialias: bool
+    matrix: "Matrix"
+    extgstate: object
+    kind: object  # one of the *ShadingK dataclasses or a placeholder str
+
+
+@dataclass
+class ShadingPattern:
+    """pattern = ShadingPattern (pdfgraphics.mli:71-74)."""
+
+    shading: Shading
+    name: str = ""  # resource name, kept for round-trip
+
+
+@dataclass
+class TilingPattern:
+    """Tiling pattern stub — the reference also only tags these
+    (pdfgraphics.ml:598-599 read_tiling_pattern)."""
+
+    coloured: bool = True
+
+
+@dataclass
+class GShading:
+    """`sh` operator element (pdfgraphics.mli:158: Shading of path option *
+    shading * matrix): paint the shading through the active clip."""
+
+    clip: object  # Optional[gpath.Path]
+    shading: Shading
+    transform: "Matrix"
+    name: str = ""  # resource name, kept for round-trip
+
+
+@dataclass
 class Graphic:
     elements: list
     resources: dict = field(default_factory=dict)
@@ -199,6 +306,104 @@ def _inline_image_bytes(d: dict) -> Optional[int]:
         return None
     row = (w * channels * int(bpc) + 7) // 8
     return row * h
+
+
+def parse_function(pdf: Pdf, obj) -> PdfFunction:
+    """Pdffun.parse_function subset: Type 2/3 parsed fully, other kinds
+    kept raw for round-trip."""
+    d = pdf.resolve(obj)
+    dd = d.dict if isinstance(d, Stream) else d
+    if not isinstance(dd, dict):
+        return PdfFunction(0, (0.0, 1.0), raw=dd)
+    ft = int(pdf.resolve(dd.get("FunctionType", 2)))
+    dom = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Domain", [0, 1])))
+    if ft == 2:
+        c0 = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("C0", [0.0])))
+        c1 = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("C1", [1.0])))
+        n = float(pdf.resolve(dd.get("N", 1)))
+        return PdfFunction(2, dom, c0, c1, n)
+    if ft == 3:
+        fns = tuple(parse_function(pdf, f) for f in pdf.resolve(dd.get("Functions", [])))
+        bounds = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Bounds", [])))
+        enc = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Encode", [])))
+        return PdfFunction(3, dom, functions=fns, bounds=bounds, encode=enc)
+    return PdfFunction(ft, dom, raw=dd)
+
+
+def _matrix_entry(pdf: Pdf, dd: dict, key: str = "Matrix") -> Matrix:
+    m = pdf.resolve(dd.get(key)) if isinstance(dd, dict) else None
+    if isinstance(m, list) and len(m) == 6:
+        return tuple(float(pdf.resolve(v)) for v in m)
+    return _ID
+
+
+def read_shading(pdf: Pdf, matrix: Matrix, extgstate, sh) -> Shading:
+    """read_shading (pdfgraphics.ml:668-700)."""
+    d = pdf.resolve(sh)
+    dd = d.dict if isinstance(d, Stream) else d
+    cs = pdf.resolve(dd.get("ColorSpace"))
+    bg = pdf.resolve(dd.get("Background"))
+    bbox = pdf.resolve(dd.get("BBox"))
+    aa = pdf.resolve(dd.get("AntiAlias", False)) is True
+    st = int(pdf.resolve(dd.get("ShadingType", 0)))
+
+    def funcs():
+        f = pdf.resolve(dd.get("Function"))
+        if isinstance(f, list):
+            return tuple(parse_function(pdf, x) for x in f)
+        return (parse_function(pdf, f),)
+
+    def floats(key, n, default=None):
+        v = pdf.resolve(dd.get(key))
+        if isinstance(v, list) and len(v) == n:
+            return tuple(float(pdf.resolve(x)) for x in v)
+        if default is None:
+            raise ValueError(f"read_shading: missing /{key}")
+        return default
+
+    def extend():
+        v = pdf.resolve(dd.get("Extend"))
+        if isinstance(v, list) and len(v) == 2:
+            return (pdf.resolve(v[0]) is True, pdf.resolve(v[1]) is True)
+        return (False, False)
+
+    if st == 1:
+        kind = FunctionShadingK(
+            floats("Domain", 4, (0.0, 1.0, 0.0, 1.0)),
+            _matrix_entry(pdf, dd),
+            parse_function(pdf, dd.get("Function")),
+        )
+    elif st == 2:
+        kind = AxialShadingK(
+            floats("Coords", 4), floats("Domain", 2, (0.0, 1.0)), funcs(), extend()
+        )
+    elif st == 3:
+        kind = RadialShadingK(
+            floats("Coords", 6), floats("Domain", 2, (0.0, 1.0)), funcs(), extend()
+        )
+    else:
+        kind = {
+            4: "FreeFormGouraudShading",
+            5: "LatticeFormGouraudShading",
+            6: "CoonsPatchMesh",
+            7: "TensorProductPatchMesh",
+        }.get(st, f"ShadingType{st}")
+    return Shading(cs, bg, bbox, aa, matrix, extgstate, kind)
+
+
+def read_pattern(pdf: Pdf, obj):
+    """read_shading_pattern / read_tiling_pattern (pdfgraphics.ml:598,700+)."""
+    d = pdf.resolve(obj)
+    dd = d.dict if isinstance(d, Stream) else d
+    if not isinstance(dd, dict):
+        return None
+    pt = int(pdf.resolve(dd.get("PatternType", 1)))
+    if pt == 2:
+        mtx = _matrix_entry(pdf, dd)
+        egs = pdf.resolve(dd.get("ExtGState")) or {}
+        return ShadingPattern(read_shading(pdf, mtx, egs, dd.get("Shading")))
+    paint = int(pdf.resolve(dd.get("PaintType", 1)))
+    return TilingPattern(coloured=paint == 1)
 
 
 def _tokenize(content: bytes):
@@ -327,7 +532,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
     def resolve_cs(name_or_obj, resources):
         if isinstance(name_or_obj, Name):
             n = name_or_obj.v
-            if n in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY):
+            if n in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY, "Pattern"):
                 return n
             csd = pdf.resolve(resources.get("ColorSpace", {})) if resources else {}
             cs = pdf.resolve(csd.get(n)) if isinstance(csd, dict) else None
@@ -471,19 +676,42 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
             elif op == "CS":
                 stroke_cs = resolve_cs(stack.pop(), resources)
             elif op in ("sc", "scn"):
+                pat_name = stack.pop() if stack and isinstance(stack[-1], Name) else None
                 vals = []
                 while stack and isinstance(stack[-1], (int, float)):
                     vals.append(num(stack.pop()))
                 vals.reverse()
-                if vals:
+                if pat_name is not None:
+                    pats = pdf.resolve(resources.get("Pattern", {}))
+                    pobj = pats.get(pat_name.v) if isinstance(pats, dict) else None
+                    pat = read_pattern(pdf, pobj) if pobj is not None else None
+                    if pat is not None:
+                        if isinstance(pat, ShadingPattern):
+                            pat.name = pat_name.v
+                        gs.fill = ("Pattern", pat)
+                elif vals:
                     gs.fill = (fill_cs, vals)
             elif op in ("SC", "SCN"):
+                pat_name = stack.pop() if stack and isinstance(stack[-1], Name) else None
                 vals = []
                 while stack and isinstance(stack[-1], (int, float)):
                     vals.append(num(stack.pop()))
                 vals.reverse()
-                if vals:
+                if pat_name is not None:
+                    pats = pdf.resolve(resources.get("Pattern", {}))
+                    pobj = pats.get(pat_name.v) if isinstance(pats, dict) else None
+                    pat = read_pattern(pdf, pobj) if pobj is not None else None
+                    if pat is not None:
+                        gs.stroke = ("Pattern", pat)
+                elif vals:
                     gs.stroke = (stroke_cs, vals)
+            elif op == "sh":
+                name = stack.pop()
+                shd = pdf.resolve(resources.get("Shading", {}))
+                sobj = shd.get(name.v) if isinstance(shd, dict) else None
+                if sobj is not None:
+                    shading = read_shading(pdf, gs.ctm, {}, sobj)
+                    sinks[-1].append(GShading(None, shading, gs.ctm, name=name.v))
             elif op == "w":
                 gs.linewidth = num(stack.pop())
             elif op == "J":
@@ -711,9 +939,77 @@ def _ser_operand(v) -> str:
     return "null"
 
 
+def _function_dict(f: PdfFunction):
+    if f.kind == 2:
+        return {
+            "FunctionType": 2,
+            "Domain": list(f.domain),
+            "C0": list(f.c0),
+            "C1": list(f.c1),
+            "N": f.n,
+        }
+    if f.kind == 3:
+        return {
+            "FunctionType": 3,
+            "Domain": list(f.domain),
+            "Functions": [_function_dict(x) for x in f.functions],
+            "Bounds": list(f.bounds),
+            "Encode": list(f.encode),
+        }
+    return f.raw if isinstance(f.raw, dict) else {"FunctionType": f.kind}
+
+
+def _shading_dict(s: Shading):
+    d = {}
+    if s.colourspace is not None:
+        d["ColorSpace"] = s.colourspace
+    if s.background is not None:
+        d["Background"] = s.background
+    if s.bbox is not None:
+        d["BBox"] = s.bbox
+    if s.antialias:
+        d["AntiAlias"] = True
+    k = s.kind
+    if isinstance(k, AxialShadingK):
+        d["ShadingType"] = 2
+        d["Coords"] = list(k.coords)
+        d["Domain"] = list(k.domain)
+        d["Extend"] = list(k.extend)
+        fns = [_function_dict(f) for f in k.functions]
+        d["Function"] = fns[0] if len(fns) == 1 else fns
+    elif isinstance(k, RadialShadingK):
+        d["ShadingType"] = 3
+        d["Coords"] = list(k.coords)
+        d["Domain"] = list(k.domain)
+        d["Extend"] = list(k.extend)
+        fns = [_function_dict(f) for f in k.functions]
+        d["Function"] = fns[0] if len(fns) == 1 else fns
+    elif isinstance(k, FunctionShadingK):
+        d["ShadingType"] = 1
+        d["Domain"] = list(k.domain)
+        if k.matrix != _ID:
+            d["Matrix"] = list(k.matrix)
+        d["Function"] = _function_dict(k.function)
+    return d
+
+
+def _pattern_dict(p: ShadingPattern):
+    d = {"PatternType": 2, "Shading": _shading_dict(p.shading)}
+    if p.shading.matrix != _ID:
+        d["Matrix"] = list(p.shading.matrix)
+    return d
+
+
 def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
     """Serialize path elements back to a one-page PDF."""
     ops: List[str] = []
+    shading_res: dict = {}
+    pattern_res: dict = {}
+
+    def res_name(d: dict, prefix: str, payload) -> str:
+        nm = f"{prefix}{len(d)}"
+        d[nm] = payload
+        return nm
 
     def emit_path(p: gpath.Path):
         for sp in p.subpaths:
@@ -745,7 +1041,13 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                     ops.append(f"{a.path_capstyle} J {a.path_joinstyle} j")
                 if a.path_fill is not None:
                     cs, vals = a.path_fill
-                    if cs == DEVICE_RGB:
+                    if isinstance(vals, ShadingPattern):
+                        nm = vals.name or res_name(pattern_res, "P", None)
+                        pattern_res[nm] = _pattern_dict(vals)
+                        ops.append(f"/Pattern cs /{nm} scn")
+                    elif isinstance(vals, TilingPattern):
+                        pass  # tiling stub: no paint (reference tags only)
+                    elif cs == DEVICE_RGB:
                         ops.append(" ".join(map(_fmt, vals)) + " rg")
                     elif cs == DEVICE_GRAY:
                         ops.append(f"{_fmt(vals[0])} g")
@@ -803,11 +1105,26 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                     "BI " + body + " ID\n" + el.data.decode("latin1") + "\nEI"
                 )
                 ops.append("Q")
+            elif isinstance(el, GShading):
+                nm = el.name or res_name(shading_res, "Sh", None)
+                shading_res[nm] = _shading_dict(el.shading)
+                ops.append("q")
+                if el.transform != _ID:
+                    ops.append(" ".join(map(_fmt, el.transform)) + " cm")
+                ops.append(f"/{nm} sh")
+                ops.append("Q")
             # Image XObject uses need the source document's object copied
             # across; like the rest of the writer this emits content only,
             # so they are dropped here.
 
     walk(graphic.elements)
+    resources = {}
+    if shading_res:
+        resources["Shading"] = shading_res
+    if pattern_res:
+        resources["Pattern"] = pattern_res
     # latin1 inverts the latin1 decode used when capturing binary operands
     # (inline-image data, non-ASCII string bytes); utf-8 would widen them.
-    return mkpage("\n".join(ops).encode("latin1"), mediabox=mediabox)
+    return mkpage(
+        "\n".join(ops).encode("latin1"), mediabox=mediabox, resources=resources
+    )

@@ -23,6 +23,13 @@ def rgb_of_cmyk(c, m, y, k):
 
 
 def fill_of_pdf_colour(vals, transparency: float, colourspace: str) -> rfills.Fill:
+    if isinstance(vals, PG.ShadingPattern):
+        got = fill_of_shading_pattern(vals, transparency)
+        if got is not None:
+            return got
+        return rfills.plain(C.gray)  # unsupported shading kind
+    if isinstance(vals, PG.TilingPattern):
+        return rfills.plain(C.gray)  # tiling stub (reference tags only)
     t = int(transparency * 255.0)
     if colourspace == PG.DEVICE_RGB and len(vals) == 3:
         r, g, b = vals
@@ -34,6 +41,56 @@ def fill_of_pdf_colour(vals, transparency: float, colourspace: str) -> rfills.Fi
         return rfills.plain(C.red)  # colourspace mismatch fallback
     col = C.dissolve(C.colour_of_rgba_float(r, g, b, 1.0), delta=t)
     return rfills.plain(col)
+
+
+def _colour_of_components(cs_obj, comps, transparency: float) -> int:
+    name = cs_obj.v if hasattr(cs_obj, "v") else str(cs_obj)
+    if name == PG.DEVICE_RGB and len(comps) == 3:
+        r, g, b = comps
+    elif name == PG.DEVICE_CMYK and len(comps) == 4:
+        r, g, b = rgb_of_cmyk(*comps)
+    elif len(comps) == 1:
+        r = g = b = comps[0]
+    elif len(comps) == 3:
+        r, g, b = comps
+    else:
+        r = g = b = 0.5
+    t = int(transparency * 255.0)
+    return C.dissolve(C.colour_of_rgba_float(r, g, b, 1.0), delta=t)
+
+
+def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
+    """Map an axial/radial shading pattern onto the renderer's gradient
+    fills (fill.ml:77-140): endpoint colours come from the PDF function
+    evaluated at the domain ends (exact for the common single Type-2
+    linear function; stitched functions approximate by endpoints).
+    Pattern-space coordinates transform by the pattern /Matrix."""
+    sh = pat.shading
+    k = sh.kind
+    if not isinstance(k, (PG.AxialShadingK, PG.RadialShadingK)):
+        return None
+    f = k.functions[0] if k.functions else None
+    if f is None:
+        return None
+    v0 = PG.eval_function(f, k.domain[0])
+    v1 = PG.eval_function(f, k.domain[1])
+    c0 = _colour_of_components(sh.colourspace, v0, transparency)
+    c1 = _colour_of_components(sh.colourspace, v1, transparency)
+    m = sh.matrix
+
+    def xf(x, y):
+        a, b, c_, d, e, fz = m
+        return (a * x + c_ * y + e, b * x + d * y + fz)
+
+    if isinstance(k, PG.AxialShadingK):
+        p0 = xf(k.coords[0], k.coords[1])
+        p1 = xf(k.coords[2], k.coords[3])
+        return rfills.gradient(p0, p1, k.extend[0], k.extend[1], c0, c1)
+    x0, y0, r0, x1, y1, r1 = k.coords
+    c = xf(x1, y1)
+    return rfills.radial(
+        c, xf(x1 + r0, y1), xf(x1 + r1, y1), k.extend[0], k.extend[1], c0, c1
+    )
 
 
 def cap_of_pdfcap(c: int) -> str:

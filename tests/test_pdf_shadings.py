@@ -1,0 +1,141 @@
+"""PDF shadings and patterns (pdfgraphics.mli:33-127): the `sh` operator
+and Pattern-colourspace fills parse into shading dataclasses, round-trip
+through page_of_graphic, and render as gradient fills."""
+
+import numpy as np
+
+import coherence_tpu.colour as C
+from coherence_tpu.io import pdfgraphics as PG
+from coherence_tpu.io.pdf import Name, mkpage, pdf_of_bytes, pdf_to_bytes
+from coherence_tpu.raster import fills as rfills, region
+from coherence_tpu.scene import cache, pdfscene, render as R
+
+
+AXIAL = {
+    "ShadingType": 2,
+    "ColorSpace": Name("DeviceRGB"),
+    "Coords": [10.0, 0.0, 60.0, 0.0],
+    "Domain": [0.0, 1.0],
+    "Extend": [True, False],
+    "Function": {
+        "FunctionType": 2,
+        "Domain": [0.0, 1.0],
+        "C0": [1.0, 0.0, 0.0],
+        "C1": [0.0, 0.0, 1.0],
+        "N": 1,
+    },
+}
+
+RADIAL = {
+    "ShadingType": 3,
+    "ColorSpace": Name("DeviceGray"),
+    "Coords": [40.0, 40.0, 0.0, 40.0, 40.0, 25.0],
+    "Function": {
+        "FunctionType": 3,
+        "Domain": [0.0, 1.0],
+        "Functions": [
+            {"FunctionType": 2, "Domain": [0.0, 1.0], "C0": [1.0], "C1": [0.5], "N": 1},
+            {"FunctionType": 2, "Domain": [0.0, 1.0], "C0": [0.5], "C1": [0.0], "N": 1},
+        ],
+        "Bounds": [0.5],
+        "Encode": [0.0, 1.0, 0.0, 1.0],
+    },
+}
+
+
+def _mkdoc():
+    content = b"""
+/Pattern cs /P0 scn
+10 10 60 40 re f
+q 1 0 0 1 5 5 cm /Sh0 sh Q
+"""
+    resources = {
+        "Shading": {"Sh0": dict(RADIAL)},
+        "Pattern": {
+            "P0": {
+                "PatternType": 2,
+                "Matrix": [1.0, 0.0, 0.0, 1.0, 2.0, 3.0],
+                "Shading": dict(AXIAL),
+            }
+        },
+    }
+    return mkpage(content, mediabox=(0, 0, 100, 80), resources=resources)
+
+
+def _page_dict(pdf):
+    pages = pdf.resolve(pdf.resolve(pdf.trailer["Root"])["Pages"])
+    return pdf.resolve(pages["Kids"][0])
+
+
+def test_parse_shading_and_pattern():
+    pdf = _mkdoc()
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    paths = [e for e in g.elements if isinstance(e, PG.GPath)]
+    shs = [e for e in g.elements if isinstance(e, PG.GShading)]
+    assert len(paths) == 1 and len(shs) == 1
+
+    cs, pat = paths[0].attributes.path_fill
+    assert cs == "Pattern" and isinstance(pat, PG.ShadingPattern)
+    ax = pat.shading.kind
+    assert isinstance(ax, PG.AxialShadingK)
+    assert ax.coords == (10.0, 0.0, 60.0, 0.0)
+    assert ax.extend == (True, False)
+    assert pat.shading.matrix == (1.0, 0.0, 0.0, 1.0, 2.0, 3.0)
+    f = ax.functions[0]
+    assert f.kind == 2 and f.c0 == (1.0, 0.0, 0.0) and f.c1 == (0.0, 0.0, 1.0)
+    # Function evaluation: midpoint is the linear mix.
+    assert PG.eval_function(f, 0.5) == [0.5, 0.0, 0.5]
+
+    rad = shs[0].shading.kind
+    assert isinstance(rad, PG.RadialShadingK)
+    assert rad.coords == (40.0, 40.0, 0.0, 40.0, 40.0, 25.0)
+    f3 = rad.functions[0]
+    assert f3.kind == 3 and f3.bounds == (0.5,)
+    assert PG.eval_function(f3, 0.25) == [0.75]  # first stitched segment
+    assert PG.eval_function(f3, 0.75) == [0.25]  # second
+    # The sh element captured the CTM in force (the q..cm).
+    assert shs[0].transform == (1.0, 0.0, 0.0, 1.0, 5.0, 5.0)
+
+
+def test_shading_roundtrip():
+    pdf = _mkdoc()
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    out = PG.page_of_graphic(g, mediabox=(0, 0, 100, 80))
+    pdf2 = pdf_of_bytes(pdf_to_bytes(out))
+    g2 = PG.graphic_of_page(pdf2, _page_dict(pdf2))
+
+    def summary(gx):
+        pats = [
+            e.attributes.path_fill[1].shading.kind
+            for e in gx.elements
+            if isinstance(e, PG.GPath) and e.attributes.path_fill is not None
+        ]
+        shs = [e.shading.kind for e in gx.elements if isinstance(e, PG.GShading)]
+        return pats, shs
+
+    p1, s1 = summary(g)
+    p2, s2 = summary(g2)
+    assert p1 == p2, (p1, p2)
+    assert s1 == s2, (s1, s2)
+
+
+def test_shading_pattern_renders_as_gradient():
+    cache.clear()
+    pdf = _mkdoc()
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    fills = [o.geometry.fill for o in scene]
+    assert any(isinstance(f, rfills.GradientFill) for f in fills)
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 100, 80)))
+    x0, y0, _, _ = spr.box
+    m = np.asarray(spr.mask)
+    r4 = np.asarray(spr.rgba)
+    # Row inside the rect: red at the left edge of the gradient, blue at
+    # the right (Coords 10..60, C0 red -> C1 blue).
+    y = 30 - y0
+    left = r4[y, 12 - x0]
+    right = r4[y, 58 - x0]
+    assert m[y, 12 - x0] and m[y, 58 - x0]
+    assert left[0] > 200 and left[2] < 60, left  # red end
+    assert right[2] > 200 and right[0] < 60, right  # blue end
+    cache.clear()
