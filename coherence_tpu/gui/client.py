@@ -89,9 +89,11 @@ class HeadlessClient:
             w = self._next
             self._next += 1
             self.windows[w] = ClientWindow(name, sx, sy, np.zeros((sy, sx, 3), np.uint8))
+            self._on_make_window(w)
             self.reply("MakeWindow", w)
         elif head == "CloseWindow":
             self.windows.pop(args[0], None)
+            self._on_close_window(args[0])
             self.reply("CloseWindow")
         elif head == "WindowWidth":
             self.reply("WindowWidth", self.windows[args[0]].width)
@@ -114,17 +116,21 @@ class HeadlessClient:
                 ww = min(width, win.width - x)
                 if h > 0 and ww > 0:
                     win.image[y : y + h, x : x + ww] = arr[:h, :ww]
+                self._on_refresh(w)
             self.reply("RefreshWindow")
         elif head == "SetStatusBar":
             if args[0] in self.windows:
                 s = args[1].decode("latin1") if isinstance(args[1], bytes) else args[1]
                 self.windows[args[0]].status = s
+                self._on_window_state(args[0])
         elif head == "SetBlurSlider":
             if args[0] in self.windows:
                 self.windows[args[0]].blur = args[1]
+                self._on_window_state(args[0])
         elif head == "SetTransSlider":
             if args[0] in self.windows:
                 self.windows[args[0]].trans = args[1]
+                self._on_window_state(args[0])
         elif head == "SetCacheText":
             self.cachetext = (
                 args[0].decode("latin1") if isinstance(args[0], bytes) else args[0]
@@ -135,6 +141,20 @@ class HeadlessClient:
             self.running = False
             return False
         return True
+
+    # --- display hooks (no-ops headless; a widget toolkit overrides) ------
+
+    def _on_make_window(self, w: int):
+        pass
+
+    def _on_close_window(self, w: int):
+        pass
+
+    def _on_refresh(self, w: int):
+        pass
+
+    def _on_window_state(self, w: int):
+        pass
 
     def pump(self, until_idle_events: int = 0):
         """Handle messages until the socket would block."""

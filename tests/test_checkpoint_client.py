@@ -193,3 +193,35 @@ def test_remote_display_end_to_end():
         c.save_png(view.window, f.name)
         back = read_png(f.name)
     assert np.array_equal(back, win.image)
+
+
+def test_tkclient_helpers():
+    """TkClient's pure helpers (no display needed): PPM encoding accepted
+    by tk.PhotoImage's format, wx keycode mapping parity."""
+    import numpy as np
+
+    from coherence_tpu.gui import tkclient, window as W
+
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)
+    data = tkclient.ppm_bytes(img)
+    assert data.startswith(b"P6\n3 2\n255\n") and len(data) == 11 + 18
+
+    for sym, code in [("Escape", 27), ("Left", 314), ("a", 65), ("Z", 90)]:
+        got = tkclient._keycode_of_keysym(sym)
+        assert got == code
+        # The engine decodes it back to the same key name family.
+        assert W.key_of_keycode(got) in (sym.capitalize() if len(sym) > 1 else sym.upper(), sym.upper(), "Escape", "Left")
+    assert tkclient._keycode_of_keysym("F13") is None
+
+
+def test_tkclient_headless_display_optional():
+    """Constructing TkClient needs a display; headless CI skips."""
+    import pytest
+
+    tk = pytest.importorskip("tkinter")
+    try:
+        root = tk.Tk()
+    except Exception:
+        pytest.skip("no display")
+    root.destroy()
