@@ -178,10 +178,10 @@ def main():
     def frame(k):
         dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
         prev_box = view.sprites[blob_key].box
-        view.translate_object(blob_key, dxy[0], dxy[1])
-        dirty = box_union(prev_box, view.sprites[blob_key].box)
-        disp.step(dirty)
-        return dirty
+        # ONE fused dispatch: atlas piece update + dirty-tile recomposite +
+        # windowed blur blend (FilteredDisplay.step_animated).
+        disp.step_animated(blob_key, dxy[0], dxy[1])
+        return box_union(prev_box, view.sprites[blob_key].box)
 
     def frame_plain(k):
         dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)

@@ -386,11 +386,10 @@ class TiledScene:
         self._reserved[key] = (base, cap)
         self.pieces[key] = []
 
-    def update_object_inplace(self, key, spr: Sprite) -> None:
-        """Move/replace an animated object's raster: shatter into its
-        reserved slots with ONE fused dispatch (donated atlas).  The
-        sprite must fit the reserved capacity ((tiles_y+?) x (tiles_x+?)
-        of the sprite that was reserved for)."""
+    def _inplace_args(self, key, spr: Sprite):
+        """Host-side args for the in-place shatter of an animated object:
+        (oys, oxs, base, entries), or None for an off-grid sprite.  Updates
+        no state; the caller runs the kernel and installs `entries`."""
         base, cap = self._reserved[key]
         x0, y0, x1, y1 = spr.box
         tx_lo = max(0, (x0 - 1) // TILE_W)
@@ -405,8 +404,7 @@ class TiledScene:
         if len(coords) > cap:
             raise ValueError(f"update_object_inplace: {len(coords)} pieces > cap {cap}")
         if not coords:
-            self.pieces[key] = []
-            return
+            return None
         # Pad to cap by repeating the last piece (unreferenced duplicates
         # are harmless; a fixed count keeps one XLA program).
         padded = coords + [coords[-1]] * (cap - len(coords))
@@ -414,12 +412,25 @@ class TiledScene:
         # instead of paying a standalone eager transfer round trip.
         oys = np.asarray([ty * TILE_H - (y0 - 1) for ty, _ in padded], np.int32)
         oxs = np.asarray([tx * TILE_W - (x0 - 1) for _, tx in padded], np.int32)
+        entries = [
+            (ty * self.ntx + tx, base + j) for j, (ty, tx) in enumerate(coords)
+        ]
+        return oys, oxs, base, entries
+
+    def update_object_inplace(self, key, spr: Sprite) -> None:
+        """Move/replace an animated object's raster: shatter into its
+        reserved slots with ONE fused dispatch (donated atlas).  The
+        sprite must fit the reserved capacity ((tiles_y+?) x (tiles_x+?)
+        of the sprite that was reserved for)."""
+        got = self._inplace_args(key, spr)
+        if got is None:
+            self.pieces[key] = []
+            return
+        oys, oxs, base, entries = got
         atlas = _shatter_into_kernel(self.atlas(), spr.rgba, oys, oxs, base)
         self._chunks = [atlas]
         self._atlas = atlas
-        self.pieces[key] = [
-            (ty * self.ntx + tx, base + j) for j, (ty, tx) in enumerate(coords)
-        ]
+        self.pieces[key] = entries
 
     def atlas(self) -> jnp.ndarray:
         if self._atlas is None:
@@ -464,16 +475,23 @@ class TiledScene:
             starts, idxs, background, self.atlas(), nty=self.nty, ntx=self.ntx
         )
 
-    def render_dirty(self, frame, background, order, dirty_tiles) -> jnp.ndarray:
-        """Re-render ONLY `dirty_tiles` in-place in `frame` (donated): the
-        grid runs over the compacted dirty list, so work scales with the
-        dirty area, not the frame (render.ml's minimality, device-side)."""
+    def _dirty_args(self, order, dirty_tiles, pieces_override=None):
+        """Host-side (coords, spans, idxs, n_slots) for the compacted
+        dirty-tile grid, or None when nothing is dirty.  `pieces_override`
+        maps key -> entries to use INSTEAD of self.pieces[key] (the fused
+        animated step passes the moved object's new entries before they
+        are installed)."""
         dirty = sorted(set(dirty_tiles))
         if not dirty:
-            return frame
+            return None
         per_tile = {t: [] for t in dirty}
         for key in order:
-            for tile, entry in self.pieces.get(key, ()):
+            entries = (
+                pieces_override[key]
+                if pieces_override is not None and key in pieces_override
+                else self.pieces.get(key, ())
+            )
+            for tile, entry in entries:
                 if tile in per_tile:
                     per_tile[tile].append(entry)
         n = len(dirty)
@@ -500,6 +518,16 @@ class TiledScene:
             n_idx *= 2
         idxs = np.zeros(n_idx, np.int32)
         idxs[: len(idxs_list)] = idxs_list
+        return coords, spans, idxs, n_slots
+
+    def render_dirty(self, frame, background, order, dirty_tiles) -> jnp.ndarray:
+        """Re-render ONLY `dirty_tiles` in-place in `frame` (donated): the
+        grid runs over the compacted dirty list, so work scales with the
+        dirty area, not the frame (render.ml's minimality, device-side)."""
+        got = self._dirty_args(order, dirty_tiles)
+        if got is None:
+            return frame
+        coords, spans, idxs, n_slots = got
         # np arrays ride the jit dispatch; eager jnp.asarray would cost a
         # standalone transfer round trip each per frame.
         return _render_dirty_tiles(

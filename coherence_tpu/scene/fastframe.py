@@ -724,6 +724,34 @@ def _unpack_crop_kernel(packed, *, h, w):
     return unpack_rgba(packed)[:h, :w]
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2),
+    static_argnames=("n_slots", "hb", "wb", "weights", "total"),
+)
+def _animated_blur_frame_kernel(
+    atlas, content, display, rgba, oys, oxs, base, coords, spans, idxs, bg,
+    f_alpha, oy, ox, ry0, rx0, h, w, d_box,
+    *, n_slots, hb, wb, weights, total,
+):
+    """ONE dispatch for a whole animated-with-filter frame: shatter the
+    moved object's raster into its reserved atlas slots, recomposite the
+    dirty content tiles (Pallas), and blur-blend the dirty window into the
+    display — the fusion of the three per-frame kernels (atlas/content/
+    display all donated)."""
+    from ..raster.tiled_scene import _render_dirty_tiles, _shatter_into_kernel
+
+    atlas = _shatter_into_kernel.__wrapped__(atlas, rgba, oys, oxs, base)
+    content = _render_dirty_tiles.__wrapped__(
+        coords, spans, idxs, bg, content, atlas, n_slots=n_slots
+    )
+    display = _blur_blend_window_kernel.__wrapped__(
+        display, content, f_alpha, oy, ox, ry0, rx0, h, w, d_box,
+        hb=hb, wb=wb, weights=weights, total=total,
+    )
+    return atlas, content, display
+
+
 class FilteredDisplay:
     """Display = blur(content) blended by a filter geometry's alpha plane.
 
@@ -806,6 +834,98 @@ class FilteredDisplay:
             weights=tuple(self.kernel.values),
             total=self.kernel.total,
         )
+
+    def step_animated(self, key, dx: int, dy: int):
+        """Move one animated object and refresh the filtered display in ONE
+        fused dispatch (atlas update + dirty-tile recomposite + blur
+        blend).  Semantically identical to translate_object + step — the
+        same three kernels, fused.  Falls back to that pair when the
+        object is not reserved (make_animated) or the view is
+        mesh-sharded."""
+        view = self.view
+        spr = view.sprites.get(key)
+        if spr is None:
+            return
+        if key not in view.ts._reserved or view.mesh is not None:
+            prev_box = spr.box
+            view.translate_object(key, dx, dy)
+            self.step(region.box_union(prev_box, view.sprites[key].box))
+            return
+        ts = view.ts
+        moved = translate_sprite(dx, dy, spr)
+        got = ts._inplace_args(key, moved)
+        if got is None:
+            prev_box = spr.box
+            view.translate_object(key, dx, dy)
+            self.step(region.box_union(prev_box, view.sprites[key].box))
+            return
+        oys, oxs, base, entries = got
+        dirty_box = region.box_union(spr.box, moved.box)
+        radius = self.kernel.radius
+        d = region.box_intersect(dirty_box, self.box)
+        if d is None:
+            view.sprites[key] = moved
+            ts.update_object_inplace(key, moved)
+            return
+        d2 = region.box_intersect(
+            (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
+            self.box,
+        )
+        tx_lo = (d2[0] - 1) // TILE_W
+        tx_hi = (d2[2] - 1) // TILE_W
+        ty_lo = (d2[1] - 1) // TILE_H
+        ty_hi = (d2[3] - 1) // TILE_H
+        dirty_tiles = view.dirty | {
+            ty * ts.ntx + tx
+            for ty in range(ty_lo, ty_hi + 1)
+            for tx in range(tx_lo, tx_hi + 1)
+        }
+        dirty_tiles |= {t for t, _ in ts.pieces.get(key, ())}
+        dirty_tiles |= {t for t, _ in entries}
+        dargs = ts._dirty_args(view.order, dirty_tiles, pieces_override={key: entries})
+        coords, spans, idxs, n_slots = dargs
+        w, h = region.box_wh(d2)
+        hb, wb = region.bucket_hw(h, w)
+        hb = min(hb, view.height)
+        wb = min(wb, view.width)
+        oy = min(d2[1] - 1, view.height - hb)
+        ox = min(d2[0] - 1, view.width - wb)
+        d_box = np.asarray(
+            [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], np.int32
+        )
+        atlas, content, display = _animated_blur_frame_kernel(
+            ts.atlas(),
+            view.frame,
+            self.rgba,
+            moved.rgba,
+            oys,
+            oxs,
+            base,
+            coords,
+            spans,
+            idxs,
+            view.background,
+            self.f_alpha,
+            oy,
+            ox,
+            d2[1] - 1 - oy,
+            d2[0] - 1 - ox,
+            h,
+            w,
+            d_box,
+            n_slots=n_slots,
+            hb=hb,
+            wb=wb,
+            weights=tuple(self.kernel.values),
+            total=self.kernel.total,
+        )
+        ts._chunks = [atlas]
+        ts._atlas = atlas
+        ts.pieces[key] = entries
+        view.sprites[key] = moved
+        view.frame = content
+        view.dirty.clear()
+        self.rgba = display
 
     def read(self) -> np.ndarray:
         return np.asarray(self.rgba)

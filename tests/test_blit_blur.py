@@ -183,10 +183,14 @@ def test_tiled_filtered_display_matches_general():
     for k in range(1, len(positions)):
         dx = positions[k][0] - positions[k - 1][0]
         dy = positions[k][1] - positions[k - 1][1]
-        prev_box = view.sprites[blob_obj.idset].box
-        view.translate_object(blob_obj.idset, dx, dy)
-        dirty = box_union(prev_box, view.sprites[blob_obj.idset].box)
-        disp.step(dirty)
+        if k % 2 == 1:
+            prev_box = view.sprites[blob_obj.idset].box
+            view.translate_object(blob_obj.idset, dx, dy)
+            dirty = box_union(prev_box, view.sprites[blob_obj.idset].box)
+            disp.step(dirty)
+        else:
+            # The fused single-dispatch frame must be identical.
+            disp.step_animated(blob_obj.idset, dx, dy)
         got = disp.read()
         cache.clear()
         want = _general_frame(kernel, _blob_at(*positions[k]))
