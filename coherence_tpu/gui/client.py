@@ -156,15 +156,16 @@ class HeadlessClient:
     def _on_window_state(self, w: int):
         pass
 
-    def pump(self, until_idle_events: int = 0):
-        """Handle messages until the socket would block."""
+    def pump(self, until_idle_events: int = 0) -> bool:
+        """Handle messages until the socket would block.  Returns False
+        when the engine closed the session (AppClose), True otherwise."""
         while True:
             got = self.conn.poll(block=False)
             if got is None:
-                return
+                return True
             self.conn.queue.appendleft(got)
             if not self.handle_one():
-                return
+                return False
 
     def save_ppm(self, w: int, path: str):
         win = self.windows[w]

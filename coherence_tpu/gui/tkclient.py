@@ -87,7 +87,14 @@ class TkClient(HeadlessClient):
             bar, from_=0, to=255, orient="horizontal", label="opacity", length=120,
             command=lambda v: self._slider(w, "TransSlider", int(v)),
         )
-        trans.set(255)
+        # Programmatic .set fires the command; guard so window construction
+        # does not send a spurious slider event (which would push a junk
+        # undo snapshot engine-side).
+        self._setting_sliders = True
+        try:
+            trans.set(255)
+        finally:
+            self._setting_sliders = False
         trans.pack(side="left", padx=4)
 
         canvas = tk.Canvas(top, width=win.width, height=win.height, highlightthickness=0)
@@ -157,18 +164,10 @@ class TkClient(HeadlessClient):
     # --- main loop --------------------------------------------------------------
 
     def _poll(self):
-        while True:
-            got = self.conn.poll(block=False)
-            if got is None:
-                break
-            self.conn.queue.appendleft(got)
-            if not self.handle_one():
-                self.root.quit()
-                return
-        if self.running:
-            self.root.after(self.POLL_MS, self._poll)
-        else:
+        if not self.pump() or not self.running:
             self.root.quit()
+            return
+        self.root.after(self.POLL_MS, self._poll)
 
     def run(self):
         self.app_start()

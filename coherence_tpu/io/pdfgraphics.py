@@ -134,28 +134,43 @@ class PdfFunction:
     functions: tuple = ()  # type 3 subfunctions
     bounds: tuple = ()
     encode: tuple = ()
+    range: tuple = ()  # /Range pairs (lo0, hi0, lo1, hi1, ...), may be empty
     raw: object = None  # unsupported kinds: the resolved dict
 
 
 def eval_function(f: PdfFunction, t: float):
     """Evaluate at t (clamped to the domain).  Type 2/3 per the PDF spec;
-    unsupported kinds evaluate as identity-ish constants (c0)."""
+    unsupported kinds evaluate as identity-ish constants (c0).  Outputs
+    clamp to /Range when present (as the reference's Pdffun does)."""
     d0, d1 = f.domain[0], f.domain[1]
     t = min(max(t, d0), d1)
     if f.kind == 2:
-        return [
-            c0 + (t ** f.n) * (c1 - c0) for c0, c1 in zip(f.c0, f.c1)
-        ]
-    if f.kind == 3:
+        # A fractional exponent of a negative base would go complex; the
+        # spec restricts Type-2 domains to t >= 0 when N is non-integral.
+        base = t if (t >= 0.0 or float(f.n).is_integer()) else 0.0
+        out = [c0 + (base ** f.n) * (c1 - c0) for c0, c1 in zip(f.c0, f.c1)]
+    elif f.kind == 3:
         k = 0
         while k < len(f.bounds) and t >= f.bounds[k]:
             k += 1
         lo = d0 if k == 0 else f.bounds[k - 1]
         hi = d1 if k == len(f.bounds) else f.bounds[k]
-        e0, e1 = f.encode[2 * k], f.encode[2 * k + 1]
+        if len(f.encode) >= 2 * k + 2:
+            e0, e1 = f.encode[2 * k], f.encode[2 * k + 1]
+        else:  # missing/short /Encode defaults to [0 1] per subfunction
+            e0, e1 = 0.0, 1.0
         tt = e0 if hi == lo else e0 + (t - lo) * (e1 - e0) / (hi - lo)
-        return eval_function(f.functions[k], tt)
-    return list(f.c0)
+        out = eval_function(f.functions[k], tt)
+    else:
+        out = list(f.c0)
+    if f.range:
+        out = [
+            min(max(v, f.range[2 * i]), f.range[2 * i + 1])
+            if len(f.range) >= 2 * i + 2
+            else v
+            for i, v in enumerate(out)
+        ]
+    return out
 
 
 @dataclass
@@ -317,17 +332,18 @@ def parse_function(pdf: Pdf, obj) -> PdfFunction:
         return PdfFunction(0, (0.0, 1.0), raw=dd)
     ft = int(pdf.resolve(dd.get("FunctionType", 2)))
     dom = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Domain", [0, 1])))
+    rng = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Range", [])))
     if ft == 2:
         c0 = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("C0", [0.0])))
         c1 = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("C1", [1.0])))
         n = float(pdf.resolve(dd.get("N", 1)))
-        return PdfFunction(2, dom, c0, c1, n)
+        return PdfFunction(2, dom, c0, c1, n, range=rng)
     if ft == 3:
         fns = tuple(parse_function(pdf, f) for f in pdf.resolve(dd.get("Functions", [])))
         bounds = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Bounds", [])))
         enc = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Encode", [])))
-        return PdfFunction(3, dom, functions=fns, bounds=bounds, encode=enc)
-    return PdfFunction(ft, dom, raw=dd)
+        return PdfFunction(3, dom, functions=fns, bounds=bounds, encode=enc, range=rng)
+    return PdfFunction(ft, dom, range=rng, raw=dd)
 
 
 def _matrix_entry(pdf: Pdf, dd: dict, key: str = "Matrix") -> Matrix:
@@ -702,6 +718,8 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     pobj = pats.get(pat_name.v) if isinstance(pats, dict) else None
                     pat = read_pattern(pdf, pobj) if pobj is not None else None
                     if pat is not None:
+                        if isinstance(pat, ShadingPattern):
+                            pat.name = pat_name.v
                         gs.stroke = ("Pattern", pat)
                 elif vals:
                     gs.stroke = (stroke_cs, vals)
@@ -941,22 +959,26 @@ def _ser_operand(v) -> str:
 
 def _function_dict(f: PdfFunction):
     if f.kind == 2:
-        return {
+        d = {
             "FunctionType": 2,
             "Domain": list(f.domain),
             "C0": list(f.c0),
             "C1": list(f.c1),
             "N": f.n,
         }
-    if f.kind == 3:
-        return {
+    elif f.kind == 3:
+        d = {
             "FunctionType": 3,
             "Domain": list(f.domain),
             "Functions": [_function_dict(x) for x in f.functions],
             "Bounds": list(f.bounds),
             "Encode": list(f.encode),
         }
-    return f.raw if isinstance(f.raw, dict) else {"FunctionType": f.kind}
+    else:
+        return f.raw if isinstance(f.raw, dict) else {"FunctionType": f.kind}
+    if f.range:
+        d["Range"] = list(f.range)
+    return d
 
 
 def _shading_dict(s: Shading):
@@ -1055,7 +1077,13 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                         ops.append(" ".join(map(_fmt, vals)) + " k")
                 if a.path_line is not None:
                     cs, vals = a.path_line
-                    if cs == DEVICE_RGB:
+                    if isinstance(vals, ShadingPattern):
+                        nm = vals.name or res_name(pattern_res, "P", None)
+                        pattern_res[nm] = _pattern_dict(vals)
+                        ops.append(f"/Pattern CS /{nm} SCN")
+                    elif isinstance(vals, TilingPattern):
+                        pass  # tiling stub: no paint (reference tags only)
+                    elif cs == DEVICE_RGB:
                         ops.append(" ".join(map(_fmt, vals)) + " RG")
                     elif cs == DEVICE_GRAY:
                         ops.append(f"{_fmt(vals[0])} G")

@@ -241,18 +241,12 @@ class FrameBuffer:
         geometry's alpha plane — all in a single fused kernel.  f_alpha:
         (height, width) int32 device plane of the filter geometry's PURE-AA
         alpha (fastframe.alpha_plane_of_object)."""
-        radius = kernel.radius
-        d = box_intersect(dirty, self.box)
-        if d is None:
+        got = blur_window(dirty, self.box, kernel.radius, self.height, self.width)
+        if got is None:
             return
-        d2 = box_intersect(
-            (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
-            self.box,
-        )
-        oy, ox, ry0, rx0, h, w, hb, wb = self._window(d2)
-        d_box = jnp.asarray(
-            [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], jnp.int32
-        )
+        d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = got
+        # Logical window box (for layer box filtering).
+        d2 = (ox + 1 + rx0, oy + 1 + ry0, ox + rx0 + w, oy + ry0 + h)
         if bound is not None:
             offs = _bound_offsets(layers, oy, ox)
             weights, total = tuple(kernel.values), kernel.total
@@ -283,6 +277,61 @@ class FrameBuffer:
             weights=tuple(kernel.values),
             total=kernel.total,
         )
+
+
+def blur_window(dirty: Box, logical: Box, radius: int, height: int, width: int):
+    """Shared dirty-window geometry for the blur paths: returns
+    (d, oy, ox, ry0, rx0, h, w, hb, wb, d_box) or None when `dirty` misses
+    `logical`.  The window is the dirty box bloated by 2*radius (clamped),
+    bucketed, and clamped to the frame; d_box is the dirty rect in WINDOW
+    coordinates (row0, col0, row1, col1 inclusive) as an int32 numpy array
+    (np args ride the jit dispatch).  Used by FrameBuffer.recomposite_blur
+    and fastframe.FilteredDisplay.step/step_animated — one copy of the
+    bloat/clamp arithmetic, so the bit-identical blur paths cannot drift."""
+    d = box_intersect(dirty, logical)
+    if d is None:
+        return None
+    d2 = box_intersect(
+        (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
+        logical,
+    )
+    w, h = box_wh(d2)
+    hb, wb = bucket_hw(h, w)
+    hb = min(hb, height)
+    wb = min(wb, width)
+    oy = min(d2[1] - 1, height - hb)
+    ox = min(d2[0] - 1, width - wb)
+    d_box = np.asarray(
+        [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], np.int32
+    )
+    return d, oy, ox, d2[1] - 1 - oy, d2[0] - 1 - ox, h, w, hb, wb, d_box
+
+
+def conv_blend_window(content, f_alpha_win, inwin, rows, cols, d_box, weights, total):
+    """The blur filter's window pass, shared by every blur path: exact
+    separable integer convolution of `content` (convolve.ml:115-158 via
+    convolve._conv1d_exact/_setcanvas_xy) and the blend' of
+    render.ml:1248-1265 — out = dissolve(scene, 255-a) + dissolve(blur, a)
+    — with the changed mask in_d | (bloat(in_d, r) & a>0), clipped to the
+    logical window.  Returns (changed, blended)."""
+    from .convolve import _conv1d_exact, _setcanvas_xy
+
+    cx = _setcanvas_xy(_conv1d_exact(content, weights=weights, axis=1), total)
+    cy = _setcanvas_xy(_conv1d_exact(cx, weights=weights, axis=0), total)
+    radius = len(weights) // 2
+
+    def rect(b0, b1, b2, b3):
+        return (rows >= b0) & (rows <= b2) & (cols >= b1) & (cols <= b3)
+
+    in_d = rect(d_box[0], d_box[1], d_box[2], d_box[3])
+    in_blur = rect(
+        d_box[0] - radius, d_box[1] - radius, d_box[2] + radius, d_box[3] + radius
+    )
+    changed = (in_d | (in_blur & (f_alpha_win > 0))) & inwin
+    blended = C.dissolve_rgba(content, 255 - f_alpha_win) + C.dissolve_rgba(
+        cy, f_alpha_win
+    )
+    return changed, blended
 
 
 def _bound_offsets(layers: Sequence[Sprite], oy: int, ox: int):
@@ -319,12 +368,13 @@ def _make_bound_recomposite_blur(flat, hb, wb, weights, total):
     return fn
 
 
-def _fold_layers(offs, layers, inwin, hb, wb):
-    """Front-to-back caf-over fold of the layer pack into an acc plane with
-    early-termination masking (render.ml:1291-1308 semantics), clipped to
-    the logical window."""
-    acc = jnp.zeros((hb, wb, 4), dtype=jnp.int32)
-    open_mask = inwin
+def fold_layers_carry(offs, layers, acc, open_mask, covered):
+    """Front-to-back caf-over fold of a layer pack with early-termination
+    masking (render.ml:1291-1308 semantics) and a painted-union plane —
+    the ONE fold body shared by the window recomposite kernels and the
+    batched group compositor (chunking with this carry is identity for a
+    left fold).  Returns (acc, open_mask, covered)."""
+    hb, wb = open_mask.shape
     for i in range(len(layers) // 2):
         rgba, mask = layers[2 * i], layers[2 * i + 1]
         hs, ws = mask.shape
@@ -338,7 +388,20 @@ def _fold_layers(offs, layers, inwin, hb, wb):
         paint = m & open_mask
         blended = C.over_rgba(acc, r)
         acc = jnp.where(paint[..., None], blended, acc)
+        covered = covered | paint
         open_mask = open_mask & ~(paint & (acc[..., 3] == 255))
+    return acc, open_mask, covered
+
+
+def _fold_layers(offs, layers, inwin, hb, wb):
+    """Fresh fold clipped to the logical window (the recomposite kernels)."""
+    acc, _, _ = fold_layers_carry(
+        offs,
+        layers,
+        jnp.zeros((hb, wb, 4), dtype=jnp.int32),
+        inwin,
+        jnp.zeros((hb, wb), dtype=bool),
+    )
     return acc
 
 
@@ -393,8 +456,6 @@ def _recomposite_blur_impl(
     SAME-zero padding nor the stale bucket-padding ring ever leaks into
     written pixels (and AT frame borders zero padding equals the
     reference's clear-canvas border, convolve.ml:239-258)."""
-    from .convolve import _conv1d_exact, _setcanvas_xy
-
     rows = jnp.arange(hb)[:, None]
     cols = jnp.arange(wb)[None, :]
     inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
@@ -402,22 +463,10 @@ def _recomposite_blur_impl(
     frame_win = jax.lax.dynamic_slice(frame, (oy, ox, 0), (hb, wb, 4))
     base = jnp.where(inwin[..., None], jnp.broadcast_to(bg, (hb, wb, 4)), frame_win)
     content = C.over_rgba(acc, base)
-
-    cx = _setcanvas_xy(_conv1d_exact(content, weights=weights, axis=1), total)
-    cy = _setcanvas_xy(_conv1d_exact(cx, weights=weights, axis=0), total)
-
-    radius = len(weights) // 2
-
-    def rect(b0, b1, b2, b3):
-        return (rows >= b0) & (rows <= b2) & (cols >= b1) & (cols <= b3)
-
     fa = jax.lax.dynamic_slice(f_alpha, (oy, ox), (hb, wb))
-    in_d = rect(d_box[0], d_box[1], d_box[2], d_box[3])
-    in_blur = rect(
-        d_box[0] - radius, d_box[1] - radius, d_box[2] + radius, d_box[3] + radius
+    changed, blended = conv_blend_window(
+        content, fa, inwin, rows, cols, d_box, weights, total
     )
-    changed = (in_d | (in_blur & (fa > 0))) & inwin
-    blended = C.dissolve_rgba(content, 255 - fa) + C.dissolve_rgba(cy, fa)
     out = jnp.where(changed[..., None], blended, frame_win)
     return jax.lax.dynamic_update_slice(frame, out, (oy, ox, 0))
 

@@ -374,13 +374,20 @@ class TiledScene:
         pieces update in place every frame (update_object_inplace) instead
         of appending a fresh block per move — the atlas stays fixed-size
         and no per-frame concatenation/upload happens."""
-        self.atlas()  # consolidate existing chunks first
         base = self._n_pieces
-        self._chunks = [
-            jnp.concatenate(
-                [self.atlas(), jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)], axis=0
-            )
-        ]
+        if self._chunks:
+            self.atlas()  # consolidate existing chunks first
+            self._chunks = [
+                jnp.concatenate(
+                    [self.atlas(), jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)],
+                    axis=0,
+                )
+            ]
+        else:
+            # Empty scene: do NOT go through atlas(), whose synthesized
+            # 1-slot dummy is not accounted in _n_pieces — concatenating it
+            # would shift every later entry's atlas index by one.
+            self._chunks = [jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)]
         self._atlas = self._chunks[0]
         self._n_pieces += cap
         self._reserved[key] = (base, cap)

@@ -318,7 +318,6 @@ def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
     clear source is the identity).  Frame-grid aligned: `width`/`height`
     must be tile multiples; parts outside fall away (content is clipped to
     the grid like TiledScene.add_object)."""
-    from ..raster.pallas_compositor import TILE_H, TILE_W, unpack_rgba
     from ..raster.tile_raster import TileBuild
 
     nty, ntx = height // TILE_H, width // TILE_W
@@ -332,17 +331,33 @@ def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
     pieces = registry.get("k", [])
     if not pieces:
         return None
+    # Host-side assembly (one readback per block, one device push): a
+    # per-piece eager dynamic_update_slice chain would cost one transport
+    # round trip per piece.
+    block_arrays = [np.asarray(b) for b in blocks]
+    return _sprite_from_tile_pieces(pieces, block_arrays, ntx)
+
+
+def _sprite_from_tile_pieces(pieces, block_arrays, ntx: int):
+    """Assemble a Sprite from tile pieces on the host.  pieces: [(tile,
+    block_id, slot)]; block_arrays: list of (n, TILE_H, TILE_W) uint32
+    numpy arrays.  Mask is (alpha > 0), bit-neutral under `over`."""
+    from ..raster.pallas_compositor import TILE_H, TILE_W
+
     tys = [t // ntx for t, _, _ in pieces]
     txs = [t % ntx for t, _, _ in pieces]
     ty0, tx0 = min(tys), min(txs)
     th, tw = max(tys) - ty0 + 1, max(txs) - tx0 + 1
-    packed = jnp.zeros((th * TILE_H, tw * TILE_W), jnp.uint32)
+    packed = np.zeros((th * TILE_H, tw * TILE_W), np.uint32)
     for t, b, s in pieces:
         ty, tx = t // ntx - ty0, t % ntx - tx0
-        packed = jax.lax.dynamic_update_slice(
-            packed, blocks[b][s], (ty * TILE_H, tx * TILE_W)
+        packed[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W] = (
+            block_arrays[b][s]
         )
-    rgba = unpack_rgba(packed)
+    rgba = np.stack(
+        [packed & 0xFF, (packed >> 8) & 0xFF, (packed >> 16) & 0xFF, packed >> 24],
+        axis=-1,
+    ).astype(np.int32)
     mask = rgba[..., 3] > 0
     box = (
         tx0 * TILE_W + 1,
@@ -350,7 +365,7 @@ def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
         (tx0 + tw) * TILE_W,
         (ty0 + th) * TILE_H,
     )
-    return region.Sprite(box, mask, rgba)
+    return region.Sprite(box, jnp.asarray(mask), jnp.asarray(rgba))
 
 
 _GROUP_FOLD_CHUNK = 16
@@ -358,28 +373,12 @@ _GROUP_FOLD_CHUNK = 16
 
 @functools.partial(jax.jit, static_argnames=("hb", "wb"))
 def _group_fold_chunk(acc, open_mask, covered, offs, *layers, hb, wb):
-    """Continue a front-to-back caf-over fold over one chunk of layers.
+    """Continue a front-to-back caf-over fold over one chunk of layers
+    (the ONE shared fold body, framepath.fold_layers_carry); chunking with
+    the (acc, open, covered) carry is identity for a left fold."""
+    from ..raster.framepath import fold_layers_carry
 
-    Carries (acc, open_mask, covered) between chunks so the whole fold is
-    the exact sequential left fold of render_scene (chunking with an acc
-    carry is identity for a left fold); `covered` accumulates the painted
-    union (the result sprite's mask)."""
-    for i in range(len(layers) // 2):
-        rgba, mask = layers[2 * i], layers[2 * i + 1]
-        hs, ws = mask.shape
-        iy = jnp.arange(hb) - offs[i, 0]
-        ix = jnp.arange(wb) - offs[i, 1]
-        vy = (iy >= 0) & (iy < hs)
-        vx = (ix >= 0) & (ix < ws)
-        m = mask[jnp.clip(iy, 0, hs - 1), :][:, jnp.clip(ix, 0, ws - 1)]
-        m = m & vy[:, None] & vx[None, :]
-        r = rgba[jnp.clip(iy, 0, hs - 1), :, :][:, jnp.clip(ix, 0, ws - 1), :]
-        paint = m & open_mask
-        blended = C.over_rgba(acc, r)
-        acc = jnp.where(paint[..., None], blended, acc)
-        covered = covered | paint
-        open_mask = open_mask & ~(paint & (acc[..., 3] == 255))
-    return acc, open_mask, covered
+    return fold_layers_carry(offs, layers, acc, open_mask, covered)
 
 
 def group_sprite_batched(objs, shp):
@@ -434,35 +433,16 @@ def sprites_of_keys(ts: TiledScene, keys):
 
     Boxes are tile-aligned; mask is (alpha > 0), which is bit-neutral under
     `over` (premultiplied clear pixels are the identity source)."""
-    from ..raster.pallas_compositor import TILE_H, TILE_W
-
-    atlas = np.asarray(ts.atlas())  # (n, TILE_H, TILE_W) uint32
+    atlas = [np.asarray(ts.atlas())]  # (n, TILE_H, TILE_W) uint32
     out = []
     for key in keys:
         pieces = ts.pieces.get(key)
         if not pieces:
             out.append(None)
             continue
-        tys = [t // ts.ntx for t, _ in pieces]
-        txs = [t % ts.ntx for t, _ in pieces]
-        ty0, tx0 = min(tys), min(txs)
-        th, tw = max(tys) - ty0 + 1, max(txs) - tx0 + 1
-        packed = np.zeros((th * TILE_H, tw * TILE_W), np.uint32)
-        for t, e in pieces:
-            ty, tx = t // ts.ntx - ty0, t % ts.ntx - tx0
-            packed[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W] = atlas[e]
-        rgba = np.stack(
-            [packed & 0xFF, (packed >> 8) & 0xFF, (packed >> 16) & 0xFF, packed >> 24],
-            axis=-1,
-        ).astype(np.int32)
-        mask = rgba[..., 3] > 0
-        box = (
-            tx0 * TILE_W + 1,
-            ty0 * TILE_H + 1,
-            (tx0 + tw) * TILE_W,
-            (ty0 + th) * TILE_H,
+        out.append(
+            _sprite_from_tile_pieces([(t, 0, e) for t, e in pieces], atlas, ts.ntx)
         )
-        out.append(region.Sprite(box, jnp.asarray(mask), jnp.asarray(rgba)))
     return out
 
 
@@ -692,28 +672,17 @@ def _blur_blend_window_kernel(
     inclusive).  The window must be the dirty box bloated by 2*radius and
     the content tiles covering it must be freshly recomposited, so the
     convolution support of every written pixel reads true scene content."""
-    from ..raster.convolve import _conv1d_exact, _setcanvas_xy
+    from ..raster.framepath import conv_blend_window
 
     win = lax.dynamic_slice(content_packed, (oy, ox), (hb, wb))
     content = unpack_rgba(win)
-    cx = _setcanvas_xy(_conv1d_exact(content, weights=weights, axis=1), total)
-    cy = _setcanvas_xy(_conv1d_exact(cx, weights=weights, axis=0), total)
-
-    radius = len(weights) // 2
     rows = jnp.arange(hb)[:, None]
     cols = jnp.arange(wb)[None, :]
     inwin = (rows >= ry0) & (rows < ry0 + h) & (cols >= rx0) & (cols < rx0 + w)
-
-    def rect(b0, b1, b2, b3):
-        return (rows >= b0) & (rows <= b2) & (cols >= b1) & (cols <= b3)
-
     fa = lax.dynamic_slice(f_alpha, (oy, ox), (hb, wb))
-    in_d = rect(d_box[0], d_box[1], d_box[2], d_box[3])
-    in_blur = rect(
-        d_box[0] - radius, d_box[1] - radius, d_box[2] + radius, d_box[3] + radius
+    changed, blended = conv_blend_window(
+        content, fa, inwin, rows, cols, d_box, weights, total
     )
-    changed = (in_d | (in_blur & (fa > 0))) & inwin
-    blended = C.dissolve_rgba(content, 255 - fa) + C.dissolve_rgba(cy, fa)
     display_win = lax.dynamic_slice(display, (oy, ox, 0), (hb, wb, 4))
     out = jnp.where(changed[..., None], blended, display_win)
     return lax.dynamic_update_slice(display, out, (oy, ox, 0))
@@ -785,47 +754,43 @@ class FilteredDisplay:
             total=self.kernel.total,
         )
 
+    def _window_tiles(self, oy, ox, ry0, rx0, h, w):
+        """Tiles covering the logical window (whose content must be fresh
+        for the conv support)."""
+        ntx = self.view.ts.ntx
+        x0, y0 = ox + rx0, oy + ry0  # 0-based
+        tx_lo, tx_hi = x0 // TILE_W, (x0 + w - 1) // TILE_W
+        ty_lo, ty_hi = y0 // TILE_H, (y0 + h - 1) // TILE_H
+        return {
+            ty * ntx + tx
+            for ty in range(ty_lo, ty_hi + 1)
+            for tx in range(tx_lo, tx_hi + 1)
+        }
+
     def step(self, dirty: Box) -> None:
         """One animated frame: recomposite the content tiles covering
         bloat(dirty, 2r), then blur-blend the dirty window into the
         display."""
-        radius = self.kernel.radius
-        d = region.box_intersect(dirty, self.box)
-        if d is None:
+        from ..raster.framepath import blur_window
+
+        got = blur_window(
+            dirty, self.box, self.kernel.radius, self.view.height, self.view.width
+        )
+        if got is None:
             self.view.render()
             return
-        d2 = region.box_intersect(
-            (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
-            self.box,
-        )
+        d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = got
         # Content tiles covering the conv support must be fresh.
-        tx_lo = (d2[0] - 1) // TILE_W
-        tx_hi = (d2[2] - 1) // TILE_W
-        ty_lo = (d2[1] - 1) // TILE_H
-        ty_hi = (d2[3] - 1) // TILE_H
-        self.view.dirty |= {
-            ty * self.view.ts.ntx + tx
-            for ty in range(ty_lo, ty_hi + 1)
-            for tx in range(tx_lo, tx_hi + 1)
-        }
+        self.view.dirty |= self._window_tiles(oy, ox, ry0, rx0, h, w)
         self.view.render()
-        w, h = region.box_wh(d2)
-        hb, wb = region.bucket_hw(h, w)
-        hb = min(hb, self.view.height)
-        wb = min(wb, self.view.width)
-        oy = min(d2[1] - 1, self.view.height - hb)
-        ox = min(d2[0] - 1, self.view.width - wb)
-        d_box = np.asarray(
-            [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], np.int32
-        )
         self.rgba = _blur_blend_window_kernel(
             self.rgba,
             self.view.frame,
             self.f_alpha,
             oy,
             ox,
-            d2[1] - 1 - oy,
-            d2[0] - 1 - ox,
+            ry0,
+            rx0,
             h,
             w,
             d_box,
@@ -859,39 +824,23 @@ class FilteredDisplay:
             view.translate_object(key, dx, dy)
             self.step(region.box_union(prev_box, view.sprites[key].box))
             return
+        from ..raster.framepath import blur_window
+
         oys, oxs, base, entries = got
         dirty_box = region.box_union(spr.box, moved.box)
-        radius = self.kernel.radius
-        d = region.box_intersect(dirty_box, self.box)
-        if d is None:
+        win = blur_window(
+            dirty_box, self.box, self.kernel.radius, view.height, view.width
+        )
+        if win is None:
             view.sprites[key] = moved
             ts.update_object_inplace(key, moved)
             return
-        d2 = region.box_intersect(
-            (d[0] - 2 * radius, d[1] - 2 * radius, d[2] + 2 * radius, d[3] + 2 * radius),
-            self.box,
-        )
-        tx_lo = (d2[0] - 1) // TILE_W
-        tx_hi = (d2[2] - 1) // TILE_W
-        ty_lo = (d2[1] - 1) // TILE_H
-        ty_hi = (d2[3] - 1) // TILE_H
-        dirty_tiles = view.dirty | {
-            ty * ts.ntx + tx
-            for ty in range(ty_lo, ty_hi + 1)
-            for tx in range(tx_lo, tx_hi + 1)
-        }
+        d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
+        dirty_tiles = view.dirty | self._window_tiles(oy, ox, ry0, rx0, h, w)
         dirty_tiles |= {t for t, _ in ts.pieces.get(key, ())}
         dirty_tiles |= {t for t, _ in entries}
-        dargs = ts._dirty_args(view.order, dirty_tiles, pieces_override={key: entries})
-        coords, spans, idxs, n_slots = dargs
-        w, h = region.box_wh(d2)
-        hb, wb = region.bucket_hw(h, w)
-        hb = min(hb, view.height)
-        wb = min(wb, view.width)
-        oy = min(d2[1] - 1, view.height - hb)
-        ox = min(d2[0] - 1, view.width - wb)
-        d_box = np.asarray(
-            [d[1] - 1 - oy, d[0] - 1 - ox, d[3] - 1 - oy, d[2] - 1 - ox], np.int32
+        coords, spans, idxs, n_slots = ts._dirty_args(
+            view.order, dirty_tiles, pieces_override={key: entries}
         )
         atlas, content, display = _animated_blur_frame_kernel(
             ts.atlas(),
@@ -908,8 +857,8 @@ class FilteredDisplay:
             self.f_alpha,
             oy,
             ox,
-            d2[1] - 1 - oy,
-            d2[0] - 1 - ox,
+            ry0,
+            rx0,
             h,
             w,
             d_box,

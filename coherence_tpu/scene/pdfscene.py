@@ -44,6 +44,10 @@ def fill_of_pdf_colour(vals, transparency: float, colourspace: str) -> rfills.Fi
 
 
 def _colour_of_components(cs_obj, comps, transparency: float) -> int:
+    # PDF functions may return components outside [0,1] (no /Range, or a
+    # permissive one); clamp at the colour boundary like the reference's
+    # colour ingestion does.
+    comps = [min(max(float(v), 0.0), 1.0) for v in comps]
     name = cs_obj.v if hasattr(cs_obj, "v") else str(cs_obj)
     if name == PG.DEVICE_RGB and len(comps) == 3:
         r, g, b = comps

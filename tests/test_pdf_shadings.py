@@ -139,3 +139,54 @@ def test_shading_pattern_renders_as_gradient():
     assert left[0] > 200 and left[2] < 60, left  # red end
     assert right[2] > 200 and right[0] < 60, right  # blue end
     cache.clear()
+
+
+def test_stroke_pattern_roundtrip():
+    """A path STROKED with a shading pattern must survive page_of_graphic
+    (the writer used to assume numeric stroke components and crash)."""
+    content = b"""
+/Pattern CS /P0 SCN
+3 w
+15 15 m 70 40 l S
+"""
+    resources = {
+        "Pattern": {"P0": {"PatternType": 2, "Shading": dict(AXIAL)}}
+    }
+    pdf = mkpage(content, mediabox=(0, 0, 100, 80), resources=resources)
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    lines = [
+        e for e in g.elements
+        if isinstance(e, PG.GPath) and e.attributes.path_line is not None
+    ]
+    assert lines and isinstance(lines[0].attributes.path_line[1], PG.ShadingPattern)
+    out = PG.page_of_graphic(g, mediabox=(0, 0, 100, 80))
+    pdf2 = pdf_of_bytes(pdf_to_bytes(out))
+    g2 = PG.graphic_of_page(pdf2, _page_dict(pdf2))
+    lines2 = [
+        e for e in g2.elements
+        if isinstance(e, PG.GPath) and e.attributes.path_line is not None
+    ]
+    assert lines2 and isinstance(lines2[0].attributes.path_line[1], PG.ShadingPattern)
+    assert (
+        lines2[0].attributes.path_line[1].shading.kind
+        == lines[0].attributes.path_line[1].shading.kind
+    )
+
+
+def test_function_range_clamps_and_type3_defaults():
+    """Outputs clamp to /Range; a Type-3 with missing /Encode uses the
+    spec default instead of crashing; out-of-[0,1] components never reach
+    the colour constructor."""
+    f2 = PG.PdfFunction(2, (0.0, 1.0), c0=(-0.5,), c1=(1.5,), n=1.0, range=(0.0, 1.0))
+    assert PG.eval_function(f2, 0.0) == [0.0]
+    assert PG.eval_function(f2, 1.0) == [1.0]
+    f3 = PG.PdfFunction(
+        3, (0.0, 1.0),
+        functions=(PG.PdfFunction(2, (0.0, 1.0), c0=(0.0,), c1=(2.0,), n=1.0),),
+        bounds=(), encode=(),
+    )
+    assert PG.eval_function(f3, 0.5) == [1.0]  # default encode [0, 1]
+    from coherence_tpu.scene.pdfscene import _colour_of_components
+
+    col = _colour_of_components(Name("DeviceRGB"), [1.7, -0.2, 0.5], 1.0)
+    assert isinstance(col, int)

@@ -319,3 +319,22 @@ def test_sharded_deviceview_matches_unsharded():
         v1.render()
         v2.render()
         assert np.array_equal(v1.read(), v2.read()), step
+
+
+def test_reserve_slots_on_empty_scene_keeps_indices_aligned():
+    """reserve_slots before ANY object must not shift later atlas entry
+    indices (atlas() synthesizes an unaccounted 1-slot dummy when empty;
+    concatenating it would misalign every subsequent piece by one)."""
+    import jax.numpy as jnp
+
+    W, H = TILE_W, TILE_H
+    ts = TS.TiledScene(W, H)
+    ts.reserve_slots("anim", 2)
+    col = C.dissolve(C.colour_of_rgba(200, 40, 40, 255), delta=255)
+    spr = region.fillshape(shape_of_box((1, 1, W, H)), rfills.plain(col))
+    ts.add_object("obj", spr)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    out = ts.render(bg, *ts.build_lists(["anim", "obj"]))
+    got = np.asarray(unpack_rgba(out))
+    # The object's colour, not blank reserved slots, must appear.
+    assert (got[..., 0] > 150).all(), got[0, 0]
