@@ -320,6 +320,30 @@ def test_sharded_deviceview_matches_unsharded():
         v2.render()
         assert np.array_equal(v1.read(), v2.read()), step
 
+    # A live blur filter over both views (sharded content feeds the blur
+    # blend through cross-shard slices) stays pixel-equal too.
+    from coherence_tpu.raster.convolve import mkgaussian
+    from coherence_tpu.raster.region import box_union
+    from coherence_tpu.scene.fastframe import FilteredDisplay, alpha_plane_of_object
+
+    f_geom = R.Obj(
+        ident.new_ids(),
+        R.Basic(rfills.plain(C.white), R.rectangle(10.0, 30.0, 200.0, 380.0)),
+        (),
+        R.OVER,
+    )
+    kernel = mkgaussian(2)
+    f_alpha = alpha_plane_of_object(f_geom, W, H)
+    disps = []
+    for va, sc in ((v1, scene1), (v2, scene2)):
+        d = FilteredDisplay(va, f_alpha, kernel)
+        d.full_refresh()
+        prev = va.sprites[sc[0].idset].box
+        va.translate_object(sc[0].idset, 4, 9)
+        d.step(box_union(prev, va.sprites[sc[0].idset].box))
+        disps.append(d.read())
+    assert np.array_equal(disps[0], disps[1])
+
 
 def test_reserve_slots_on_empty_scene_keeps_indices_aligned():
     """reserve_slots before ANY object must not shift later atlas entry
