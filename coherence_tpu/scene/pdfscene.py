@@ -111,7 +111,7 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
     Note the reference prepends line-then-fill per element and concatenates in
     element order; callers reverse for bottom-up stacking (examples.ml:163)."""
 
-    def convert(elements):
+    def convert(elements, clip_path=None):
         out = []
         for el in elements:
             if isinstance(el, PG.GPath):
@@ -149,8 +149,31 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                             R.OVER,
                         )
                     )
-            elif isinstance(el, (PG.MCSection, PG.MCSectionProperties, PG.Clip)):
-                out.extend(convert(el.elements))
+            elif isinstance(el, PG.Clip):
+                out.extend(convert(el.elements, el.path))
+            elif isinstance(el, (PG.MCSection, PG.MCSectionProperties)):
+                out.extend(convert(el.elements, clip_path))
+            elif isinstance(el, PG.GShading):
+                # `sh` paints the shading through the active clip (or its
+                # /BBox).  The reference's scene_of_graphic drops these
+                # (render.ml:1524-1565 consumes paths/clips only); here
+                # axial/radial shadings become gradient-filled objects.
+                fill = fill_of_shading_pattern(PG.ShadingPattern(el.shading), 1.0)
+                geom_path = clip_path
+                if geom_path is None and isinstance(el.shading.bbox, list) and len(el.shading.bbox) == 4:
+                    x0, y0, x1, y1 = (float(v) for v in el.shading.bbox)
+                    geom_path = gshapes.rectangle(
+                        min(x0, x1), min(y0, y1), abs(x1 - x0), abs(y1 - y0)
+                    )
+                if fill is not None and geom_path is not None:
+                    out.append(
+                        R.Obj(
+                            ident.new_ids(),
+                            R.Basic(fill, R.PathShape(geom_path)),
+                            (),
+                            R.OVER,
+                        )
+                    )
         return out
 
     return convert(graphic.elements)

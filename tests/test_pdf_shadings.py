@@ -190,3 +190,36 @@ def test_function_range_clamps_and_type3_defaults():
 
     col = _colour_of_components(Name("DeviceRGB"), [1.7, -0.2, 0.5], 1.0)
     assert isinstance(col, int)
+
+
+def test_sh_paints_through_clip():
+    """A `sh` inside a clip becomes a gradient-filled object of the clip
+    geometry (beyond the reference, whose scene_of_graphic drops sh)."""
+    cache.clear()
+    content = b"""
+q
+20 20 50 30 re W n
+/Sh1 sh
+Q
+"""
+    resources = {"Shading": {"Sh1": dict(AXIAL)}}
+    pdf = mkpage(content, mediabox=(0, 0, 100, 80), resources=resources)
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    grads = [o for o in scene if isinstance(o.geometry.fill, rfills.GradientFill)]
+    assert grads, "sh inside clip produced no gradient object"
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 100, 80)))
+    x0, y0, _, _ = spr.box
+    m = np.asarray(spr.mask)
+    r4 = np.asarray(spr.rgba)
+    y = 35 - y0
+    # Inside the clip rect: red toward the gradient start, bluer to the right.
+    left = r4[y, 22 - x0]
+    right = r4[y, 58 - x0]
+    assert m[y, 22 - x0] and m[y, 58 - x0]
+    assert left[0] > left[2] and right[2] > right[0], (left, right)
+    # Outside the clip: nothing painted (the sprite's bounds stay within
+    # the clip rect plus the AA fringe).
+    bx0, by0, bx1, by1 = spr.box
+    assert by0 >= 19 and by1 <= 51 and bx0 >= 19 and bx1 <= 71, spr.box
+    cache.clear()
