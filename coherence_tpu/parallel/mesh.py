@@ -30,6 +30,13 @@ from .. import colour as C
 def make_mesh(n_devices: Optional[int] = None, axis: str = "y") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: {n} devices requested but only {len(devs)} available "
+            f"(backend {jax.default_backend()!r}) — refusing to silently "
+            "downsize; a degenerate 1-device mesh would vacuously pass "
+            "multi-device assertions"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
 # (This JAX build ignores the env vars, so configure programmatically.)
 import jax  # noqa: E402
 
+# The environment's sitecustomize (PYTHONPATH=/root/.axon_site, gated on
+# PALLAS_AXON_POOL_IPS) has already run jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter startup — config outranks the env var, so the
+# JAX_PLATFORMS=cpu above is silently ignored and the whole suite would run
+# on the single remote TPU chip through the tunnel.  Override the config
+# directly; this is the only reliable in-process fix.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
+
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -152,7 +152,17 @@ def test_transform_graphic():
 
 
 def test_mesh_dryrun_in_suite():
+    """The driver's multi-chip gate, run hermetically: the child subprocess
+    must get a true n-device CPU mesh (dryrun_multichip strips the axon
+    sitecustomize clobber and asserts backend+device count itself), and the
+    whole thing must stay within an interactive wall-time budget — round 2's
+    version silently ran a 1-device mesh on the real TPU for ~30 minutes."""
+    import time
+
     import __graft_entry__ as G
 
+    t0 = time.monotonic()
     G.dryrun_multichip(8)
     G.dryrun_multichip(2)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 300.0, f"dryrun took {elapsed:.0f}s — not running on CPU?"
