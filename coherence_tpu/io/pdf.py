@@ -1,9 +1,11 @@
-"""Minimal classic-PDF reader/writer.
+"""PDF reader/writer.
 
 Replaces the reference's camlpdf object layer (Pdfread/Pdfwrite/Pdf/Pdfpage)
-for the subset the renderer needs: classic cross-reference tables (all of the
-bundled scene assets are classic, non-ObjStm PDFs), FlateDecode streams, the
-page tree with inheritable attributes, and a small writer for debug output.
+for what the renderer needs: classic cross-reference tables AND xref-stream /
+object-stream (ObjStm) files, the stream codecs camlpdf's Pdfcodec supports
+that appear in page content (Flate incl. PNG/TIFF predictors, ASCIIHex,
+ASCII85, RunLength, LZW), the page tree with inheritable attributes, and a
+small writer for debug output.
 
 Object model: Python natives —
   dict          -> PDF dictionary (keys without the leading '/')
@@ -37,6 +39,147 @@ class Ref:
     gen: int = 0
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 7.4.3): whitespace ignored, `z` = four zero
+    bytes, terminated by `~>` (optional)."""
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    out = bytearray()
+    group = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= c <= 0x75):
+            raise ValueError(f"ASCII85: bad byte {c}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        group += [84] * (5 - n)
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 7.4.5)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF 7.4.4; TIFF-style LZW with 9..12-bit variable codes,
+    clear code 256, EOD 257, EarlyChange per /DecodeParms)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """PNG (10-15) and TIFF (2) predictors per /DecodeParms (PDF 7.4.4.4)."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = int(parms.get("Colors", 1))
+    bpc = int(parms.get("BitsPerComponent", 8))
+    columns = int(parms.get("Columns", 1))
+    bpp = max(1, (colors * bpc + 7) // 8)  # bytes per pixel
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit components only)
+        if bpc != 8:
+            raise ValueError("TIFF predictor with bpc != 8 unsupported")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row prefixed with a filter-type byte.
+    out = bytearray()
+    prev_row = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev_row[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev_row[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev_row[i]
+                c = prev_row[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += row
+        prev_row = row
+    return bytes(out)
+
+
 class Stream:
     def __init__(self, d: dict, raw: bytes, pdf: "Pdf" = None):
         self.dict = d
@@ -46,21 +189,38 @@ class Stream:
 
     def decode(self) -> bytes:
         if self._decoded is None:
-            filt = self.dict.get("Filter")
+            res = self._pdf.resolve if self._pdf is not None else (lambda o: o)
+            filt = res(self.dict.get("Filter"))
+            parms = res(self.dict.get("DecodeParms", self.dict.get("DP")))
             data = self.raw
-            filters = []
+            filters: List[str] = []
             if isinstance(filt, Name):
                 filters = [filt.v]
             elif isinstance(filt, list):
-                filters = [f.v for f in filt]
-            for f in filters:
-                if f == "FlateDecode":
+                filters = [res(f).v for f in filt]
+            if isinstance(parms, dict) or parms is None:
+                parms_list = [parms] * max(1, len(filters))
+            else:
+                parms_list = [res(p) for p in parms]
+                parms_list += [None] * (len(filters) - len(parms_list))
+            for f, p in zip(filters, parms_list):
+                p = p if isinstance(p, dict) else {}
+                p = {k: res(v) for k, v in p.items()}
+                if f in ("FlateDecode", "Fl"):
                     data = zlib.decompress(data)
-                elif f in ("ASCIIHexDecode",):
+                    data = _apply_predictor(data, p)
+                elif f in ("LZWDecode", "LZW"):
+                    data = _lzw_decode(data, int(p.get("EarlyChange", 1)))
+                    data = _apply_predictor(data, p)
+                elif f in ("ASCIIHexDecode", "AHx"):
                     hexstr = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
                     if len(hexstr) % 2:
                         hexstr += b"0"
                     data = bytes.fromhex(hexstr.decode())
+                elif f in ("ASCII85Decode", "A85"):
+                    data = _ascii85_decode(data)
+                elif f in ("RunLengthDecode", "RL"):
+                    data = _runlength_decode(data)
                 else:
                     raise ValueError(f"unsupported stream filter {f}")
             self._decoded = data
@@ -303,9 +463,12 @@ class Pdf:
 
 
 def pdf_of_bytes(data: bytes) -> Pdf:
-    """Parse by scanning every `N G obj` (robust to broken/linearized xref).
+    """Parse by scanning every `N G obj` (robust to broken/linearized xref),
+    then unpack object streams (ObjStm) and read xref-stream trailers.
 
-    Handles classic PDFs — exactly the class of the bundled scene assets.
+    Classic and modern (PDF 1.5+ cross-reference-stream) files both load;
+    the byte-offset xref table itself is never needed because the scan
+    discovers every direct object and ObjStm unpacking the compressed ones.
     """
     objects: Dict[int, PdfObj] = {}
     for m in _OBJ_RE.finditer(data):
@@ -350,8 +513,43 @@ def pdf_of_bytes(data: bytes) -> Pdf:
             length = obj.dict.get("Length")
             if isinstance(length, Ref) and isinstance(objects.get(length.num), int):
                 obj.raw = obj.raw[: objects[length.num]]
+    # Unpack object streams (PDF 7.5.7): decode each /Type /ObjStm, parse
+    # the (objnum, offset) header pairs, then each contained object.  A
+    # direct `N G obj` found by the scan wins over a compressed copy (it is
+    # the incremental-update form).
+    proto = Pdf(objects, {})
+    for obj in list(objects.values()):
+        if isinstance(obj, Stream):
+            obj._pdf = proto
+            t = obj.dict.get("Type")
+            if isinstance(t, Name) and t.v == "ObjStm":
+                try:
+                    body = obj.decode()
+                    n = proto.resolve(obj.dict.get("N", 0))
+                    first = proto.resolve(obj.dict.get("First", 0))
+                    head = _Lexer(body[:first])
+                    pairs = []
+                    for _ in range(int(n)):
+                        num = int(head.next_token())
+                        off = int(head.next_token())
+                        pairs.append((num, off))
+                    for num, off in pairs:
+                        if num not in objects:
+                            objects[num] = _Parser(body, first + off).parse()
+                except Exception:
+                    continue
     # Trailer(s): scan for `trailer` dicts; merge (later wins for Root).
+    # Xref-stream files have no `trailer` keyword — their /Type /XRef
+    # stream dict IS the trailer (PDF 7.5.8.2), so merge those too.
     trailer: dict = {}
+    for num in sorted(objects):
+        obj = objects[num]
+        if isinstance(obj, Stream):
+            t = obj.dict.get("Type")
+            if isinstance(t, Name) and t.v == "XRef":
+                for k in ("Root", "Info", "ID", "Size"):
+                    if k in obj.dict:
+                        trailer[k] = obj.dict[k]
     for m in re.finditer(rb"trailer", data):
         try:
             t = _Parser(data, m.end()).parse()

@@ -122,9 +122,10 @@ class GraphicInlineImage:
 
 @dataclass
 class PdfFunction:
-    """Minimal Pdffun (reference Pdffun.parse_function): Type 2
-    (exponential interpolation), Type 3 (stitching) and a raw passthrough
-    for other kinds (sampled/PostScript keep their dict for round-trip)."""
+    """Pdffun parity (reference Pdffun.parse_function / Pdffun.eval_function,
+    pdfgraphics.mli:37-49): all four function kinds — Type 0 (sampled),
+    Type 2 (exponential interpolation), Type 3 (stitching), Type 4
+    (PostScript calculator)."""
 
     kind: int
     domain: tuple
@@ -135,21 +136,251 @@ class PdfFunction:
     bounds: tuple = ()
     encode: tuple = ()
     range: tuple = ()  # /Range pairs (lo0, hi0, lo1, hi1, ...), may be empty
+    size: tuple = ()  # type 0: /Size (samples per input dimension)
+    bps: int = 8  # type 0: /BitsPerSample
+    decode: tuple = ()  # type 0: /Decode (defaults to /Range)
+    samples: object = None  # type 0: numpy (prod(size), n_out) float array
+    program: tuple = ()  # type 4: parsed calculator program
     raw: object = None  # unsupported kinds: the resolved dict
 
 
-def eval_function(f: PdfFunction, t: float):
-    """Evaluate at t (clamped to the domain).  Type 2/3 per the PDF spec;
-    unsupported kinds evaluate as identity-ish constants (c0).  Outputs
-    clamp to /Range when present (as the reference's Pdffun does)."""
-    d0, d1 = f.domain[0], f.domain[1]
-    t = min(max(t, d0), d1)
+def _interp(x, x0, x1, y0, y1):
+    return y0 if x1 == x0 else y0 + (x - x0) * (y1 - y0) / (x1 - x0)
+
+
+def _eval_sampled(f: PdfFunction, ts):
+    """Type 0 (PDF 7.10.2): encode inputs into sample-grid coordinates,
+    multilinear-interpolate over the 2^m surrounding corners, decode."""
+    m = len(f.size)
+    nout = max(1, len(f.range) // 2)
+    coords = []
+    for i in range(m):
+        x = ts[i] if i < len(ts) else 0.0
+        d0, d1 = f.domain[2 * i], f.domain[2 * i + 1]
+        x = min(max(x, d0), d1)
+        if len(f.encode) >= 2 * i + 2:
+            e0, e1 = f.encode[2 * i], f.encode[2 * i + 1]
+        else:
+            e0, e1 = 0.0, float(f.size[i] - 1)
+        e = _interp(x, d0, d1, e0, e1)
+        coords.append(min(max(e, 0.0), float(f.size[i] - 1)))
+    # Strides: first input dimension varies fastest in the sample stream.
+    strides = []
+    acc = 1
+    for i in range(m):
+        strides.append(acc)
+        acc *= f.size[i]
+    out = [0.0] * nout
+    for corner in range(1 << m):
+        weight = 1.0
+        base = 0
+        for i in range(m):
+            lo = int(math.floor(coords[i]))
+            lo = min(lo, f.size[i] - 1)
+            hi = min(lo + 1, f.size[i] - 1)
+            frac = coords[i] - lo
+            if corner >> i & 1:
+                weight *= frac
+                base += hi * strides[i]
+            else:
+                weight *= 1.0 - frac
+                base += lo * strides[i]
+        if weight == 0.0:
+            continue
+        for j in range(nout):
+            out[j] += weight * f.samples[base * nout + j]
+    maxv = float((1 << f.bps) - 1)
+    dec = f.decode or f.range
+    res = []
+    for j in range(nout):
+        if len(dec) >= 2 * j + 2:
+            res.append(_interp(out[j], 0.0, maxv, dec[2 * j], dec[2 * j + 1]))
+        else:
+            res.append(out[j] / maxv)
+    return res
+
+
+# --- Type 4: PostScript calculator (PDF 7.10.5) ----------------------------
+
+
+def _ps_tokenize(src: bytes):
+    for tok in re.findall(rb"\{|\}|[^\s{}]+", src):
+        yield tok
+
+
+def parse_calculator(src: bytes) -> tuple:
+    """Parse a Type-4 program into nested tuples of numbers/operator
+    strings (procedure literals become nested tuples)."""
+    toks = list(_ps_tokenize(src))
+    pos = 0
+
+    def block():
+        nonlocal pos
+        out = []
+        while pos < len(toks):
+            t = toks[pos]
+            pos += 1
+            if t == b"{":
+                out.append(block())
+            elif t == b"}":
+                return tuple(out)
+            elif _NUM_RE.match(t):
+                out.append(float(t) if b"." in t else int(t))
+            else:
+                out.append(t.decode("latin1"))
+        return tuple(out)
+
+    # The whole program is wrapped in one outer { }.
+    while pos < len(toks) and toks[pos] != b"{":
+        pos += 1
+    if pos < len(toks):
+        pos += 1
+        return block()
+    return ()
+
+
+def _ps_exec(prog: tuple, stack: list):
+    """Execute a parsed calculator procedure against `stack` in place."""
+
+    def popn(k):
+        vals = stack[-k:]
+        del stack[-k:]
+        return vals
+
+    for op in prog:
+        if isinstance(op, (int, float, tuple)):
+            stack.append(op)
+            continue
+        if op == "true":
+            stack.append(True)
+        elif op == "false":
+            stack.append(False)
+        elif op == "if":
+            proc, = popn(1)
+            cond, = popn(1)
+            if cond:
+                _ps_exec(proc, stack)
+        elif op == "ifelse":
+            p2, = popn(1)
+            p1, = popn(1)
+            cond, = popn(1)
+            _ps_exec(p1 if cond else p2, stack)
+        elif op in ("add", "sub", "mul", "div", "idiv", "mod", "exp", "atan",
+                    "and", "or", "xor", "bitshift",
+                    "eq", "ne", "gt", "ge", "lt", "le"):
+            b = stack.pop()
+            a = stack.pop()
+            if op == "add":
+                stack.append(a + b)
+            elif op == "sub":
+                stack.append(a - b)
+            elif op == "mul":
+                stack.append(a * b)
+            elif op == "div":
+                stack.append(a / b if b != 0 else 0.0)
+            elif op == "idiv":
+                stack.append(int(a) // int(b) if int(b) else 0)
+            elif op == "mod":
+                stack.append(int(math.fmod(int(a), int(b))) if int(b) else 0)
+            elif op == "exp":
+                stack.append(float(a) ** float(b))
+            elif op == "atan":
+                ang = math.degrees(math.atan2(float(a), float(b)))
+                stack.append(ang + 360.0 if ang < 0 else ang)
+            elif op == "and":
+                stack.append((a and b) if isinstance(a, bool) else int(a) & int(b))
+            elif op == "or":
+                stack.append((a or b) if isinstance(a, bool) else int(a) | int(b))
+            elif op == "xor":
+                stack.append((a != b) if isinstance(a, bool) else int(a) ^ int(b))
+            elif op == "bitshift":
+                s = int(b)
+                stack.append(int(a) << s if s >= 0 else int(a) >> -s)
+            elif op == "eq":
+                stack.append(a == b)
+            elif op == "ne":
+                stack.append(a != b)
+            elif op == "gt":
+                stack.append(a > b)
+            elif op == "ge":
+                stack.append(a >= b)
+            elif op == "lt":
+                stack.append(a < b)
+            elif op == "le":
+                stack.append(a <= b)
+        elif op == "neg":
+            stack.append(-stack.pop())
+        elif op == "abs":
+            stack.append(abs(stack.pop()))
+        elif op == "sqrt":
+            stack.append(math.sqrt(max(0.0, float(stack.pop()))))
+        elif op == "sin":
+            stack.append(math.sin(math.radians(float(stack.pop()))))
+        elif op == "cos":
+            stack.append(math.cos(math.radians(float(stack.pop()))))
+        elif op == "ln":
+            v = float(stack.pop())
+            stack.append(math.log(v) if v > 0 else 0.0)
+        elif op == "log":
+            v = float(stack.pop())
+            stack.append(math.log10(v) if v > 0 else 0.0)
+        elif op == "ceiling":
+            stack.append(float(math.ceil(stack.pop())))
+        elif op == "floor":
+            stack.append(float(math.floor(stack.pop())))
+        elif op == "round":
+            v = stack.pop()
+            stack.append(float(math.floor(v + 0.5)) if not isinstance(v, int) else v)
+        elif op == "truncate":
+            v = stack.pop()
+            stack.append(float(math.trunc(v)) if not isinstance(v, int) else v)
+        elif op == "cvi":
+            stack.append(int(stack.pop()))
+        elif op == "cvr":
+            stack.append(float(stack.pop()))
+        elif op == "not":
+            v = stack.pop()
+            stack.append((not v) if isinstance(v, bool) else ~int(v))
+        elif op == "dup":
+            stack.append(stack[-1])
+        elif op == "pop":
+            stack.pop()
+        elif op == "exch":
+            stack[-1], stack[-2] = stack[-2], stack[-1]
+        elif op == "copy":
+            k = int(stack.pop())
+            if k > 0:
+                stack.extend(stack[-k:])
+        elif op == "index":
+            k = int(stack.pop())
+            stack.append(stack[-1 - k])
+        elif op == "roll":
+            j = int(stack.pop())
+            k = int(stack.pop())
+            if k > 0:
+                j %= k
+                if j:
+                    part = stack[-k:]
+                    del stack[-k:]
+                    stack.extend(part[-j:] + part[:-j])
+        else:
+            raise ValueError(f"calculator: unknown operator {op!r}")
+
+
+def eval_function(f: PdfFunction, t):
+    """Evaluate at input(s) `t` — a scalar for 1-in functions or a sequence
+    for multi-input (Type 0/4) ones — clamped to the domain.  All four
+    kinds per the PDF spec (Pdffun.eval_function parity); outputs clamp to
+    /Range when present."""
+    ts = [float(v) for v in t] if isinstance(t, (tuple, list)) else [float(t)]
+    t = min(max(ts[0], f.domain[0]), f.domain[1])
     if f.kind == 2:
         # A fractional exponent of a negative base would go complex; the
         # spec restricts Type-2 domains to t >= 0 when N is non-integral.
         base = t if (t >= 0.0 or float(f.n).is_integer()) else 0.0
         out = [c0 + (base ** f.n) * (c1 - c0) for c0, c1 in zip(f.c0, f.c1)]
     elif f.kind == 3:
+        d0, d1 = f.domain[0], f.domain[1]
         k = 0
         while k < len(f.bounds) and t >= f.bounds[k]:
             k += 1
@@ -161,6 +392,16 @@ def eval_function(f: PdfFunction, t: float):
             e0, e1 = 0.0, 1.0
         tt = e0 if hi == lo else e0 + (t - lo) * (e1 - e0) / (hi - lo)
         out = eval_function(f.functions[k], tt)
+    elif f.kind == 0 and f.samples is not None:
+        out = _eval_sampled(f, ts)
+    elif f.kind == 4 and f.program:
+        stack: list = []
+        for i in range(len(f.domain) // 2):
+            x = ts[i] if i < len(ts) else 0.0
+            stack.append(min(max(x, f.domain[2 * i]), f.domain[2 * i + 1]))
+        _ps_exec(f.program, stack)
+        nout = max(1, len(f.range) // 2)
+        out = [float(v) for v in stack[-nout:]]
     else:
         out = list(f.c0)
     if f.range:
@@ -323,9 +564,33 @@ def _inline_image_bytes(d: dict) -> Optional[int]:
     return row * h
 
 
+def _unpack_bits(data: bytes, bps: int, count: int):
+    """First `count` big-endian `bps`-bit unsigned samples of `data`."""
+    if bps == 8:
+        return list(data[:count])
+    if bps in (16, 24, 32):
+        nb = bps // 8
+        return [
+            int.from_bytes(data[i * nb : (i + 1) * nb], "big")
+            for i in range(min(count, len(data) // nb))
+        ]
+    out = []
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bps:
+            out.append((acc >> (nbits - bps)) & ((1 << bps) - 1))
+            nbits -= bps
+            if len(out) >= count:
+                return out
+    return out
+
+
 def parse_function(pdf: Pdf, obj) -> PdfFunction:
-    """Pdffun.parse_function subset: Type 2/3 parsed fully, other kinds
-    kept raw for round-trip."""
+    """Pdffun.parse_function parity: all four kinds (0 sampled, 2
+    exponential, 3 stitching, 4 calculator)."""
     d = pdf.resolve(obj)
     dd = d.dict if isinstance(d, Stream) else d
     if not isinstance(dd, dict):
@@ -343,6 +608,30 @@ def parse_function(pdf: Pdf, obj) -> PdfFunction:
         bounds = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Bounds", [])))
         enc = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Encode", [])))
         return PdfFunction(3, dom, functions=fns, bounds=bounds, encode=enc, range=rng)
+    if ft == 0 and isinstance(d, Stream):
+        size = tuple(
+            int(pdf.resolve(v)) for v in pdf.resolve(dd.get("Size", []))
+        )
+        bps = int(pdf.resolve(dd.get("BitsPerSample", 8)))
+        enc = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Encode", [])))
+        dec = tuple(float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Decode", [])))
+        if size and rng:
+            total = max(1, len(rng) // 2)
+            for s in size:
+                total *= max(1, s)
+            samples = _unpack_bits(d.decode(), bps, total)
+            if len(samples) >= total:
+                return PdfFunction(
+                    0, dom, encode=enc, decode=dec, size=size, bps=bps,
+                    samples=samples, range=rng, raw=dd,
+                )
+        return PdfFunction(0, dom, range=rng, raw=dd)
+    if ft == 4 and isinstance(d, Stream):
+        try:
+            prog = parse_calculator(d.decode())
+        except Exception:
+            prog = ()
+        return PdfFunction(4, dom, program=prog, range=rng, raw=dd)
     return PdfFunction(ft, dom, range=rng, raw=dd)
 
 

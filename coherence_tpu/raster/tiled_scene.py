@@ -35,6 +35,12 @@ from .region import Box, Sprite
 N_BUF = 2
 
 
+def _default_interpret() -> bool:
+    """Pallas TPU kernels must run in interpret mode off-TPU (the CPU
+    backend rejects compiled mode outright); on real TPU, compiled."""
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _shatter_kernel(packed, oys, oxs):
     """packed (H, W) u32; offsets (n,) each: piece[r, c] =
@@ -132,8 +138,9 @@ def _kernel(starts_ref, idxs_ref, bg_ref, atlas_hbm, out_ref, scratch, sems):
     out_ref[:] = _over_packed(acc, bg_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("nty", "ntx"))
-def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int):
+@functools.partial(jax.jit, static_argnames=("nty", "ntx", "interpret"))
+def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int,
+                  interpret: bool = False):
     grid = (nty * ntx,)
     return pl.pallas_call(
         _kernel,
@@ -159,10 +166,11 @@ def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int):
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(background.shape, jnp.uint32),
+        interpret=interpret,
     )(starts, idxs, background, atlas)
 
 
-def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, atlas_hbm, frame_hbm, out_ref, scratch, sems):
+def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, frame_ref, atlas_hbm, out_ref, scratch, sems):
     """Like _kernel but the grid runs over a compacted dirty-tile list; the
     tile position comes from scalar-prefetched coords (block index maps read
     them) and each slot carries its own [lo, hi) span into idxs.  Padding
@@ -171,76 +179,95 @@ def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, atlas_hbm, frame_hbm
     flush / input-refetch elision when consecutive grid steps map the same
     block (a passthrough padding slot would race the aliased frame buffer
     and could overwrite a freshly rendered tile with stale pixels).
-    frame_hbm is the donated/aliased framebuffer; it is never read."""
-    del frame_hbm
+
+    A NEGATIVE span (lo < 0) marks a pure passthrough slot: the tile's
+    current frame block is copied to the output unchanged.  This is how the
+    sharded path parks idle bands without touching their (possibly
+    deliberately stale) pixels — a span of (0, 0) would instead composite
+    bare background, and re-compositing from the atlas would eagerly
+    refresh a tile the caller never marked dirty.  frame_ref is the same
+    buffer as the aliased output, fetched per-slot; only passthrough slots
+    read it, and their tiles are written by no other slot, so the read
+    cannot race a pending flush."""
     t = pl.program_id(0)
     lo = spans_ref[t, 0]
     hi = spans_ref[t, 1]
 
-    def piece_copy(k, slot):
-        return pltpu.make_async_copy(
-            atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
-        )
-
-    @pl.when(lo < hi)
+    @pl.when(lo < 0)
     def _():
-        piece_copy(lo, jax.lax.rem(lo, N_BUF)).start()
+        out_ref[:] = frame_ref[:]
 
-    @pl.when(lo + 1 < hi)
+    @pl.when(lo >= 0)
     def _():
-        piece_copy(lo + 1, jax.lax.rem(lo + 1, N_BUF)).start()
+        def piece_copy(k, slot):
+            return pltpu.make_async_copy(
+                atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
+            )
 
-    def cond(state):
-        k, acc, open_any = state
-        return jnp.logical_and(k < hi, open_any)
-
-    def body(state):
-        k, acc, _ = state
-        slot = jax.lax.rem(k, N_BUF)
-        piece_copy(k, slot).wait()
-        layer = scratch[slot]
-
-        @pl.when(k + N_BUF < hi)
+        @pl.when(lo < hi)
         def _():
-            piece_copy(k + N_BUF, slot).start()
+            piece_copy(lo, jax.lax.rem(lo, N_BUF)).start()
 
-        open_mask = (acc >> 24) != 255
-        acc = jnp.where(open_mask, _over_packed(acc, layer), acc)
-        return k + 1, acc, jnp.any((acc >> 24) != 255)
+        @pl.when(lo + 1 < hi)
+        def _():
+            piece_copy(lo + 1, jax.lax.rem(lo + 1, N_BUF)).start()
 
-    acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
-    k_fin, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
+        def cond(state):
+            k, acc, open_any = state
+            return jnp.logical_and(k < hi, open_any)
 
-    def drain(j, _):
-        piece_copy(j, jax.lax.rem(j, N_BUF)).wait()
-        return 0
+        def body(state):
+            k, acc, _ = state
+            slot = jax.lax.rem(k, N_BUF)
+            piece_copy(k, slot).wait()
+            layer = scratch[slot]
 
-    jax.lax.fori_loop(k_fin, jnp.minimum(k_fin + N_BUF, hi), drain, 0)
+            @pl.when(k + N_BUF < hi)
+            def _():
+                piece_copy(k + N_BUF, slot).start()
 
-    out_ref[:] = _over_packed(acc, bg_ref[:])
+            open_mask = (acc >> 24) != 255
+            acc = jnp.where(open_mask, _over_packed(acc, layer), acc)
+            return k + 1, acc, jnp.any((acc >> 24) != 255)
+
+        acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
+        k_fin, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
+
+        def drain(j, _):
+            piece_copy(j, jax.lax.rem(j, N_BUF)).wait()
+            return 0
+
+        jax.lax.fori_loop(k_fin, jnp.minimum(k_fin + N_BUF, hi), drain, 0)
+
+        out_ref[:] = _over_packed(acc, bg_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("n_slots",), donate_argnums=(4,))
-def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *, n_slots: int):
+@functools.partial(
+    jax.jit, static_argnames=("n_slots", "interpret"), donate_argnums=(4,)
+)
+def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *,
+                        n_slots: int, interpret: bool = False):
     """Re-render only the listed tiles in-place in `frame` (donated).
 
     coords: (n_slots, 2) int32 [tile_y, tile_x]; spans: (n_slots, 2) int32
-    [lo, hi) into idxs.  Padding slots must duplicate the last real slot
-    (idempotent re-render; see _kernel_subset)."""
+    [lo, hi) into idxs, or (-1, -1) for a frame-passthrough slot.  Padding
+    slots must duplicate the last real slot (idempotent re-render; see
+    _kernel_subset)."""
     grid = (n_slots,)
+    tile_block = pl.BlockSpec(
+        (TILE_H, TILE_W),
+        lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         _kernel_subset,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(
-                    (TILE_H, TILE_W),
-                    lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                tile_block,  # background
+                tile_block,  # frame (aliased with the output; see kernel)
+                pl.BlockSpec(memory_space=pl.ANY),  # atlas
             ],
             out_specs=pl.BlockSpec(
                 (TILE_H, TILE_W),
@@ -253,8 +280,9 @@ def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *, n_slot
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(frame.shape, jnp.uint32),
-        input_output_aliases={5: 0},  # frame (3 prefetch + bg, atlas, frame)
-    )(coords, spans, idxs, background, atlas, frame)
+        input_output_aliases={4: 0},  # frame (3 prefetch + bg, frame)
+        interpret=interpret,
+    )(coords, spans, idxs, background, frame, atlas)
 
 
 class TiledScene:
@@ -479,7 +507,8 @@ class TiledScene:
     def render(self, background, starts, idxs) -> jnp.ndarray:
         """Composite all listed pieces over `background` ((H, W) packed u32)."""
         return _render_tiles(
-            starts, idxs, background, self.atlas(), nty=self.nty, ntx=self.ntx
+            starts, idxs, background, self.atlas(), nty=self.nty, ntx=self.ntx,
+            interpret=_default_interpret(),
         )
 
     def _dirty_args(self, order, dirty_tiles, pieces_override=None):
@@ -545,6 +574,7 @@ class TiledScene:
             frame,
             self.atlas(),
             n_slots=n_slots,
+            interpret=_default_interpret(),
         )
 
 
@@ -648,11 +678,14 @@ def render_dirty_sharded(
     per-band scalar lists are built host-side and stacked.  No cross-device
     communication — dirty tiles are spatially local to their band.
 
-    Bands with no dirty tiles get one slot pointing at their local tile 0
-    with its FULL entry list: an idempotent re-render of correct content is
-    safe under any Pallas flush timing, where a frame passthrough or an
-    empty span (which would composite bare background) would not be.
-    Returns the updated sharded frame (donated)."""
+    Bands with no dirty tiles get one PASSTHROUGH slot (span (-1, -1))
+    parked on their local tile 0: the kernel copies the tile's current
+    frame block back out, leaving the band's pixels untouched — an empty
+    (0, 0) span would composite bare background, and re-compositing from
+    the atlas would eagerly refresh content the caller never marked dirty
+    (breaking pixel-equality with the unsharded path when the scene
+    changed under a still-clean tile).  Returns the updated sharded frame
+    (donated)."""
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -664,10 +697,6 @@ def render_dirty_sharded(
 
     dirty = sorted(set(dirty_tiles))
     per_tile = {t: [] for t in dirty}
-    # Local tile 0 of each band may serve as the idle-band filler.
-    fillers = {d * band_ty * ts.ntx for d in range(n_dev)}
-    for t in fillers:
-        per_tile.setdefault(t, [])
     for key in order:
         for tile, entry in ts.pieces.get(key, ()):
             if tile in per_tile:
@@ -684,18 +713,21 @@ def render_dirty_sharded(
     max_idx = 8
     staged = []
     for d in range(n_dev):
-        tiles = by_band[d] or [d * band_ty * ts.ntx]
+        tiles = by_band[d]
         coords = np.zeros((n_slots, 2), np.int32)
         spans = np.zeros((n_slots, 2), np.int32)
         idxs_list: List[int] = []
-        for j, t in enumerate(tiles):
-            ty_local = t // ts.ntx - d * band_ty
-            coords[j] = (ty_local, t % ts.ntx)
-            lo = len(idxs_list)
-            idxs_list.extend(per_tile[t])
-            spans[j] = (lo, len(idxs_list))
-        coords[len(tiles) :] = coords[len(tiles) - 1]
-        spans[len(tiles) :] = spans[len(tiles) - 1]
+        if tiles:
+            for j, t in enumerate(tiles):
+                ty_local = t // ts.ntx - d * band_ty
+                coords[j] = (ty_local, t % ts.ntx)
+                lo = len(idxs_list)
+                idxs_list.extend(per_tile[t])
+                spans[j] = (lo, len(idxs_list))
+            coords[len(tiles) :] = coords[len(tiles) - 1]
+            spans[len(tiles) :] = spans[len(tiles) - 1]
+        else:
+            spans[:] = -1  # idle band: every slot passes tile (0, 0) through
         staged.append((coords, spans, idxs_list))
         while max_idx < len(idxs_list):
             max_idx *= 2
@@ -709,19 +741,20 @@ def render_dirty_sharded(
     atlas = ts.atlas()
 
     def band_dirty(coords_l, spans_l, idxs_l, bg_l, fr_l):
+        tile_block = pl.BlockSpec(
+            (TILE_H, TILE_W),
+            lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+            memory_space=pltpu.VMEM,
+        )
         return pl.pallas_call(
             _kernel_subset,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_slots,),
                 in_specs=[
-                    pl.BlockSpec(
-                        (TILE_H, TILE_W),
-                        lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pl.ANY),
+                    tile_block,  # background
+                    tile_block,  # frame (aliased with the output)
+                    pl.BlockSpec(memory_space=pl.ANY),  # atlas
                 ],
                 out_specs=pl.BlockSpec(
                     (TILE_H, TILE_W),
@@ -734,9 +767,9 @@ def render_dirty_sharded(
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((band_h, ts.width), jnp.uint32),
-            input_output_aliases={5: 0},
+            input_output_aliases={4: 0},
             interpret=interpret,
-        )(coords_l[0], spans_l[0], idxs_l[0], bg_l, atlas, fr_l)
+        )(coords_l[0], spans_l[0], idxs_l[0], bg_l, fr_l, atlas)
 
     fn = shard_map(
         band_dirty,

@@ -34,7 +34,7 @@ from ..raster import region, scanline
 from ..raster.pallas_compositor import TILE_H, TILE_W, pack_rgba, unpack_rgba
 from ..raster.region import NULL_SPRITE, translate_sprite
 from ..raster.scanline import _HALF
-from ..raster.tiled_scene import TiledScene
+from ..raster.tiled_scene import TiledScene, _default_interpret as _tiled_interpret
 from . import render as R
 
 
@@ -696,12 +696,12 @@ def _unpack_crop_kernel(packed, *, h, w):
 @functools.partial(
     jax.jit,
     donate_argnums=(0, 1, 2),
-    static_argnames=("n_slots", "hb", "wb", "weights", "total"),
+    static_argnames=("n_slots", "hb", "wb", "weights", "total", "interpret"),
 )
 def _animated_blur_frame_kernel(
     atlas, content, display, rgba, oys, oxs, base, coords, spans, idxs, bg,
     f_alpha, oy, ox, ry0, rx0, h, w, d_box,
-    *, n_slots, hb, wb, weights, total,
+    *, n_slots, hb, wb, weights, total, interpret=False,
 ):
     """ONE dispatch for a whole animated-with-filter frame: shatter the
     moved object's raster into its reserved atlas slots, recomposite the
@@ -712,7 +712,8 @@ def _animated_blur_frame_kernel(
 
     atlas = _shatter_into_kernel.__wrapped__(atlas, rgba, oys, oxs, base)
     content = _render_dirty_tiles.__wrapped__(
-        coords, spans, idxs, bg, content, atlas, n_slots=n_slots
+        coords, spans, idxs, bg, content, atlas, n_slots=n_slots,
+        interpret=interpret,
     )
     display = _blur_blend_window_kernel.__wrapped__(
         display, content, f_alpha, oy, ox, ry0, rx0, h, w, d_box,
@@ -867,6 +868,7 @@ class FilteredDisplay:
             wb=wb,
             weights=tuple(self.kernel.values),
             total=self.kernel.total,
+            interpret=_tiled_interpret(),
         )
         ts._chunks = [atlas]
         ts._atlas = atlas

@@ -176,10 +176,10 @@ def test_render_dirty_padding_slots_duplicate_last_tile():
     captured = {}
     orig = mod._render_dirty_tiles
 
-    def spy(coords, spans, idxs, background, frame, atlas, *, n_slots):
+    def spy(coords, spans, idxs, background, frame, atlas, **kw):
         captured["coords"] = np.asarray(coords)
         captured["spans"] = np.asarray(spans)
-        return orig(coords, spans, idxs, background, frame, atlas, n_slots=n_slots)
+        return orig(coords, spans, idxs, background, frame, atlas, **kw)
 
     bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
     frame = ts.render(bg, *ts.build_lists(order)) + 0
