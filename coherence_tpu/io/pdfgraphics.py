@@ -1202,6 +1202,31 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                         el.dict, el.data, ctr.matmul(tmat, el.transform)
                     )
                 )
+            elif isinstance(el, GShading):
+                # Compose the transform into the shading's matrix and
+                # element ctm, and move its clip path pointwise, so the
+                # gradient stays registered with its clip geometry (the
+                # reference drops shadings at render time so its
+                # transform_graphic gap is invisible; here they render).
+                sh = el.shading
+                out.append(
+                    GShading(
+                        gpath.transform_path(list(t), el.clip)
+                        if el.clip is not None
+                        else None,
+                        Shading(
+                            sh.colourspace,
+                            sh.background,
+                            sh.bbox,
+                            sh.antialias,
+                            ctr.matmul(tmat, sh.matrix),
+                            sh.extgstate,
+                            sh.kind,
+                        ),
+                        ctr.matmul(tmat, el.transform),
+                        el.name,
+                    )
+                )
             else:
                 out.append(el)
         return out

@@ -457,7 +457,7 @@ def _paste_alpha(alpha_src, dy, dx, *, H, W):
     return jnp.where(vy[:, None] & vx[None, :], g, 0)
 
 
-def alpha_plane_of_object(o: R.Obj, width: int, height: int, pad_w: int = 0, pad_h: int = 0):
+def alpha_plane_of_object(o: R.Obj, width: int, height: int):
     """(height, width) int32 alpha plane of an object's raster — the filter
     geometry alpha that blend' weights by (render.ml:1248-1265).
 
@@ -829,6 +829,18 @@ class FilteredDisplay:
 
         oys, oxs, base, entries = got
         dirty_box = region.box_union(spr.box, moved.box)
+        # Pre-existing dirty tiles (other edits) get fresh CONTENT below;
+        # fold their extent into the blend window too, or their displayed
+        # (filtered) pixels would stay permanently stale.
+        for t in view.dirty:
+            ty, tx = t // ts.ntx, t % ts.ntx
+            tile_box = (
+                tx * TILE_W + 1,
+                ty * TILE_H + 1,
+                min(view.width, (tx + 1) * TILE_W),
+                min(view.height, (ty + 1) * TILE_H),
+            )
+            dirty_box = region.box_union(dirty_box, tile_box)
         win = blur_window(
             dirty_box, self.box, self.kernel.radius, view.height, view.width
         )

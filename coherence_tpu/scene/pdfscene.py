@@ -68,7 +68,14 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     fills (fill.ml:77-140): endpoint colours come from the PDF function
     evaluated at the domain ends (exact for the common single Type-2
     linear function; stitched functions approximate by endpoints).
-    Pattern-space coordinates transform by the pattern /Matrix."""
+    Pattern-space coordinates transform by the pattern /Matrix.
+
+    Radial shadings approximate as CONCENTRIC circles about the END
+    circle's centre (x1, y1) — the renderer's radial fill model
+    (fill.ml:111-140) has a single centre, so a PDF radial whose start
+    circle is offset (the 'highlight' form) renders with its gradient
+    rings centred on the end circle rather than sweeping between the two
+    centres.  r0/r1 and both extend flags are honoured."""
     sh = pat.shading
     k = sh.kind
     if not isinstance(k, (PG.AxialShadingK, PG.RadialShadingK)):
@@ -161,9 +168,29 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                 fill = fill_of_shading_pattern(PG.ShadingPattern(el.shading), 1.0)
                 geom_path = clip_path
                 if geom_path is None and isinstance(el.shading.bbox, list) and len(el.shading.bbox) == 4:
+                    # /BBox is in the shading's target space: map its corners
+                    # through the ctm at the sh op (el.transform) so the
+                    # painted quad lives in the same space as the clip paths
+                    # (and as the gradient coords, which go through
+                    # sh.matrix = that same ctm).
                     x0, y0, x1, y1 = (float(v) for v in el.shading.bbox)
-                    geom_path = gshapes.rectangle(
-                        min(x0, x1), min(y0, y1), abs(x1 - x0), abs(y1 - y0)
+                    a, b, c_, d_, e, f_ = el.transform
+                    quad = [
+                        (a * x + c_ * y + e, b * x + d_ * y + f_)
+                        for x, y in ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+                    ]
+                    geom_path = gshapes.Path(
+                        gshapes.EVEN_ODD,
+                        (
+                            gshapes.Subpath(
+                                False,
+                                True,
+                                tuple(
+                                    gshapes.Straight(quad[i], quad[(i + 1) % 4])
+                                    for i in range(4)
+                                ),
+                            ),
+                        ),
                     )
                 if fill is not None and geom_path is not None:
                     out.append(

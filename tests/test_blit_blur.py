@@ -25,7 +25,7 @@ from coherence_tpu.scene.fastframe import alpha_plane_of_object, full_sprite_of_
 def _f_alpha(kernel):
     """The filter geometry's alpha plane (what blend' weights by)."""
     geom_obj = R.Obj(ident.new_ids(), _filter_obj(kernel).geometry.filter.geometry, (), R.OVER)
-    return alpha_plane_of_object(geom_obj, W, H, 256, 128)
+    return alpha_plane_of_object(geom_obj, W, H)
 
 
 @pytest.fixture(autouse=True)
@@ -195,6 +195,51 @@ def test_tiled_filtered_display_matches_general():
         cache.clear()
         want = _general_frame(kernel, _blob_at(*positions[k]))
         assert (got == want).all(), f"tiled frame {k} mismatch"
+
+
+def test_step_animated_blends_preexisting_dirty_tiles():
+    """ADVICE r2: tiles dirtied by OTHER edits before a fused step_animated
+    call must get their displayed (filtered) pixels refreshed too, not just
+    fresh content under a stale blur blend."""
+    from coherence_tpu.scene.fastframe import DeviceView, FilteredDisplay
+
+    kernel = rconvolve.mkgaussian(RADIUS)
+    statics = _statics()
+    view = DeviceView(W, H)
+    view.set_scene(statics)
+    blob_obj = _blob_at(40, 50)
+    view.add_object(blob_obj, index=0)
+    view.make_animated(blob_obj.idset)
+    f_alpha = _f_alpha(kernel)
+    disp = FilteredDisplay(view, f_alpha, kernel)
+    disp.full_refresh()
+
+    # Another edit: recolour the first static INSIDE the filter rect,
+    # marking its tiles dirty without rendering.
+    new_static = rect_obj(C.dissolve(C.darkorange, delta=220), 50, 35, 40, 30)
+    view.replace_object(statics[0].idset, new_static)
+    assert view.dirty, "precondition: edit must leave dirty tiles pending"
+
+    # Fused animated step; its window is far from the recoloured rect.
+    disp.step_animated(blob_obj.idset, 7, 3)
+
+    got = disp.read()
+    cache.clear()
+    scene = [_filter_obj(kernel), _blob_at(47, 53), new_static] + statics[1:]
+    import jax.numpy as jnp
+
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, W, H)))
+    top = np.zeros((H, W, 4), np.int32)
+    x0, y0, x1, y1 = spr.box
+    m = np.asarray(spr.mask)
+    r4 = np.asarray(spr.rgba)
+    for rr in range(max(1, y0), min(H, y1) + 1):
+        for cc in range(max(1, x0), min(W, x1) + 1):
+            if m[rr - y0, cc - x0]:
+                top[rr - 1, cc - 1] = r4[rr - y0, cc - x0]
+    white = np.full((H, W, 4), 255, np.int32)
+    want = np.asarray(C.over_rgba(jnp.asarray(top), jnp.asarray(white)))
+    assert (got == want).all(), "stale filtered pixels over the edited rect"
 
 
 def test_blit_blur_dirty_crossing_filter_edge():

@@ -223,3 +223,61 @@ Q
     bx0, by0, bx1, by1 = spr.box
     assert by0 >= 19 and by1 <= 51 and bx0 >= 19 and bx1 <= 71, spr.box
     cache.clear()
+
+
+def test_transform_graphic_moves_shading_with_clip():
+    """ADVICE r2: transform_graphic must compose the transform into GShading
+    (matrix + clip + ctm) so the gradient stays registered with its clip —
+    the y-flip into raster orientation otherwise leaves the gradient in the
+    old space while the clip moves."""
+    from coherence_tpu import transform as ctr
+
+    content = b"""
+q
+20 20 50 30 re W n
+/Sh1 sh
+Q
+"""
+    resources = {"Shading": {"Sh1": dict(AXIAL)}}
+    pdf = mkpage(content, mediabox=(0, 0, 100, 80), resources=resources)
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+
+    t = [ctr.Translate(7.0, -3.0)]
+    g2 = PG.transform_graphic(t, g)
+
+    def find_sh(elements):
+        for el in elements:
+            if isinstance(el, PG.GShading):
+                return el
+            if isinstance(el, (PG.Clip, PG.MCSection)):
+                got = find_sh(el.elements)
+                if got is not None:
+                    return got
+        return None
+
+    sh1, sh2 = find_sh(g.elements), find_sh(g2.elements)
+    assert sh1 is not None and sh2 is not None
+    # The shading matrix picked up the translation...
+    assert sh2.shading.matrix[4] == sh1.shading.matrix[4] + 7.0
+    assert sh2.shading.matrix[5] == sh1.shading.matrix[5] - 3.0
+    # ...and so did the element ctm and the captured clip path.
+    assert sh2.transform[4] == sh1.transform[4] + 7.0
+    if sh1.clip is not None:
+        p1 = sh1.clip.subpaths[0].segments[0].frm
+        p2 = sh2.clip.subpaths[0].segments[0].frm
+        assert p2[0] == p1[0] + 7.0 and p2[1] == p1[1] - 3.0
+    # Rendering the transformed graphic: gradient direction follows.
+    cache.clear()
+    scene = pdfscene.scene_of_graphic(pdf, g2)
+    grads = [o for o in scene if isinstance(o.geometry.fill, rfills.GradientFill)]
+    assert grads
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 100, 80)))
+    x0, y0, _, _ = spr.box
+    m = np.asarray(spr.mask)
+    r4 = np.asarray(spr.rgba)
+    y = 32 - y0  # 35 - 3
+    left = r4[y, 29 - x0]  # 22 + 7
+    right = r4[y, 65 - x0]  # 58 + 7
+    assert m[y, 29 - x0] and m[y, 65 - x0]
+    assert left[0] > left[2] and right[2] > right[0], (left, right)
+    cache.clear()
