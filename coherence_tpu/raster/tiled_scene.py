@@ -285,6 +285,64 @@ def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *,
     )(coords, spans, idxs, background, frame, atlas)
 
 
+class PieceMap(dict):
+    """``key -> [(tile, entry), ...]`` with a maintained reverse index
+    ``by_tile: tile -> {key: [entries]}``.
+
+    Every mutation path assigns whole entry lists (``pieces[key] = ...``),
+    so __setitem__ is the single place the index updates.  The index is
+    what makes per-frame host work scale with the DIRTY area instead of
+    the scene: ``_dirty_args``/sharded builders query only the dirty
+    tiles' key sets rather than walking every object's piece list."""
+
+    def __init__(self):
+        super().__init__()
+        self.by_tile: Dict[int, Dict[object, List[int]]] = {}
+
+    def __setitem__(self, key, entries):
+        old = super().get(key)
+        if old:
+            for tile, _ in old:
+                d = self.by_tile.get(tile)
+                if d is not None:
+                    d.pop(key, None)
+                    if not d:
+                        del self.by_tile[tile]
+        entries = list(entries)
+        super().__setitem__(key, entries)
+        for tile, entry in entries:
+            self.by_tile.setdefault(tile, {}).setdefault(key, []).append(entry)
+
+    def __delitem__(self, key):
+        self[key] = []
+        super().__delitem__(key)
+
+    def pop(self, key, *default):
+        if key in self:
+            got = self[key]
+            del self[key]
+            return got
+        if default:
+            return default[0]
+        raise KeyError(key)
+
+    def tile_entries(self, tile: int, pos: Dict[object, int],
+                     skip=None) -> List[Tuple[int, int]]:
+        """(order_pos, entry) pairs of every ordered key covering `tile`
+        (unsorted; callers sort once after merging overrides)."""
+        out = []
+        d = self.by_tile.get(tile)
+        if d:
+            for key, es in d.items():
+                if skip is not None and key in skip:
+                    continue
+                p = pos.get(key)
+                if p is not None:
+                    for e in es:
+                        out.append((p, e))
+        return out
+
+
 class TiledScene:
     """Frame-grid atlas of object raster pieces + per-frame tile lists."""
 
@@ -295,11 +353,23 @@ class TiledScene:
         self.nty = height // TILE_H
         self._chunks: List[jnp.ndarray] = []  # (n, TH, TW) u32 blocks
         self._n_pieces = 0
-        # object id -> list of (tile_index, atlas_entry)
-        self.pieces: Dict[object, List[Tuple[int, int]]] = {}
+        # object id -> list of (tile_index, atlas_entry), with reverse index
+        self.pieces: PieceMap = PieceMap()
         self._atlas: Optional[jnp.ndarray] = None
         # animated objects: key -> (slot base, capacity)
         self._reserved: Dict[object, Tuple[int, int]] = {}
+        # order -> position cache (invalidated by list identity/length; the
+        # view layer always installs a NEW list on reorder, and in-place
+        # inserts change the length, so both changes are caught)
+        self._order_cache: Optional[Tuple[object, int, Dict[object, int]]] = None
+
+    def _order_pos(self, order) -> Dict[object, int]:
+        cached = self._order_cache
+        if cached is not None and cached[0] is order and cached[1] == len(order):
+            return cached[2]
+        pos = {k: i for i, k in enumerate(order)}
+        self._order_cache = (order, len(order), pos)
+        return pos
 
     def add_object(self, key, spr: Sprite) -> None:
         """Shatter a sprite's raster into frame-aligned tile pieces
@@ -520,16 +590,25 @@ class TiledScene:
         dirty = sorted(set(dirty_tiles))
         if not dirty:
             return None
-        per_tile = {t: [] for t in dirty}
-        for key in order:
-            entries = (
-                pieces_override[key]
-                if pieces_override is not None and key in pieces_override
-                else self.pieces.get(key, ())
-            )
-            for tile, entry in entries:
-                if tile in per_tile:
-                    per_tile[tile].append(entry)
+        # O(dirty-tiles x depth log depth) via the PieceMap reverse index —
+        # never a walk of every object's piece list (scene-size independent).
+        pos = self._order_pos(order)
+        over_by_tile: Optional[Dict[int, List[Tuple[int, int]]]] = None
+        if pieces_override:
+            over_by_tile = {}
+            for key, entries in pieces_override.items():
+                p = pos.get(key)
+                if p is None:
+                    continue
+                for tile, entry in entries:
+                    over_by_tile.setdefault(tile, []).append((p, entry))
+        per_tile = {}
+        for t in dirty:
+            cand = self.pieces.tile_entries(t, pos, skip=pieces_override)
+            if over_by_tile and t in over_by_tile:
+                cand.extend(over_by_tile[t])
+            cand.sort()
+            per_tile[t] = [e for _, e in cand]
         n = len(dirty)
         n_slots = 8
         while n_slots < n:
@@ -600,6 +679,7 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     all_idxs = []
     max_entries = 1
     bands = []
+    pos = ts._order_pos(order)
     for d in range(n_dev):
         tiles = [
             ty * ts.ntx + tx
@@ -608,13 +688,10 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
         ]
         starts_np = [0]
         idxs_np = []
-        per_tile = {t: [] for t in tiles}
-        for key in order:
-            for tile, entry in ts.pieces.get(key, ()):
-                if tile in per_tile:
-                    per_tile[tile].append(entry)
         for t in tiles:
-            idxs_np.extend(per_tile[t])
+            cand = ts.pieces.tile_entries(t, pos)
+            cand.sort()
+            idxs_np.extend(e for _, e in cand)
             starts_np.append(len(idxs_np))
         bands.append((starts_np, idxs_np))
         max_entries = max(max_entries, len(idxs_np))
@@ -696,11 +773,12 @@ def render_dirty_sharded(
     band_h = band_ty * TILE_H
 
     dirty = sorted(set(dirty_tiles))
-    per_tile = {t: [] for t in dirty}
-    for key in order:
-        for tile, entry in ts.pieces.get(key, ()):
-            if tile in per_tile:
-                per_tile[tile].append(entry)
+    pos = ts._order_pos(order)
+    per_tile = {}
+    for t in dirty:
+        cand = ts.pieces.tile_entries(t, pos)
+        cand.sort()
+        per_tile[t] = [e for _, e in cand]
 
     by_band: List[List[int]] = [[] for _ in range(n_dev)]
     for t in dirty:

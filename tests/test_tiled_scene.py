@@ -362,3 +362,56 @@ def test_reserve_slots_on_empty_scene_keeps_indices_aligned():
     got = np.asarray(unpack_rgba(out))
     # The object's colour, not blank reserved slots, must appear.
     assert (got[..., 0] > 150).all(), got[0, 0]
+
+
+def test_piece_map_index_matches_brute_force():
+    """The PieceMap reverse index (tile -> key -> entries) must stay
+    consistent through adds, in-place replacement and deletion, and
+    _dirty_args must produce exactly the lists the old O(total-pieces)
+    walk did — same entries, same front-to-back order."""
+    W, H = TILE_W * 4, TILE_H * 4
+    ts, order = _mk_scene(W, H, 30)
+    # Mutations: replace an object (new pieces), empty one, pop one.
+    spr = region.fillshape(
+        shape_of_box((1, 1, TILE_W + 10, TILE_H + 10)),
+        rfills.plain(C.dissolve(C.colour_of_rgba(9, 9, 9, 255), delta=200)),
+    )
+    ts.add_object(order[3], spr)
+    ts.pieces[order[5]] = []
+    ts.pieces.pop(order[7])
+    order = [k for k in order if k != order[7]]
+
+    # Index consistency: rebuild from scratch and compare.
+    want = {}
+    for key, entries in ts.pieces.items():
+        for tile, entry in entries:
+            want.setdefault(tile, {}).setdefault(key, []).append(entry)
+    got = {t: dict(d) for t, d in ts.pieces.by_tile.items() if d}
+    assert got == want
+
+    # _dirty_args equivalence with the brute-force builder.
+    for dirty in ([0], [3, 5, 9], list(range(ts.ntx * ts.nty))):
+        res = ts._dirty_args(order, dirty)
+        assert res is not None
+        coords, spans, idxs, n_slots = res
+        per_tile = {t: [] for t in dirty}
+        for key in order:
+            for tile, entry in ts.pieces.get(key, ()):
+                if tile in per_tile:
+                    per_tile[tile].append(entry)
+        for j, t in enumerate(sorted(set(dirty))):
+            lo, hi = spans[j]
+            assert list(idxs[lo:hi]) == per_tile[t], (t, idxs[lo:hi], per_tile[t])
+
+    # Override path (the fused animated step): entries swap in for the key.
+    override = {order[0]: [(0, 999), (1, 998)]}
+    coords, spans, idxs, n_slots = ts._dirty_args(order, [0, 1], override)
+    per_tile = {0: [], 1: []}
+    for key in order:
+        entries = override[key] if key in override else ts.pieces.get(key, ())
+        for tile, entry in entries:
+            if tile in per_tile:
+                per_tile[tile].append(entry)
+    for j, t in enumerate((0, 1)):
+        lo, hi = spans[j]
+        assert list(idxs[lo:hi]) == per_tile[t]
