@@ -298,8 +298,10 @@ class PieceMap(dict):
     def __init__(self):
         super().__init__()
         self.by_tile: Dict[int, Dict[object, List[int]]] = {}
+        self.version = 0  # bumps on every assignment (cache invalidation)
 
     def __setitem__(self, key, entries):
+        self.version += 1
         old = super().get(key)
         if old:
             for tile, _ in old:
@@ -657,6 +659,138 @@ class TiledScene:
         )
 
 
+class BandedAtlas:
+    """Per-band sharded atlas: band d's local atlas holds ONLY the pieces
+    whose tiles fall in band d, plus every reserved (animated) block — so
+    per-device atlas memory is ~1/n_dev of the replicated global atlas
+    instead of a full copy on every chip (SURVEY §5.8 scale-out).
+
+    Layout: reserved blocks first at IDENTICAL local offsets on every band
+    (animated objects roam across bands, and a band-invariant base lets the
+    per-frame in-place update address every band the same way), then each
+    band's static pieces.  ``g2l[d]`` maps global atlas entries to band-d
+    local slots; entries a band never references are absent."""
+
+    def __init__(self, ts: "TiledScene", n_dev: int):
+        assert ts.nty % n_dev == 0, (ts.nty, n_dev)
+        self.n_dev = n_dev
+        self.version = ts.pieces.version
+        band_tiles = ts.ntx * (ts.nty // n_dev)
+
+        # Reserved blocks first, globally ordered by base slot.
+        res = sorted(ts._reserved.items(), key=lambda kv: kv[1][0])
+        self.reserved_local: Dict[object, int] = {}
+        res_g2l: Dict[int, int] = {}
+        off = 0
+        for key, (base, cap) in res:
+            self.reserved_local[key] = off
+            for j in range(cap):
+                res_g2l[base + j] = off + j
+            off += cap
+        n_res = off
+
+        per_band_static: List[List[int]] = []
+        for d in range(n_dev):
+            seen = set()
+            for t in range(d * band_tiles, (d + 1) * band_tiles):
+                for es in ts.pieces.by_tile.get(t, {}).values():
+                    for e in es:
+                        if e not in res_g2l:
+                            seen.add(e)
+            per_band_static.append(sorted(seen))
+
+        local_cap = n_res + max((len(s) for s in per_band_static), default=0)
+        cap = 8
+        while cap < local_cap:
+            cap *= 2  # pow2 pad: stable kernel shapes as the scene grows
+        self.local_cap = cap
+
+        gidx = np.zeros((n_dev, cap), np.int32)
+        self.g2l: List[Dict[int, int]] = []
+        for d, statics in enumerate(per_band_static):
+            m = dict(res_g2l)
+            for key, (base, cap_r) in res:
+                for j in range(cap_r):
+                    gidx[d, self.reserved_local[key] + j] = base + j
+            for j, g in enumerate(statics):
+                m[g] = n_res + j
+                gidx[d, n_res + j] = g
+            self.g2l.append(m)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = getattr(ts, "_banded_mesh", None)
+        take = jnp.take(ts.atlas(), jnp.asarray(gidx), axis=0)
+        if mesh is not None:
+            take = jax.device_put(
+                take, NamedSharding(mesh, P(mesh.axis_names[0], None, None, None))
+            )
+        self.data = take  # (n_dev, local_cap, TILE_H, TILE_W) u32
+
+    def map_entries(self, d: int, entries: List[int]) -> List[int]:
+        g = self.g2l[d]
+        return [g[e] for e in entries]
+
+    def update_inplace(self, ts: "TiledScene", key, rgba, entries, oys, oxs,
+                       mesh) -> None:
+        """Per-frame animated update: write the moved object's pieces into
+        every band's reserved slots with ONE sharded dispatch (banded data
+        donated).  Band-active pieces (tile in the band) write real
+        content; the rest write zero tiles via out-of-range offsets —
+        harmless because a band's tile lists only reference reserved slots
+        whose tiles lie in that band.  Keeps per-frame cost O(cap) per
+        device instead of an O(atlas) gather rebuild.
+
+        Callers must sync ``self.version = ts.pieces.version`` after the
+        piece-list install so the cache stays valid."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rb = self.reserved_local[key]
+        base, cap = ts._reserved[key]
+        band_tiles = ts.ntx * (ts.nty // self.n_dev)
+        OOB = np.int32(1 << 20)  # beyond any raster: shatter yields zeros
+        oys_b = np.full((self.n_dev, cap), OOB, np.int32)
+        oxs_b = np.full((self.n_dev, cap), OOB, np.int32)
+        for tile, g_entry in entries:
+            j = g_entry - base
+            d = tile // band_tiles
+            oys_b[d, j] = oys[j]
+            oxs_b[d, j] = oxs[j]
+
+        axis = mesh.axis_names[0]
+
+        def band_upd(atlas_l, oys_l, oxs_l):
+            return _shatter_into_kernel.__wrapped__(
+                atlas_l[0], rgba, oys_l[0], oxs_l[0], rb
+            )[None]
+
+        fn = shard_map(
+            band_upd,
+            mesh=mesh,
+            in_specs=(P(axis, None, None, None), P(axis, None), P(axis, None)),
+            out_specs=P(axis, None, None, None),
+            check_vma=False,
+        )
+        self.data = jax.jit(fn, donate_argnums=(0,))(self.data, oys_b, oxs_b)
+
+
+def _banded_of(ts: TiledScene, mesh) -> BandedAtlas:
+    """Cached per-band atlas for `mesh` (rebuilt when pieces change)."""
+    n_dev = mesh.devices.size
+    cached = getattr(ts, "_banded", None)
+    if (
+        cached is not None
+        and cached.n_dev == n_dev
+        and cached.version == ts.pieces.version
+    ):
+        return cached
+    ts._banded_mesh = mesh
+    banded = BandedAtlas(ts, n_dev)
+    ts._banded = banded
+    return banded
+
+
 def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = False):
     """Multi-chip frame render: tile ROWS shard over the mesh; each device
     runs the tiled kernel on its band with its own per-tile lists.
@@ -674,7 +808,8 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     n_dev = mesh.devices.size
     assert ts.nty % n_dev == 0, (ts.nty, n_dev)
     band_ty = ts.nty // n_dev
-    # Per-band lists.
+    banded = _banded_of(ts, mesh)
+    # Per-band lists (atlas entries in BAND-LOCAL slots).
     all_starts = []
     all_idxs = []
     max_entries = 1
@@ -688,10 +823,11 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
         ]
         starts_np = [0]
         idxs_np = []
+        g2l = banded.g2l[d]
         for t in tiles:
             cand = ts.pieces.tile_entries(t, pos)
             cand.sort()
-            idxs_np.extend(e for _, e in cand)
+            idxs_np.extend(g2l[e] for _, e in cand)
             starts_np.append(len(idxs_np))
         bands.append((starts_np, idxs_np))
         max_entries = max(max_entries, len(idxs_np))
@@ -702,10 +838,10 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
         all_idxs.append(padded)
     starts = jnp.asarray(np.stack(all_starts))  # (n_dev, T_local+1)
     idxs = jnp.asarray(np.stack(all_idxs))  # (n_dev, max_entries)
-    atlas = ts.atlas()
     band_h = band_ty * TILE_H
 
-    def band_render(starts_l, idxs_l, bg_l):
+    def band_render(starts_l, idxs_l, bg_l, atlas_l):
+        atlas = atlas_l[0]
         grid = (band_ty * ts.ntx,)
         ntx = ts.ntx
         return pl.pallas_call(
@@ -738,12 +874,17 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     fn = shard_map(
         band_render,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=(
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None, None, None),
+        ),
         out_specs=P(axis, None),
         check_vma=False,
     )
     bg = jax.device_put(background, NamedSharding(mesh, P(axis, None)))
-    return jax.jit(fn)(starts, idxs, bg)
+    return jax.jit(fn)(starts, idxs, bg, banded.data)
 
 
 def render_dirty_sharded(
@@ -773,12 +914,15 @@ def render_dirty_sharded(
     band_h = band_ty * TILE_H
 
     dirty = sorted(set(dirty_tiles))
+    banded = _banded_of(ts, mesh)
     pos = ts._order_pos(order)
     per_tile = {}
+    band_tiles = (ts.nty // n_dev) * ts.ntx
     for t in dirty:
         cand = ts.pieces.tile_entries(t, pos)
         cand.sort()
-        per_tile[t] = [e for _, e in cand]
+        g2l = banded.g2l[t // band_tiles]
+        per_tile[t] = [g2l[e] for _, e in cand]
 
     by_band: List[List[int]] = [[] for _ in range(n_dev)]
     for t in dirty:
@@ -816,9 +960,8 @@ def render_dirty_sharded(
         all_spans.append(spans)
         all_idxs.append(idxs)
 
-    atlas = ts.atlas()
-
-    def band_dirty(coords_l, spans_l, idxs_l, bg_l, fr_l):
+    def band_dirty(coords_l, spans_l, idxs_l, bg_l, fr_l, atlas_l):
+        atlas = atlas_l[0]
         tile_block = pl.BlockSpec(
             (TILE_H, TILE_W),
             lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
@@ -852,7 +995,14 @@ def render_dirty_sharded(
     fn = shard_map(
         band_dirty,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=(
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None, None, None),
+        ),
         out_specs=P(axis, None),
         check_vma=False,
     )
@@ -862,7 +1012,9 @@ def render_dirty_sharded(
     idxs_all = jax.device_put(np.stack(all_idxs), sh)
     bg = jax.device_put(background, sh)
     fr = jax.device_put(frame, sh)
-    return jax.jit(fn, donate_argnums=(4,))(coords_all, spans_all, idxs_all, bg, fr)
+    return jax.jit(fn, donate_argnums=(4,))(
+        coords_all, spans_all, idxs_all, bg, fr, banded.data
+    )
 
 
 def render_scene_xla_reference(ts: TiledScene, background, order):

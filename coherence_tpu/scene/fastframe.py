@@ -688,6 +688,24 @@ def _blur_blend_window_kernel(
     return lax.dynamic_update_slice(display, out, (oy, ox, 0))
 
 
+@functools.lru_cache(maxsize=8)
+def _blur_blend_window_mesh_jit(mesh):
+    """The window blur-blend jitted with a row-sharded display output: the
+    same integer math as _blur_blend_window_kernel (bit-exact), but the
+    display plane stays distributed over the mesh — XLA inserts the halo
+    collectives where the window's conv support crosses shard borders
+    (SURVEY §5.8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh3 = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    return jax.jit(
+        _blur_blend_window_kernel.__wrapped__,
+        donate_argnums=(0,),
+        static_argnames=("hb", "wb", "weights", "total"),
+        out_shardings=sh3,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def _unpack_crop_kernel(packed, *, h, w):
     return unpack_rgba(packed)[:h, :w]
@@ -741,7 +759,8 @@ class FilteredDisplay:
         self.box = (1, 1, view.width, view.height)
 
     def full_refresh(self):
-        """Initial full application: render content, blur-blend everywhere."""
+        """Initial full application: render content, blur-blend everywhere.
+        Under a mesh the display plane comes out row-sharded."""
         from ..raster.framepath import _apply_blur_rect_kernel
 
         self.view.render(full=True)
@@ -754,6 +773,13 @@ class FilteredDisplay:
             weights=tuple(self.kernel.values),
             total=self.kernel.total,
         )
+        if self.view.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.view.mesh
+            self.rgba = jax.device_put(
+                self.rgba, NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+            )
 
     def _window_tiles(self, oy, ox, ry0, rx0, h, w):
         """Tiles covering the logical window (whose content must be fresh
@@ -784,7 +810,12 @@ class FilteredDisplay:
         # Content tiles covering the conv support must be fresh.
         self.view.dirty |= self._window_tiles(oy, ox, ry0, rx0, h, w)
         self.view.render()
-        self.rgba = _blur_blend_window_kernel(
+        blend = (
+            _blur_blend_window_mesh_jit(self.view.mesh)
+            if self.view.mesh is not None
+            else _blur_blend_window_kernel
+        )
+        self.rgba = blend(
             self.rgba,
             self.view.frame,
             self.f_alpha,
@@ -806,16 +837,19 @@ class FilteredDisplay:
         fused dispatch (atlas update + dirty-tile recomposite + blur
         blend).  Semantically identical to translate_object + step — the
         same three kernels, fused.  Falls back to that pair when the
-        object is not reserved (make_animated) or the view is
-        mesh-sharded."""
+        object is not reserved (make_animated); under a mesh the same
+        three stages run SHARDED (_step_animated_sharded)."""
         view = self.view
         spr = view.sprites.get(key)
         if spr is None:
             return
-        if key not in view.ts._reserved or view.mesh is not None:
+        if key not in view.ts._reserved:
             prev_box = spr.box
             view.translate_object(key, dx, dy)
             self.step(region.box_union(prev_box, view.sprites[key].box))
+            return
+        if view.mesh is not None:
+            self._step_animated_sharded(key, dx, dy)
             return
         ts = view.ts
         moved = translate_sprite(dx, dy, spr)
@@ -889,6 +923,78 @@ class FilteredDisplay:
         view.frame = content
         view.dirty.clear()
         self.rgba = display
+
+    def _step_animated_sharded(self, key, dx: int, dy: int):
+        """The animated-with-filter frame under a mesh: banded reserved-slot
+        atlas update + sharded dirty-tile recomposite + sharded blur blend
+        — the same three stages as the fused unsharded dispatch, each one
+        distributed (content, display AND atlas all stay row-sharded; the
+        blend's conv halos cross shard borders as XLA collectives).
+        Bit-identical to translate_object + step."""
+        from ..raster import tiled_scene as TSmod
+        from ..raster.framepath import blur_window
+
+        view = self.view
+        ts = view.ts
+        spr = view.sprites.get(key)
+        moved = translate_sprite(dx, dy, spr)
+        got = ts._inplace_args(key, moved)
+        if got is None:
+            prev_box = spr.box
+            view.translate_object(key, dx, dy)
+            self.step(region.box_union(prev_box, view.sprites[key].box))
+            return
+        oys, oxs, base, entries = got
+        # Grab (or rebuild) the banded atlas BEFORE installing the new
+        # pieces — then keep it valid with an in-place reserved-slot write.
+        banded = TSmod._banded_of(ts, view.mesh)
+        # The unsharded global atlas is the source of truth for future
+        # banded rebuilds (and for leaving the mesh); keep it in step.
+        atlas = TSmod._shatter_into_kernel(ts.atlas(), moved.rgba, oys, oxs, base)
+        ts._chunks = [atlas]
+        ts._atlas = atlas
+        old_tiles = {t for t, _ in ts.pieces.get(key, ())}
+        ts.pieces[key] = entries
+        banded.update_inplace(ts, key, moved.rgba, entries, oys, oxs, view.mesh)
+        banded.version = ts.pieces.version
+        view.sprites[key] = moved
+
+        dirty_box = region.box_union(spr.box, moved.box)
+        for t in view.dirty:
+            ty, tx = t // ts.ntx, t % ts.ntx
+            tile_box = (
+                tx * TILE_W + 1,
+                ty * TILE_H + 1,
+                min(view.width, (tx + 1) * TILE_W),
+                min(view.height, (ty + 1) * TILE_H),
+            )
+            dirty_box = region.box_union(dirty_box, tile_box)
+        win = blur_window(
+            dirty_box, self.box, self.kernel.radius, view.height, view.width
+        )
+        view.dirty |= old_tiles | {t for t, _ in entries}
+        if win is None:
+            view.render()
+            return
+        d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
+        view.dirty |= self._window_tiles(oy, ox, ry0, rx0, h, w)
+        view.render()
+        self.rgba = _blur_blend_window_mesh_jit(view.mesh)(
+            self.rgba,
+            view.frame,
+            self.f_alpha,
+            oy,
+            ox,
+            ry0,
+            rx0,
+            h,
+            w,
+            d_box,
+            hb=hb,
+            wb=wb,
+            weights=tuple(self.kernel.values),
+            total=self.kernel.total,
+        )
 
     def read(self) -> np.ndarray:
         return np.asarray(self.rgba)
