@@ -25,6 +25,7 @@ import numpy as np
 from .. import colour as C
 from .. import transform as tr
 from ..geometry import path as gpath
+from . import aa as raa
 from . import region
 from .region import NULL_SHAPE, NULL_SPRITE, Canvas, Shape, Sprite
 
@@ -178,21 +179,25 @@ def bounds_brushstroke(brushstroke):
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "bw"))
-def _stamp_scan_alpha(canvas_a, brush_a, offsets, *, bh: int, bw: int):
+def _stamp_scan_alpha(canvas_a, brush_a, offsets, valid, *, bh: int, bw: int):
     """Sequentially alpha_over-stamp `brush_a` (bh, bw) at each (row, col)
-    offset into canvas_a (H, W).  offsets: (N, 2) int32 top-left corners."""
+    offset into canvas_a (H, W).  offsets: (N, 2) int32 top-left corners;
+    valid: (N,) bool — padding stamps (pow2 point-count bucket) are no-ops.
+    All operand shapes are bucketed by the caller so the program is reused
+    across strokes/zoom levels instead of recompiling per stroke size."""
 
-    def body(canvas, off):
+    def body(canvas, ov):
+        off, v = ov
         patch = jax.lax.dynamic_slice(canvas, (off[0], off[1]), (bh, bw))
         aa = brush_a
         ab = patch
         blended = jnp.where(
-            aa == 0, ab, jnp.where(aa == 255, aa, C.prelerp_arr(ab, aa, aa))
+            (aa == 0) | ~v, ab, jnp.where(aa == 255, aa, C.prelerp_arr(ab, aa, aa))
         )
         canvas = jax.lax.dynamic_update_slice(canvas, blended, (off[0], off[1]))
         return canvas, None
 
-    out, _ = jax.lax.scan(body, canvas_a, offsets)
+    out, _ = jax.lax.scan(body, canvas_a, (offsets, valid))
     return out
 
 
@@ -235,13 +240,30 @@ def sprite_of_brushstroke(brushstroke, fill, shp):
         raise ValueError("sprite_of_brushstroke: internal inconsistency")
     x0, y0, x1, y1 = bloatedtwice.box
     Hc, Wc = y1 - y0 + 1, x1 - x0 + 1
-    canvas_a = jnp.zeros((Hc, Wc), dtype=jnp.int32)
+    # Bucket EVERY operand shape (canvas, brush plane, point count) so the
+    # scan program is one-per-bucket-combo, not one-per-stroke: unbucketed,
+    # each new stroke/zoom size paid a fresh XLA compile (~40 s observed).
+    # The canvas bucket includes the brush padding as slack so a padded
+    # patch slice near the bottom/right edge never hits dynamic_slice's
+    # start clamping (which would shift the stamp).
+    bhb, bwb = region.bucket_hw(bh, bw)
+    Hb, Wb = region.bucket_hw(Hc + (bhb - bh), Wc + (bwb - bw))
+    canvas_a = jnp.zeros((Hb, Wb), dtype=jnp.int32)
     if points:
-        brush_a = jnp.asarray(drawround_alpha(kind[1], opacity))
-        offsets = jnp.asarray(
-            [[py - y0 - bhr, px - x0 - bwr] for (px, py) in points], dtype=jnp.int32
+        balpha = drawround_alpha(kind[1], opacity)
+        bpad = np.zeros((bhb, bwb), dtype=np.int32)
+        bpad[:bh, :bw] = balpha
+        brush_a = jnp.asarray(bpad)
+        nb = raa.span_bucket(len(points), floor=8)
+        offs = np.zeros((nb, 2), dtype=np.int32)
+        offs[: len(points)] = [
+            [py - y0 - bhr, px - x0 - bwr] for (px, py) in points
+        ]
+        valid = np.zeros(nb, dtype=bool)
+        valid[: len(points)] = True
+        canvas_a = _stamp_scan_alpha(
+            canvas_a, brush_a, jnp.asarray(offs), jnp.asarray(valid), bh=bhb, bw=bwb
         )
-        canvas_a = _stamp_scan_alpha(canvas_a, brush_a, offsets, bh=bh, bw=bw)
     # Apply the fill: dissolve fill colour by the accumulated alpha, within shp.
     H, W = shp.mask.shape
     w, h = shp.wh
@@ -298,24 +320,32 @@ def find_smear_directions(points):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("bh", "bw"))
-def _smear_scan(canvas, opac_a, offsets, dirs, *, bh: int, bw: int):
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "lbh", "lbw"))
+def _smear_scan(canvas, opac_a, offsets, dirs, valid, *, bh, bw, lbh, lbw):
     """Smear pass: for each point, read a brush-sized patch shifted by -dir,
     then dissolve it over the patch at the point, weighted by the opacity
-    brush (brush.ml:308-328)."""
+    brush (brush.ml:308-328).  (bh, bw) are the BUCKETED patch dims, (lbh,
+    lbw) the logical brush dims: at alpha 0 the smear writes the shifted
+    src (dissolve_between semantics), so padding rows/cols must explicitly
+    restore dst — unlike the stamp scan, zero alpha is not a no-op here.
+    valid marks real stamp points (pow2 point-count bucket)."""
+    inplane = (
+        (jnp.arange(bh)[:, None] < lbh) & (jnp.arange(bw)[None, :] < lbw)
+    )[..., None]
 
-    def body(cv, od):
-        off, d = od
+    def body(cv, odv):
+        off, d, v = odv
         src = jax.lax.dynamic_slice(cv, (off[0] - d[1], off[1] - d[0], 0), (bh, bw, 4))
         dst = jax.lax.dynamic_slice(cv, (off[0], off[1], 0), (bh, bw, 4))
         al = opac_a[..., None]
         # dissolve_between ~a:dst src ~alpha:opacbrush_alpha
         mixed = C.dissolve_rgba(dst, al) + C.dissolve_rgba(src, 255 - al)
         blended = jnp.where(al == 0, src, jnp.where(al == 255, dst, mixed))
+        blended = jnp.where(inplane & v, blended, dst)
         cv = jax.lax.dynamic_update_slice(cv, blended, (off[0], off[1], 0))
         return cv, None
 
-    out, _ = jax.lax.scan(body, canvas, (offsets, dirs))
+    out, _ = jax.lax.scan(body, canvas, (offsets, dirs, valid))
     return out
 
 
@@ -359,11 +389,27 @@ def smear(spr, brushstroke):
     opac = drawround_alpha(brush[1][1], 1.0) if brush[1][0] == GAUSSIAN else np.full(
         (bh, bw), 255, np.int32
     )
-    cv = canvas.rgba
-    offs = jnp.asarray(offsets, dtype=jnp.int32)
-    ds = jnp.asarray(dirs, dtype=jnp.int32)
-    opac_a = jnp.asarray(opac)
+    # Bucket the patch plane, point count, and canvas (with patch-padding
+    # slack against dynamic_slice start clamping) so the scan program is
+    # reused across stroke sizes instead of recompiling per stroke.
+    bhb, bwb = region.bucket_hw(bh, bw)
+    opad = np.zeros((bhb, bwb), np.int32)
+    opad[:bh, :bw] = opac
+    ch, cw = canvas.rgba.shape[:2]
+    Hb, Wb = region.bucket_hw(ch + (bhb - bh), cw + (bwb - bw))
+    cv = jnp.zeros((Hb, Wb, 4), jnp.int32).at[:ch, :cw].set(canvas.rgba)
+    nb = raa.span_bucket(len(offsets), floor=8)
+    offs_np = np.zeros((nb, 2), np.int32)
+    offs_np[: len(offsets)] = offsets
+    dirs_np = np.zeros((nb, 2), np.int32)
+    dirs_np[: len(dirs)] = dirs
+    valid_np = np.zeros(nb, bool)
+    valid_np[: len(offsets)] = True
+    offs = jnp.asarray(offs_np)
+    ds = jnp.asarray(dirs_np)
+    valid = jnp.asarray(valid_np)
+    opac_a = jnp.asarray(opad)
     for _ in range(2):  # the reference smears twice (brush.ml:308)
-        cv = _smear_scan(cv, opac_a, offs, ds, bh=bh, bw=bw)
+        cv = _smear_scan(cv, opac_a, offs, ds, valid, bh=bhb, bw=bwb, lbh=bh, lbw=bw)
     out_shape = region.shape_of_sprite(spr)
-    return region.pickup(out_shape, Canvas(cv, canvas.origin))
+    return region.pickup(out_shape, Canvas(cv[:ch, :cw], canvas.origin))

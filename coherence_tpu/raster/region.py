@@ -599,13 +599,34 @@ def caf(op: str, pred: str, a, b):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("rx", "ry"))
-def _dilate(mask, *, rx: int, ry: int):
-    m = mask.astype(jnp.float32)
-    out = jax.lax.reduce_window(
-        m, -jnp.inf, jax.lax.max, (2 * ry + 1, 2 * rx + 1), (1, 1), "SAME"
+def _box_count(m_int, rx, ry):
+    """Separable box-window sum of an int32 plane with DYNAMIC radii —
+    one compiled program per plane bucket for every (rx, ry), instead of a
+    reduce_window recompile per radius (zoomed brushes/filters were paying a
+    fresh XLA compile for each new radius).  Cells outside the array count
+    as zero (the clipped prefix-sum reads are exact for that convention)."""
+    H, W = m_int.shape
+    # Row pass: windowed sum over columns [x-rx, x+rx].
+    c = jnp.cumsum(m_int, axis=1)
+    xx = jnp.arange(W)
+    hi = c[:, jnp.clip(xx + rx, 0, W - 1)]
+    lo_idx = xx - rx - 1
+    lo = jnp.where(lo_idx >= 0, c[:, jnp.clip(lo_idx, 0, W - 1)], 0)
+    row = hi - lo
+    # Column pass: windowed sum over rows [y-ry, y+ry].
+    c2 = jnp.cumsum(row, axis=0)
+    yy = jnp.arange(H)
+    hi2 = c2[jnp.clip(yy + ry, 0, H - 1), :]
+    lo_idx2 = yy - ry - 1
+    lo2 = jnp.where(
+        (lo_idx2 >= 0)[:, None], c2[jnp.clip(lo_idx2, 0, H - 1), :], 0
     )
-    return out > 0.0
+    return hi2 - lo2
+
+
+@jax.jit
+def _dilate(mask, rx, ry):
+    return _box_count(mask.astype(jnp.int32), rx, ry) > 0
 
 
 def bloat(rx: int, ry: int, s):
@@ -621,27 +642,25 @@ def bloat(rx: int, ry: int, s):
     H, W = bucket_hw(h, w)
     hs, ws = s.wh[1], s.wh[0]
     m = _embed_mask(s.mask, ry, rx, h=hs, w=ws, H=H, W=W)
-    return Shape(nbox, _dilate(m, rx=rx, ry=ry))
+    return Shape(nbox, _dilate(m, rx, ry))
 
 
-@functools.partial(jax.jit, static_argnames=("rx", "ry"))
-def _erode_k(mask, h, w, *, rx: int, ry: int):
-    # Treat outside-the-logical-(h, w)-extent as uncovered; h, w dynamic.
-    m = mask.astype(jnp.float32)
-    out = jax.lax.reduce_window(
-        m, jnp.inf, jax.lax.min, (2 * ry + 1, 2 * rx + 1), (1, 1), "SAME"
-    )
-    # reduce_window SAME pads with +inf (the init value); windows that stick
-    # past the logical extent must count as uncovered.
+@jax.jit
+def _erode_k(mask, h, w, rx, ry):
+    # Treat outside-the-logical-(h, w)-extent as uncovered: a window that
+    # contains any uncovered cell (or sticks past the logical extent — the
+    # `interior` term) erodes away.
     yy = jnp.arange(mask.shape[0])
     xx = jnp.arange(mask.shape[1])
+    logical = (yy[:, None] < h) & (xx[None, :] < w)
+    uncovered = (~mask & logical).astype(jnp.int32)
     interior = (
         (yy[:, None] >= ry)
         & (yy[:, None] < h - ry)
         & (xx[None, :] >= rx)
         & (xx[None, :] < w - rx)
     )
-    return jnp.logical_and(out > 0.0, interior)
+    return (_box_count(uncovered, rx, ry) == 0) & interior
 
 
 def erode(rx: int, ry: int, s):
@@ -651,7 +670,7 @@ def erode(rx: int, ry: int, s):
     if rx == 0 and ry == 0:
         return s
     w, h = box_wh(s.box)
-    return _maybe_null(s.box, _erode_k(s.mask, h, w, rx=rx, ry=ry))
+    return _maybe_null(s.box, _erode_k(s.mask, h, w, rx, ry))
 
 
 # ---------------------------------------------------------------------------

@@ -45,13 +45,17 @@ def _ceil_div(a, b):
     return -((-a) // b)
 
 
-def _edge_spans(edges: np.ndarray, winding: str, crossing_ext: int):
+def _edge_spans(edges: np.ndarray, winding: str, crossing_ext: int, rows_clip=None):
     """Core scanline sweep, span-list form.
 
     edges: (N, 4) int64 subbin [x0, y0, x1, y1] (raw endpoint order).
     Returns ``(cov_rows, cov_s, cov_e, cross_rows, cross_s, cross_e)`` —
     inclusive pixel-column spans per pixel row (absolute coordinates) for the
     in-band coverage and the winding crossing spans — or None for empty.
+
+    rows_clip = (lo, hi): restrict the sweep to pixel rows lo..hi inclusive
+    (rows are independent — crossing pairing is per-row — so dropping rows
+    outside a viewport is exact and skips their span work entirely).
     """
     if edges.shape[0] == 0:
         return None
@@ -88,6 +92,14 @@ def _edge_spans(edges: np.ndarray, winding: str, crossing_ext: int):
     np.cumsum(counts[:-1], out=starts[1:])
     offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     rows = ylo[eidx] + offs
+
+    if rows_clip is not None:
+        keep_r = (rows >= rows_clip[0]) & (rows <= rows_clip[1])
+        if not keep_r.all():
+            eidx = eidx[keep_r]
+            rows = rows[keep_r]
+            if rows.size == 0:
+                return None
 
     top = _IPS * rows - (_IPS + _HALF - 1)  # 32y - 47
     bot = top + 2 * _IPS - 1  # 32y + 16
@@ -262,7 +274,7 @@ def scaled_mask_of_edgelist(edges: np.ndarray, winding: str, scale: int):
     return x0, y0, smask
 
 
-def scaled_spans_of_edgelist(edges: np.ndarray, winding: str, scale: int):
+def scaled_spans_of_edgelist(edges: np.ndarray, winding: str, scale: int, rows_clip=None):
     """Span-list form of ``scaled_mask_of_edgelist``: the same mask as
     inclusive per-row column spans in absolute scaled-pixel coordinates.
 
@@ -274,7 +286,7 @@ def scaled_spans_of_edgelist(edges: np.ndarray, winding: str, scale: int):
     e = np.asarray(edges, dtype=np.int64)
     if e.shape[0] == 0:
         return None
-    spans = _edge_spans(e * scale, winding, 0)
+    spans = _edge_spans(e * scale, winding, 0, rows_clip=rows_clip)
     if spans is None:
         return None
     rows, cov_s, cov_e, cross_rows, cross_s, cross_e = spans

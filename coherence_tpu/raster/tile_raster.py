@@ -41,7 +41,11 @@ from .pallas_compositor import TILE_H, TILE_W, pack_rgba
 _H = raa._H  # 16
 _TTH = _H * TILE_H + _H  # scaled t-plane rows per tile (1040)
 _TTW = _H * TILE_W + _H  # scaled t-plane cols per tile (2064)
-_PAD_ROW = -(1 << 30)
+# Padding row index: any value >= every plane height (<= _TTH = 1040) is
+# dropped by the scatter's mode="drop"; int16-representable so the span
+# triples upload as (2, k) int16 instead of (3, k) int32 (3x less wire
+# traffic — the spans are the dominant upload of a cold scene build).
+_PAD_ROW = 32767
 
 # Span-capacity classes: (K1 for each 1x family, KA for the 16x AA family).
 # K1 grows by 4x per class, KA likewise; items pick the smallest fit.  The
@@ -52,10 +56,17 @@ _CLASSES = [(256, 4096), (1024, 16384), (4096, 65536)]
 _K_INTERIOR = 256
 
 
-def _scatter_mask(rr, cc, vv, h: int, w: int):
-    """bool (h, w) mask from difference triples.  Padding rows use
-    _PAD_ROW = -2^30, which is outside [-h, h) and therefore dropped by
-    mode="drop" (small negatives would WRAP — callers must pre-filter)."""
+def _scatter_mask(rc, h: int, w: int):
+    """bool (h, w) mask from a (2, k) int16 difference-span pair array:
+    row 0 = scatter rows, row 1 = scatter cols; the +-1 values are implied
+    by slot position (first k/2 slots add +1 at span starts, last k/2 add
+    -1 past span ends — the _pairs layout).  Padding rows use _PAD_ROW =
+    32767, which is >= every plane height and dropped by mode="drop"
+    (negatives would WRAP — callers must pre-filter)."""
+    k = rc.shape[1]
+    rr = rc[0].astype(jnp.int32)
+    cc = rc[1].astype(jnp.int32)
+    vv = jnp.where(jnp.arange(k) < k // 2, 1, -1)
     diff = jnp.zeros((h, w + 1), jnp.int32).at[rr, cc].add(vv, mode="drop")
     return jnp.cumsum(diff, axis=1)[:, :-1] > 0
 
@@ -68,11 +79,11 @@ def _edge_tile_kernel(cov, cross, aasp, fills, *, n: int):
 
     def one(args):
         cov1, cross1, aa1, f4 = args
-        covm = _scatter_mask(cov1[0], cov1[1], cov1[2], TILE_H, TILE_W)
-        crossm = _scatter_mask(cross1[0], cross1[1], cross1[2], TILE_H, TILE_W)
+        covm = _scatter_mask(cov1, TILE_H, TILE_W)
+        crossm = _scatter_mask(cross1, TILE_H, TILE_W)
         mmask = crossm & ~covm  # interior (minshape rule, polygon.ml:520-528)
         fringe = covm  # shape - minshape == coverage spans
-        tmask = _scatter_mask(aa1[0], aa1[1], aa1[2], _TTH, _TTW)
+        tmask = _scatter_mask(aa1, _TTH, _TTW)
         opacity = raa._coverage_counts(tmask, h=TILE_H, w=TILE_W)
         colour = f4[None, None, :]
         dissolved = C.dissolve_rgba(colour, opacity)
@@ -91,7 +102,7 @@ def _interior_tile_kernel(cross, fills, *, n: int):
 
     def one(args):
         cross1, f4 = args
-        crossm = _scatter_mask(cross1[0], cross1[1], cross1[2], TILE_H, TILE_W)
+        crossm = _scatter_mask(cross1, TILE_H, TILE_W)
         return pack_rgba(jnp.where(crossm[..., None], f4[None, None, :], 0))
 
     return lax.map(one, (cross, fills))
@@ -198,16 +209,18 @@ def _group_slices(tiles: np.ndarray):
 
 
 def _triples(r, s, e, k: int):
-    """(3, k) int32 difference-scatter triples from relative spans."""
+    """(2, k) int16 difference-scatter pairs from relative spans: slots
+    [0, k/2) add +1 at span starts, slots [k/2, k) add -1 past span ends
+    (values implied by position — see _scatter_mask).  Requires
+    2 * len(r) <= k (the capacity-class fit check)."""
     n = r.shape[0]
-    out = np.zeros((3, k), np.int32)
+    half = k // 2
+    out = np.zeros((2, k), np.int16)
     out[0, :] = _PAD_ROW
     out[0, :n] = r
-    out[0, n : 2 * n] = r
+    out[0, half : half + n] = r
     out[1, :n] = s
-    out[1, n : 2 * n] = e + 1
-    out[2, :n] = 1
-    out[2, n : 2 * n] = -1
+    out[1, half : half + n] = e + 1
     return out
 
 
@@ -231,7 +244,12 @@ class TileBuild:
         from .scanline import _HALF
 
         e64 = np.asarray(edges, dtype=np.int64)
-        spans = scanline._edge_spans(e64, shape_winding, _HALF)
+        # The grid IS the viewport: sweep only rows that can land in it
+        # (pixel rows 1..nty*TILE_H; span work for a zoomed-in scene's
+        # offscreen extent is skipped on the host).
+        spans = scanline._edge_spans(
+            e64, shape_winding, _HALF, rows_clip=(1, self.nty * TILE_H)
+        )
         if spans is None:
             return True  # empty object: no pieces
         rows, cov_s, cov_e, x_rows, x_s, x_e = spans
@@ -248,7 +266,11 @@ class TileBuild:
         edge_tiles = np.zeros(n_tiles, dtype=bool)
         edge_tiles[cov_tile] = True
 
-        aa = scanline.scaled_spans_of_edgelist(e64, aa_winding, _H)
+        # Scaled rows that any edge tile's t-plane window can read
+        # (_expand_aa windows: [hstep*ty - _H, hstep*ty + hstep - 1]).
+        aa = scanline.scaled_spans_of_edgelist(
+            e64, aa_winding, _H, rows_clip=(-_H, self.nty * _H * TILE_H - 1)
+        )
         if aa is not None and edge_tiles.any():
             a_tile, a_r, a_ss, a_ee = _expand_aa(
                 aa[0], aa[1], aa[2], self.nty, self.ntx, edge_tiles

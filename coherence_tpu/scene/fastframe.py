@@ -286,12 +286,37 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
     per-key; compositing order comes from the caller's order list)."""
     from ..raster.tile_raster import TileBuild
 
+    W, H = ts.width, ts.height
     tb = TileBuild(ts.nty, ts.ntx)
     fallback = []
     handled = []
     for key, o in keyed_objs:
         ext = _batch_extract(o)
-        if ext is None or not tb.add_object(key, *ext):
+        if ext is None:
+            # Cull fallback objects wholly outside the grid (the grid is
+            # the viewport — the reference also only redraws the visible
+            # window, engine.ml:208-221): a zoomed-in scene's offscreen
+            # brush strokes otherwise pay the full scalar pipeline.
+            xmin, xmax, ymin, ymax = R.bounds_of_basicshape(o)
+            if xmax < -1 or xmin > W + 2 or ymax < -1 or ymin > H + 2:
+                ts.pieces[key] = []
+                continue
+            fallback.append((key, o))
+            continue
+        edges = ext[0]
+        if len(edges):
+            e = np.asarray(edges, dtype=np.int64)
+            # Subbin -> conservative pixel bounds (the correlated AA matte
+            # extends half a pixel; +-2 pixels is safely beyond it).
+            if (
+                e[:, [0, 2]].max() // 32 < -2
+                or e[:, [0, 2]].min() // 32 > W + 2
+                or e[:, [1, 3]].max() // 32 < -2
+                or e[:, [1, 3]].min() // 32 > H + 2
+            ):
+                ts.pieces[key] = []
+                continue
+        if not tb.add_object(key, *ext):
             fallback.append((key, o))
         else:
             handled.append(key)
