@@ -29,6 +29,7 @@ from .. import colour as C
 from ..geometry import path as gpath
 from ..geometry import shapes as gshapes
 from ..raster import aa as raa
+from ..raster import brush as rbrush
 from ..raster import fills as rfills
 from ..raster import region, scanline
 from ..raster.pallas_compositor import TILE_H, TILE_W, pack_rgba, unpack_rgba
@@ -274,20 +275,42 @@ def full_sprites_of_objects(objs) -> List[object]:
     return out
 
 
+def _brush_extract(o: R.Obj):
+    """(brushstroke, fill_rgba4) for plain-filled Gaussian brush strokes
+    the batched brush-tile kernel supports, else None."""
+    g = o.geometry
+    if not isinstance(g, R.Basic):
+        return None
+    f = g.fill
+    if type(f) is not rfills.PlainFill or f.kind != rfills.PLAIN:
+        return None
+    sk = R.transform_shapekind(o.transform, g.shape)
+    if not isinstance(sk, R.BrushStroke):
+        return None
+    _, kind = sk.brushstroke[0]
+    if kind[0] != rbrush.GAUSSIAN:
+        return None
+    return sk.brushstroke, f._rgba
+
+
 def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
     """Batched scene ingestion into a TiledScene via the tile-normalized
     rasterizer (raster/tile_raster): ONE jitted kernel per span-capacity
     class rasterizes every supported object's pieces directly at atlas tile
     granularity — a handful of XLA programs for the whole scene instead of
-    one per (box bucket, span capacity) group.  Unsupported or too-complex
-    objects fall back to the scalar pipeline + shatter.
+    one per (box bucket, span capacity) group.  Plain-filled Gaussian brush
+    strokes batch through the brush-tile kernel (raster/brush_tiles); other
+    unsupported or too-complex objects fall back to the scalar pipeline +
+    shatter.
 
     keyed_objs: [(key, R.Obj)] front-to-back or any order (piece lists are
     per-key; compositing order comes from the caller's order list)."""
+    from ..raster.brush_tiles import BrushTileBuild
     from ..raster.tile_raster import TileBuild
 
     W, H = ts.width, ts.height
     tb = TileBuild(ts.nty, ts.ntx)
+    bb = BrushTileBuild(ts.nty, ts.ntx)
     fallback = []
     handled = []
     for key, o in keyed_objs:
@@ -300,6 +323,9 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
             xmin, xmax, ymin, ymax = R.bounds_of_basicshape(o)
             if xmax < -1 or xmin > W + 2 or ymax < -1 or ymin > H + 2:
                 ts.pieces[key] = []
+                continue
+            bext = _brush_extract(o)
+            if bext is not None and bb.add_stroke(key, *bext):
                 continue
             fallback.append((key, o))
             continue
@@ -322,6 +348,8 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
             handled.append(key)
     blocks, registry = tb.flush()
     ts.add_rastered(registry, blocks)
+    bblocks, bregistry = bb.flush()
+    ts.add_rastered(bregistry, bblocks)
     for key in handled:
         ts.pieces.setdefault(key, [])  # swept-empty objects have no pieces
     for key, o in fallback:

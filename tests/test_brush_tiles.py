@@ -1,0 +1,120 @@
+"""Batched brush-tile kernel == scalar brush pipeline, pixel for pixel.
+
+The brush group path (raster/brush_tiles) must composite identically to
+shattering sprite_of_brushstroke rasters (brush.ml:126-222 semantics):
+same stamp sequence, same alpha_over integer arithmetic, same box-dilation
+shape mask, same fill dissolve."""
+
+import numpy as np
+import pytest
+
+import coherence_tpu.colour as C
+import coherence_tpu.transform as tr
+from coherence_tpu.geometry import path as gpath
+from coherence_tpu.geometry import shapes as gshapes
+from coherence_tpu.raster import brush as rbrush
+from coherence_tpu.raster import fills as rfills
+from coherence_tpu.raster.pallas_compositor import pack_rgba
+from coherence_tpu.raster.tiled_scene import TiledScene
+from coherence_tpu.scene import render as R
+from coherence_tpu.scene.fastframe import build_tiled_scene, full_sprite_of_object
+
+import jax.numpy as jnp
+
+W, H = 512, 256  # 4 x 4 tiles of 128 x 64
+
+
+def _bg():
+    return pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+
+
+def _render_both(objs):
+    keyed = [(i, o) for i, o in enumerate(objs)]
+    order = [i for i, _ in keyed]
+
+    ts_tile = TiledScene(W, H)
+    build_tiled_scene(ts_tile, keyed)
+    starts, idxs = ts_tile.build_lists(order)
+    frame_tile = np.asarray(ts_tile.render(_bg(), starts, idxs))
+
+    ts_ref = TiledScene(W, H)
+    for key, o in keyed:
+        spr = full_sprite_of_object(o)
+        if spr is not None:
+            ts_ref.add_object(key, spr)
+        else:
+            ts_ref.pieces[key] = []
+    starts, idxs = ts_ref.build_lists(order)
+    frame_ref = np.asarray(ts_ref.render(_bg(), starts, idxs))
+    return frame_tile, frame_ref
+
+
+def _stroke(cx, cy, r, radius=6.0, opacity=0.5, colour=None, alpha=255):
+    colour = C.darkorange if colour is None else colour
+    fill = rfills.plain(C.dissolve(colour, delta=alpha) if alpha != 255 else colour)
+    pth = gshapes.circle(cx, cy, r)
+    return R.Obj(
+        R.ident.new_ids(),
+        R.Basic(fill, R.BrushStroke((rbrush.mkround(radius, opacity), pth))),
+        (),
+        R.OVER,
+    )
+
+
+def test_stroke_across_tile_borders():
+    got, want = _render_both([_stroke(256.0, 128.0, 80.0)])
+    assert (got == want).all()
+
+
+def test_stroke_partially_offscreen_topleft():
+    got, want = _render_both([_stroke(10.0, 8.0, 60.0)])
+    assert (got == want).all()
+
+
+def test_stroke_partially_offscreen_bottomright():
+    got, want = _render_both([_stroke(500.0, 250.0, 70.0)])
+    assert (got == want).all()
+
+
+def test_stroke_fully_offscreen():
+    got, want = _render_both([_stroke(-400.0, -300.0, 40.0)])
+    assert (got == want).all()
+
+
+def test_overlapping_translucent_strokes():
+    objs = [
+        _stroke(200.0, 120.0, 60.0, colour=C.crimson, alpha=170),
+        _stroke(250.0, 130.0, 55.0, colour=C.steelblue, alpha=255),
+    ]
+    got, want = _render_both(objs)
+    assert (got == want).all()
+
+
+def test_mixed_paths_and_strokes():
+    objs = [
+        _stroke(300.0, 100.0, 50.0, radius=4.0, opacity=0.8),
+        R.Obj(
+            R.ident.new_ids(),
+            R.Basic(
+                rfills.plain(C.darkgreen),
+                R.PathShape(gshapes.circle(300.0, 128.0, 90.0)),
+            ),
+            (),
+            R.OVER,
+        ),
+        _stroke(120.0, 180.0, 45.0, radius=9.0, opacity=0.4, colour=C.black),
+    ]
+    got, want = _render_both(objs)
+    assert (got == want).all()
+
+
+def test_transformed_stroke():
+    base = _stroke(128.0, 64.0, 40.0)
+    o = R.Obj(
+        base.idset,
+        base.geometry,
+        (tr.Scale((0.0, 0.0), 2.0, 2.0),),
+        R.OVER,
+    )
+    got, want = _render_both([o])
+    assert (got == want).all()
