@@ -609,6 +609,30 @@ def _ser(o: PdfObj) -> bytes:
 
 
 def pdf_to_bytes(pdf: Pdf) -> bytes:
+    # Streams are only legal as indirect objects: hoist any Stream nested
+    # inside a dict/list (e.g. a tiling-pattern stream placed directly in a
+    # page's /Resources by page_of_graphic) into its own object.
+    objects = dict(pdf.objects)
+    next_num = [max(objects) + 1 if objects else 1]
+
+    def hoist(o, top=False):
+        if isinstance(o, Stream) and not top:
+            num = next_num[0]
+            next_num[0] += 1
+            objects[num] = Stream(hoist(o.dict), o.raw, o._pdf)
+            return Ref(num)
+        if isinstance(o, Stream):
+            return Stream(hoist(o.dict), o.raw, o._pdf)
+        if isinstance(o, dict):
+            return {k: hoist(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [hoist(v) for v in o]
+        return o
+
+    for num in sorted(list(objects)):
+        objects[num] = hoist(objects[num], top=True)
+    pdf = Pdf(objects, pdf.trailer)
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(pdf.objects):

@@ -466,10 +466,20 @@ class ShadingPattern:
 
 @dataclass
 class TilingPattern:
-    """Tiling pattern stub — the reference also only tags these
-    (pdfgraphics.ml:598-599 read_tiling_pattern)."""
+    """Tiling pattern (PDF 8.7.3).  BEYOND REFERENCE: the reference only
+    tags these (pdfgraphics.ml:598 ``read_tiling_pattern`` returns the stub
+    constructor ``Tiling``); here the cell's content stream is parsed into
+    graphic elements so the scene layer can rasterize one cell and paint it
+    as a repeating texture fill (scene/pdfscene.fill_of_tiling_pattern)."""
 
-    coloured: bool = True
+    coloured: bool = True  # /PaintType 1; PaintType 2 tints with `colour`
+    bbox: tuple = ()  # pattern-space /BBox (x0, y0, x1, y1)
+    xstep: float = 0.0  # /XStep (0 -> bbox width)
+    ystep: float = 0.0  # /YStep (0 -> bbox height)
+    matrix: tuple = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # pattern -> page space
+    elements: tuple = ()  # parsed cell graphic elements
+    colour: object = None  # PaintType 2: (colourspace, comps) set at scn
+    name: str = ""  # resource name, kept for round-trip
 
 
 @dataclass
@@ -708,7 +718,25 @@ def read_pattern(pdf: Pdf, obj):
         egs = pdf.resolve(dd.get("ExtGState")) or {}
         return ShadingPattern(read_shading(pdf, mtx, egs, dd.get("Shading")))
     paint = int(pdf.resolve(dd.get("PaintType", 1)))
-    return TilingPattern(coloured=paint == 1)
+    tp = TilingPattern(coloured=paint == 1)
+    try:
+        bb = pdf.resolve(dd.get("BBox"))
+        if isinstance(bb, list) and len(bb) == 4:
+            tp.bbox = tuple(float(pdf.resolve(v)) for v in bb)
+        xs = pdf.resolve(dd.get("XStep"))
+        ys = pdf.resolve(dd.get("YStep"))
+        if isinstance(xs, (int, float)):
+            tp.xstep = float(xs)
+        if isinstance(ys, (int, float)):
+            tp.ystep = float(ys)
+        tp.matrix = _matrix_entry(pdf, dd)
+        res = pdf.resolve(dd.get("Resources")) or {}
+        content = d.decode() if isinstance(d, Stream) else b""
+        if content:
+            tp.elements = tuple(_process(pdf, content, res, _GState()))
+    except Exception:
+        pass  # malformed cell: paint falls back to the gray stub
+    return tp
 
 
 def _tokenize(content: bytes):
@@ -848,6 +876,10 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     return {1: DEVICE_GRAY, 3: DEVICE_RGB, 4: DEVICE_CMYK}.get(n_comp, DEVICE_RGB)
                 if cs[0].v in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY):
                     return cs[0].v
+                if cs[0].v == "Pattern":
+                    # [/Pattern /DeviceX]: the underlying space carries the
+                    # components of uncoloured-pattern scn operands.
+                    return resolve_cs(cs[1], resources) if len(cs) > 1 else "Pattern"
             return DEVICE_RGB
         return DEVICE_RGB
 
@@ -991,8 +1023,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     pobj = pats.get(pat_name.v) if isinstance(pats, dict) else None
                     pat = read_pattern(pdf, pobj) if pobj is not None else None
                     if pat is not None:
-                        if isinstance(pat, ShadingPattern):
-                            pat.name = pat_name.v
+                        pat.name = pat_name.v
+                        if isinstance(pat, TilingPattern) and not pat.coloured and vals:
+                            pat.colour = (fill_cs, vals)
                         gs.fill = ("Pattern", pat)
                 elif vals:
                     gs.fill = (fill_cs, vals)
@@ -1007,8 +1040,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     pobj = pats.get(pat_name.v) if isinstance(pats, dict) else None
                     pat = read_pattern(pdf, pobj) if pobj is not None else None
                     if pat is not None:
-                        if isinstance(pat, ShadingPattern):
-                            pat.name = pat_name.v
+                        pat.name = pat_name.v
+                        if isinstance(pat, TilingPattern) and not pat.coloured and vals:
+                            pat.colour = (stroke_cs, vals)
                         gs.stroke = ("Pattern", pat)
                 elif vals:
                     gs.stroke = (stroke_cs, vals)
@@ -1336,16 +1370,57 @@ def _pattern_dict(p: ShadingPattern):
     return d
 
 
+def _tiling_stream_obj(p: TilingPattern):
+    """TilingPattern -> pattern stream object: the inverse of read_pattern's
+    PatternType-1 branch (BEYOND REFERENCE — the reference's writer drops
+    tiling paint entirely).  The cell elements re-serialize through
+    page_of_graphic; its content stream and resources embed in the pattern."""
+    inner = page_of_graphic(Graphic(list(p.elements)))
+    pages = inner.resolve(inner.resolve(inner.trailer["Root"])["Pages"])
+    kid = inner.resolve(pages["Kids"][0])
+    content = inner.resolve(kid["Contents"])
+    bbox = list(p.bbox) if len(p.bbox) == 4 else [0.0, 0.0, 1.0, 1.0]
+    d = {
+        "Type": Name("Pattern"),
+        "PatternType": 1,
+        "PaintType": 1 if p.coloured else 2,
+        "TilingType": 1,
+        "BBox": bbox,
+        "XStep": p.xstep or (bbox[2] - bbox[0]),
+        "YStep": p.ystep or (bbox[3] - bbox[1]),
+        "Resources": kid.get("Resources", {}),
+    }
+    if p.matrix != _ID:
+        d["Matrix"] = list(p.matrix)
+    d.update(content.dict)
+    return Stream(d, content.raw)
+
+
 def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
     """Serialize path elements back to a one-page PDF."""
     ops: List[str] = []
     shading_res: dict = {}
     pattern_res: dict = {}
+    colourspace_res: dict = {}
 
     def res_name(d: dict, prefix: str, payload) -> str:
         nm = f"{prefix}{len(d)}"
         d[nm] = payload
         return nm
+
+    def emit_tiling_cs(p: TilingPattern, nm: str, upper: bool) -> str:
+        """The cs/scn (or CS/SCN) pair selecting tiling pattern `nm`;
+        uncoloured patterns carry their tint components through a
+        [/Pattern /DeviceX] colourspace resource."""
+        cs_op, scn_op = ("CS", "SCN") if upper else ("cs", "scn")
+        if p.coloured or p.colour is None:
+            return f"/Pattern {cs_op} /{nm} {scn_op}"
+        under, comps = p.colour
+        csnm = res_name(
+            colourspace_res, "CSp", [Name("Pattern"), Name(str(under))]
+        )
+        comps_s = " ".join(_fmt(v) for v in comps)
+        return f"/{csnm} {cs_op} {comps_s} /{nm} {scn_op}"
 
     def emit_path(p: gpath.Path):
         for sp in p.subpaths:
@@ -1382,7 +1457,9 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                         pattern_res[nm] = _pattern_dict(vals)
                         ops.append(f"/Pattern cs /{nm} scn")
                     elif isinstance(vals, TilingPattern):
-                        pass  # tiling stub: no paint (reference tags only)
+                        nm = vals.name or res_name(pattern_res, "P", None)
+                        pattern_res[nm] = _tiling_stream_obj(vals)
+                        ops.append(emit_tiling_cs(vals, nm, upper=False))
                     elif cs == DEVICE_RGB:
                         ops.append(" ".join(map(_fmt, vals)) + " rg")
                     elif cs == DEVICE_GRAY:
@@ -1396,7 +1473,9 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                         pattern_res[nm] = _pattern_dict(vals)
                         ops.append(f"/Pattern CS /{nm} SCN")
                     elif isinstance(vals, TilingPattern):
-                        pass  # tiling stub: no paint (reference tags only)
+                        nm = vals.name or res_name(pattern_res, "P", None)
+                        pattern_res[nm] = _tiling_stream_obj(vals)
+                        ops.append(emit_tiling_cs(vals, nm, upper=True))
                     elif cs == DEVICE_RGB:
                         ops.append(" ".join(map(_fmt, vals)) + " RG")
                     elif cs == DEVICE_GRAY:
@@ -1465,6 +1544,8 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
         resources["Shading"] = shading_res
     if pattern_res:
         resources["Pattern"] = pattern_res
+    if colourspace_res:
+        resources["ColorSpace"] = colourspace_res
     # latin1 inverts the latin1 decode used when capturing binary operands
     # (inline-image data, non-ASCII string bytes); utf-8 would widen them.
     return mkpage(

@@ -234,3 +234,69 @@ class RadialFill(Fill):
 
 def radial(c, p, p2, ext_s, ext_e, cs, ce) -> RadialFill:
     return RadialFill(c, p, p2, ext_s, ext_e, cs, ce)
+
+
+class TextureFill(Fill):
+    """Repeating texture fill for PDF tiling patterns.  BEYOND REFERENCE:
+    ``fill.ml`` has no texture kind (the reference's tiling patterns are the
+    stub ``Tiling``, pdfgraphics.ml:598); scene/pdfscene rasterizes the
+    pattern cell once and tiles it here.
+
+    ``tex`` is a premultiplied int32 (th, tw, 4) plane of one cell, texel
+    row 0 covering the TOP of the pattern /BBox (max pattern y).  ``matrix``
+    maps pattern space to the fill's target space and composes under
+    ``transform`` exactly like the gradient fills' endpoints do.  Sampling
+    is nearest-texel at the pixel grid of ``image``; pixels that land in the
+    gap between tiles (|XStep| > BBox width) are transparent."""
+
+    kind = FANCY
+
+    def __init__(self, tex, bbox, xstep: float, ystep: float, matrix):
+        self.tex = np.ascontiguousarray(np.asarray(tex, dtype=np.int64))
+        self.bbox = tuple(float(v) for v in bbox)
+        self.xstep = float(xstep)
+        self.ystep = float(ystep)
+        self.matrix = tuple(float(v) for v in matrix)
+
+    def image(self, box, H, W):
+        th, tw = self.tex.shape[:2]
+        bx0, by0, bx1, by1 = self.bbox
+        bw, bh = bx1 - bx0, by1 - by0
+        if bw <= 0.0 or bh <= 0.0:
+            return np.zeros((H, W, 4), dtype=np.int32)
+        xs, ys = _grid(box, H, W)
+        a, b, c, d, e, f = tr.invert_matrix(self.matrix)
+        px = a * xs + c * ys + e
+        py = b * xs + d * ys + f
+        u = np.mod(px - bx0, abs(self.xstep) or bw)
+        v = np.mod(py - by0, abs(self.ystep) or bh)
+        inside = (u < bw) & (v < bh)
+        iu = np.clip((u * (tw / bw)).astype(np.int64), 0, tw - 1)
+        iv = np.clip((v * (th / bh)).astype(np.int64), 0, th - 1)
+        out = self.tex[th - 1 - iv, iu]
+        return np.where(inside[..., None], out, 0).astype(np.int32)
+
+    def single(self, x, y):
+        img = self.image((x, y, x, y), 1, 1)[0, 0]
+        return C.colour_of_rgba(*(int(v) for v in img))
+
+    def transform(self, t):
+        m = tr.matmul(tr.matrix_of_transform(t), self.matrix)
+        return TextureFill(self.tex, self.bbox, self.xstep, self.ystep, m)
+
+    def changecolour(self, f):
+        th, tw = self.tex.shape[:2]
+        flat = self.tex.reshape(-1, 4)
+        keys = (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
+        uniq, inverse = np.unique(keys, return_inverse=True)
+        lut = np.empty((len(uniq), 4), dtype=np.int64)
+        for i, k in enumerate(uniq):
+            rgba = (int(k >> 24) & 255, int(k >> 16) & 255, int(k >> 8) & 255, int(k) & 255)
+            lut[i] = C.rgba_of_colour(f(C.colour_of_rgba(*rgba)))
+        return TextureFill(
+            lut[inverse].reshape(th, tw, 4), self.bbox, self.xstep, self.ystep, self.matrix
+        )
+
+
+def texture(tex, bbox, xstep, ystep, matrix) -> TextureFill:
+    return TextureFill(tex, bbox, xstep, ystep, matrix)

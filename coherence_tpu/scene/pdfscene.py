@@ -6,8 +6,13 @@ exactly as the reference's ``rgb_of_cmyk`` (render.ml:1476-1479)."""
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+
 from .. import colour as C
 from .. import ident
+from .. import transform as tr
 from ..geometry import shapes as gshapes
 from ..io import pdfgraphics as PG
 from ..raster import fills as rfills
@@ -29,7 +34,10 @@ def fill_of_pdf_colour(vals, transparency: float, colourspace: str) -> rfills.Fi
             return got
         return rfills.plain(C.gray)  # unsupported shading kind
     if isinstance(vals, PG.TilingPattern):
-        return rfills.plain(C.gray)  # tiling stub (reference tags only)
+        got = fill_of_tiling_pattern(vals, transparency)
+        if got is not None:
+            return got
+        return rfills.plain(C.gray)  # empty/malformed cell fallback
     t = int(transparency * 255.0)
     if colourspace == PG.DEVICE_RGB and len(vals) == 3:
         r, g, b = vals
@@ -102,6 +110,80 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     return rfills.radial(
         c, xf(x1 + r0, y1), xf(x1 + r1, y1), k.extend[0], k.extend[1], c0, c1
     )
+
+
+def fill_of_tiling_pattern(pat: PG.TilingPattern, transparency: float):
+    """Rasterize a tiling-pattern cell once and tile it as a texture fill
+    (PDF 8.7.3).  BEYOND REFERENCE: the reference's ``read_tiling_pattern``
+    is the stub ``Tiling`` (pdfgraphics.ml:598) and painting with one falls
+    back to nothing; here the cell's parsed graphic renders through the real
+    renderer into a premultiplied texture.  Uncoloured patterns (PaintType
+    2) tint the cell's coverage with the colour given at ``scn`` time.
+
+    Returns None when the cell is empty/degenerate (caller falls back)."""
+    if len(pat.bbox) != 4 or not pat.elements:
+        return None
+    bx0, by0, bx1, by1 = pat.bbox
+    bw, bh = bx1 - bx0, by1 - by0
+    if bw <= 0.0 or bh <= 0.0:
+        return None
+    # Texture resolution: the pattern matrix's device scale, clamped.
+    a, b, c_, d, _, _ = pat.matrix
+    sx = math.hypot(a, b) or 1.0
+    sy = math.hypot(c_, d) or 1.0
+    tw = int(min(512, max(1, round(bw * sx))))
+    th = int(min(512, max(1, round(bh * sy))))
+
+    from ..raster import region
+
+    # Cell scene: document order -> front-to-back, pattern space mapped to
+    # the (1..tw, 1..th) raster box with y flipped into raster rows.
+    objs = scene_of_graphic(None, PG.Graphic(list(pat.elements)))
+    objs.reverse()
+    cell_t = [
+        tr.Translate(0.0, float(th)),
+        tr.Scale((0.0, 0.0), 1.0, -1.0),
+        tr.Scale((0.0, 0.0), tw / bw, th / bh),
+        tr.Translate(-bx0, -by0),
+    ]
+    scene = [R.transform_renderobject_many(cell_t, o) for o in objs]
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, tw, th)))
+    tex = np.zeros((th, tw, 4), dtype=np.int64)
+    if spr is not None:
+        canvas = region.flatten_sprite(0, spr, C.clear)
+        arr = np.asarray(canvas.rgba)
+        ox, oy = canvas.origin  # 1-based scene coords of arr[0, 0]
+        r0, c0 = oy - 1, ox - 1
+        ra, ca = max(0, r0), max(0, c0)
+        rb = min(th, r0 + arr.shape[0])
+        cb = min(tw, c0 + arr.shape[1])
+        if rb > ra and cb > ca:
+            tex[ra:rb, ca:cb] = arr[ra - r0 : rb - r0, ca - c0 : cb - c0]
+    if not pat.coloured and pat.colour is not None:
+        cs, vals = pat.colour
+        col = np.array(
+            C.rgba_of_colour(_packed_of_cs_vals(cs, vals)), dtype=np.int64
+        )
+        tex = rfills._dissolve_np(col, tex[..., 3:4])
+    t = int(transparency * 255.0)
+    if t < 255:
+        tex = rfills._dissolve_np(tex, np.int64(t))
+    xstep = pat.xstep or bw
+    ystep = pat.ystep or bh
+    return rfills.texture(tex, pat.bbox, xstep, ystep, pat.matrix)
+
+
+def _packed_of_cs_vals(colourspace, vals) -> int:
+    """Packed opaque colour from (colourspace, components)."""
+    if colourspace == PG.DEVICE_RGB and len(vals) == 3:
+        r, g, b = vals
+    elif colourspace == PG.DEVICE_CMYK and len(vals) == 4:
+        r, g, b = rgb_of_cmyk(*vals)
+    elif colourspace == PG.DEVICE_GRAY and len(vals) == 1:
+        r = g = b = vals[0]
+    else:
+        r = g = b = 0.5
+    return C.colour_of_rgba_float(r, g, b, 1.0)
 
 
 def cap_of_pdfcap(c: int) -> str:
