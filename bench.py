@@ -70,6 +70,13 @@ def build():
     global BACKEND_INIT_S
     BACKEND_INIT_S = _time.time() - t0
 
+    # Issue the scene-independent fixed-chunk rasterizer programs NOW,
+    # async: their one-time program loads on the remote transport overlap
+    # the host-side geometry prep below (raster/tile_raster.warmup).
+    from coherence_tpu.raster import tile_raster
+
+    tile_raster.warmup()
+
     _dbg = os.environ.get("BENCH_DEBUG")
     _last = [_time.time()]
 

@@ -71,10 +71,9 @@ def _scatter_mask(rc, h: int, w: int):
     return jnp.cumsum(diff, axis=1)[:, :-1] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _edge_tile_kernel(cov, cross, aasp, fills, *, n: int):
-    """Rasterize n edge-tile pieces: (n, 3, K1) cov/cross triples, (n, 3,
-    KA) AA triples (all tile-relative), (n, 4) plain premultiplied fills.
+def _edge_impl(cov, cross, aasp, fills):
+    """Rasterize edge-tile pieces: (n, 2, K1) cov/cross pairs, (n, 2, KA)
+    AA pairs (all tile-relative), (n, 4) plain premultiplied fills.
     Returns (n, TILE_H, TILE_W) packed u32 pieces."""
 
     def one(args):
@@ -95,10 +94,9 @@ def _edge_tile_kernel(cov, cross, aasp, fills, *, n: int):
     return lax.map(one, (cov, cross, aasp, fills))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _interior_tile_kernel(cross, fills, *, n: int):
-    """Rasterize n interior pieces (no fringe in the tile): colour where the
-    crossing mask covers.  (n, 3, K) triples, (n, 4) fills."""
+def _interior_impl(cross, fills):
+    """Rasterize interior pieces (no fringe in the tile): colour where the
+    crossing mask covers.  (n, 2, K) pairs, (n, 4) fills."""
 
     def one(args):
         cross1, f4 = args
@@ -108,11 +106,83 @@ def _interior_tile_kernel(cross, fills, *, n: int):
     return lax.map(one, (cross, fills))
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _edge_tile_kernel(cov, cross, aasp, fills, *, n: int):
+    return _edge_impl(cov, cross, aasp, fills)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _interior_tile_kernel(cross, fills, *, n: int):
+    return _interior_impl(cross, fills)
+
+
+@jax.jit
+def _combined_build_kernel(c0, x0, a0, f0, c1, x1, a1, f1, c2, x2, a2, f2, xi, fi):
+    """All four build families in ONE XLA program.  On the remote TPU
+    transport each distinct program pays a one-time load latency (~2.5 s
+    measured, independent of dispatch order), so a cold scene build that
+    needs all four families loads one program instead of four.  Shapes are
+    the fixed chunks (_CHUNKS/_CHUNK_INTERIOR), so the program is
+    scene-independent and warmup() preloads it."""
+    return (
+        _edge_impl(c0, x0, a0, f0),
+        _edge_impl(c1, x1, a1, f1),
+        _edge_impl(c2, x2, a2, f2),
+        _interior_impl(xi, fi),
+    )
+
+
 def _n_bucket(n: int) -> int:
     b = 8
     while b < n:
         b *= 2
     return b
+
+
+# Fixed batch sizes per capacity class (and for the interior family): once
+# an item count reaches its chunk, work dispatches in fixed-`chunk` batches,
+# so the XLA program SHAPES of any big scene build are scene-independent —
+# `warmup()` can preload them on the remote transport while the host is
+# still sweeping geometry.  Small counts keep their pow2 bucket (tests and
+# tiny scenes stay cheap on CPU).
+_CHUNKS = [256, 512, 16]
+_CHUNK_INTERIOR = 32
+
+
+def _batches(items: list, chunk: int) -> list:
+    """[(batch_items, n_bucket)] per the fixed-chunk rule above."""
+    nb = _n_bucket(len(items))
+    if nb < chunk:
+        return [(items, nb)]
+    return [
+        (items[i : i + chunk], chunk) for i in range(0, len(items), chunk)
+    ]
+
+
+def _combined_zero_args():
+    """Zero-work argument tuple for _combined_build_kernel at the fixed
+    chunk shapes."""
+    args = []
+    for cls, chunk in enumerate(_CHUNKS):
+        k1, ka = _CLASSES[cls]
+        z1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
+        za = _triples(np.zeros(0, np.int64), 0, 0, ka)
+        cov = jnp.asarray(np.broadcast_to(z1, (chunk, 2, k1)))
+        aasp = jnp.asarray(np.broadcast_to(za, (chunk, 2, ka)))
+        args += [cov, cov, aasp, jnp.zeros((chunk, 4), jnp.int32)]
+    zi = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
+    cross = jnp.asarray(np.broadcast_to(zi, (_CHUNK_INTERIOR, 2, _K_INTERIOR)))
+    args += [cross, jnp.zeros((_CHUNK_INTERIOR, 4), jnp.int32)]
+    return args
+
+
+def warmup():
+    """Dispatch the combined build program once with empty work, ASYNC (no
+    blocking): on the remote TPU transport each distinct program pays a
+    one-time load latency (~2.5 s), so issuing it first lets the load
+    overlap the host-side scene preparation.  Returns the output arrays so
+    a caller may optionally block on them."""
+    return _combined_build_kernel(*_combined_zero_args())
 
 
 def _expand_1x(rows, ss, ee, nty: int, ntx: int):
@@ -330,58 +400,103 @@ class TileBuild:
             self.interior_items.append(item + (fill4,))
         return True
 
-    def flush(self):
+    def flush(self, combined: Optional[bool] = None):
         """Run the batched kernels.  Returns (blocks, registry): blocks is a
         list of (n, TILE_H, TILE_W) u32 device arrays; registry maps
-        owner_key -> list of (tile, block_id, slot)."""
+        owner_key -> list of (tile, block_id, slot).
+
+        `combined` routes the first fixed-chunk batch of every family
+        through ONE XLA program (_combined_build_kernel) — defaulting to on
+        for the TPU backend, where each distinct program costs ~2.5 s of
+        one-time load latency on the remote transport, and off for CPU,
+        where the zero-padded families would cost real interpret time."""
+        if combined is None:
+            combined = jax.default_backend() == "tpu"
         blocks = []
         registry: Dict[object, List[Tuple[int, int, int]]] = {}
 
         def reg(key, tile, block_id, slot):
             registry.setdefault(key, []).append((tile, block_id, slot))
 
-        for cls in sorted(self.edge_items):
-            items = self.edge_items[cls]
+        edge_rest: Dict[int, list] = self.edge_items
+        interior_rest = self.interior_items
+        if combined and (self.edge_items or self.interior_items):
+            args = []
+            heads = []
+            edge_rest = {}
+            for cls, chunk in enumerate(_CHUNKS):
+                k1, ka = _CLASSES[cls]
+                all_items = self.edge_items.get(cls, [])
+                items, edge_rest[cls] = all_items[:chunk], all_items[chunk:]
+                pad = chunk - len(items)
+                zero1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
+                zeroa = _triples(np.zeros(0, np.int64), 0, 0, ka)
+                args.append(jnp.asarray(np.stack([it[2] for it in items] + [zero1] * pad)))
+                args.append(jnp.asarray(np.stack([it[3] for it in items] + [zero1] * pad)))
+                args.append(jnp.asarray(np.stack([it[4] for it in items] + [zeroa] * pad)))
+                args.append(jnp.asarray(np.stack(
+                    [np.asarray(it[5], np.int32) for it in items]
+                    + [np.zeros(4, np.int32)] * pad
+                )))
+                heads.append(items)
+            zi = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
+            iitems = self.interior_items[:_CHUNK_INTERIOR]
+            interior_rest = self.interior_items[_CHUNK_INTERIOR:]
+            ipad = _CHUNK_INTERIOR - len(iitems)
+            args.append(jnp.asarray(np.stack([it[2] for it in iitems] + [zi] * ipad)))
+            args.append(jnp.asarray(np.stack(
+                [np.asarray(it[3], np.int32) for it in iitems]
+                + [np.zeros(4, np.int32)] * ipad
+            )))
+            outs = _combined_build_kernel(*args)
+            for items, out in zip(heads + [iitems], outs):
+                block_id = len(blocks)
+                blocks.append(out)
+                for slot, it in enumerate(items):
+                    reg(it[0], it[1], block_id, slot)
+            edge_rest = {c: v for c, v in edge_rest.items() if v}
+
+        for cls in sorted(edge_rest):
             k1, ka = _CLASSES[cls]
-            nb = _n_bucket(len(items))
-            pad = nb - len(items)
+            chunk = _CHUNKS[cls] if cls < len(_CHUNKS) else _CHUNKS[-1]
             zero1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
             zeroa = _triples(np.zeros(0, np.int64), 0, 0, ka)
-            cov = np.stack([it[2] for it in items] + [zero1] * pad)
-            cross = np.stack([it[3] for it in items] + [zero1] * pad)
-            aasp = np.stack([it[4] for it in items] + [zeroa] * pad)
-            fills = np.stack(
-                [np.asarray(it[5], np.int32) for it in items]
-                + [np.zeros(4, np.int32)] * pad
-            )
-            block_id = len(blocks)
-            blocks.append(
-                _edge_tile_kernel(
-                    jnp.asarray(cov),
-                    jnp.asarray(cross),
-                    jnp.asarray(aasp),
-                    jnp.asarray(fills),
-                    n=nb,
+            for items, nb in _batches(edge_rest[cls], chunk):
+                pad = nb - len(items)
+                cov = np.stack([it[2] for it in items] + [zero1] * pad)
+                cross = np.stack([it[3] for it in items] + [zero1] * pad)
+                aasp = np.stack([it[4] for it in items] + [zeroa] * pad)
+                fills = np.stack(
+                    [np.asarray(it[5], np.int32) for it in items]
+                    + [np.zeros(4, np.int32)] * pad
                 )
-            )
-            for slot, it in enumerate(items):
-                reg(it[0], it[1], block_id, slot)
+                block_id = len(blocks)
+                blocks.append(
+                    _edge_tile_kernel(
+                        jnp.asarray(cov),
+                        jnp.asarray(cross),
+                        jnp.asarray(aasp),
+                        jnp.asarray(fills),
+                        n=nb,
+                    )
+                )
+                for slot, it in enumerate(items):
+                    reg(it[0], it[1], block_id, slot)
 
-        if self.interior_items:
-            items = self.interior_items
-            nb = _n_bucket(len(items))
-            pad = nb - len(items)
+        if interior_rest:
             zero1 = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
-            cross = np.stack([it[2] for it in items] + [zero1] * pad)
-            fills = np.stack(
-                [np.asarray(it[3], np.int32) for it in items]
-                + [np.zeros(4, np.int32)] * pad
-            )
-            block_id = len(blocks)
-            blocks.append(
-                _interior_tile_kernel(jnp.asarray(cross), jnp.asarray(fills), n=nb)
-            )
-            for slot, it in enumerate(items):
-                reg(it[0], it[1], block_id, slot)
+            for items, nb in _batches(interior_rest, _CHUNK_INTERIOR):
+                pad = nb - len(items)
+                cross = np.stack([it[2] for it in items] + [zero1] * pad)
+                fills = np.stack(
+                    [np.asarray(it[3], np.int32) for it in items]
+                    + [np.zeros(4, np.int32)] * pad
+                )
+                block_id = len(blocks)
+                blocks.append(
+                    _interior_tile_kernel(jnp.asarray(cross), jnp.asarray(fills), n=nb)
+                )
+                for slot, it in enumerate(items):
+                    reg(it[0], it[1], block_id, slot)
 
         return blocks, registry

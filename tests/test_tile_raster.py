@@ -168,3 +168,58 @@ def test_device_view_tiled_set_scene_matches():
     dv_s.set_scene(objs)
     dv_s.render(full=True)
     assert (dv_t.read() == dv_s.read()).all()
+
+
+def test_fixed_chunk_batches_and_warmup():
+    """Big scenes dispatch in fixed-chunk batches (scene-independent program
+    shapes the warmup can preload); small counts keep pow2 buckets."""
+    from coherence_tpu.raster import tile_raster as T
+
+    small = list(range(5))
+    assert T._batches(small, 256) == [(small, 8)]
+    big = list(range(600))
+    got = T._batches(big, 256)
+    assert [nb for _, nb in got] == [256, 256, 256]
+    assert sum(len(b) for b, _ in got) == 600
+    assert [len(b) for b, _ in got] == [256, 256, 88]
+    exact = list(range(256))
+    assert T._batches(exact, 256) == [(exact, 256)]
+
+    outs = T.warmup()  # must not raise; shapes are the fixed chunks
+    assert outs[0].shape[0] == T._CHUNKS[0]
+    assert outs[-1].shape[0] == T._CHUNK_INTERIOR
+
+
+def test_combined_flush_matches_per_class():
+    """flush(combined=True) — the one-program TPU cold-build path — must
+    produce the same registered piece pixels as the per-class kernels."""
+
+    from coherence_tpu.raster import tile_raster as T
+    from coherence_tpu.raster.pallas_compositor import TILE_H, TILE_W
+
+    from coherence_tpu.scene.fastframe import _batch_extract
+
+    rng = np.random.default_rng(7)
+    build = T.TileBuild(nty=3, ntx=3)
+    for i in range(6):
+        pts = [tuple(p) for p in rng.uniform(5, 350, size=(3, 2))]
+        o = _poly(pts, C.crimson if i % 2 else C.steelblue, alpha=200)
+        ext = _batch_extract(o)
+        assert ext is not None
+        ok = build.add_object(("o", i), *ext)
+        assert ok
+    b2 = T.TileBuild(build.nty, build.ntx)
+    b2.edge_items = {c: list(v) for c, v in build.edge_items.items()}
+    b2.interior_items = list(build.interior_items)
+
+    blocks_a, reg_a = build.flush(combined=True)
+    blocks_b, reg_b = b2.flush(combined=False)
+    assert set(reg_a) == set(reg_b)
+    for key in reg_a:
+        pa = sorted(reg_a[key])
+        pb = sorted(reg_b[key])
+        assert [t for t, _, _ in pa] == [t for t, _, _ in pb]
+        for (ta, ba, sa), (tb, bb, sb) in zip(pa, pb):
+            assert (
+                np.asarray(blocks_a[ba][sa]) == np.asarray(blocks_b[bb][sb])
+            ).all()
