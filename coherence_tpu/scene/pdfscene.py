@@ -78,12 +78,11 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     linear function; stitched functions approximate by endpoints).
     Pattern-space coordinates transform by the pattern /Matrix.
 
-    Radial shadings approximate as CONCENTRIC circles about the END
-    circle's centre (x1, y1) — the renderer's radial fill model
-    (fill.ml:111-140) has a single centre, so a PDF radial whose start
-    circle is offset (the 'highlight' form) renders with its gradient
-    rings centred on the end circle rather than sweeping between the two
-    centres.  r0/r1 and both extend flags are honoured."""
+    Concentric radials map onto the renderer's single-centre radial fill
+    (fill.ml:111-140); a PDF radial whose start circle is offset (the
+    'highlight' form) renders EXACTLY via the two-circle sweep
+    RadialFill2 (beyond the reference, whose fill model cannot express
+    it).  r0/r1 and both extend flags are honoured."""
     sh = pat.shading
     k = sh.kind
     if not isinstance(k, (PG.AxialShadingK, PG.RadialShadingK)):
@@ -106,6 +105,13 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
         p1 = xf(k.coords[2], k.coords[3])
         return rfills.gradient(p0, p1, k.extend[0], k.extend[1], c0, c1)
     x0, y0, r0, x1, y1, r1 = k.coords
+    if math.hypot(x1 - x0, y1 - y0) > 1e-9:
+        # Offset start circle (the 'highlight' form): exact two-circle
+        # sweep (BEYOND REFERENCE — fill.ml's radial is concentric-only).
+        return rfills.radial2(
+            xf(x0, y0), xf(x0 + r0, y0), xf(x1, y1), xf(x1 + r1, y1),
+            k.extend[0], k.extend[1], c0, c1,
+        )
     c = xf(x1, y1)
     return rfills.radial(
         c, xf(x1 + r0, y1), xf(x1 + r1, y1), k.extend[0], k.extend[1], c0, c1

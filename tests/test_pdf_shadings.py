@@ -281,3 +281,71 @@ Q
     assert m[y, 29 - x0] and m[y, 65 - x0]
     assert left[0] > left[2] and right[2] > right[0], (left, right)
     cache.clear()
+
+
+def test_noncentric_radial_two_circle_sweep():
+    """Offset start circle (the 'highlight' form) renders as the exact
+    two-circle sweep: start colour near the start centre, end colour on the
+    end rim, nothing outside both circles when neither extend is set."""
+    import math as _math
+
+    from coherence_tpu.raster.fills import RadialFill2
+
+    # Start: tiny circle at (30, 40); end: r=25 at (50, 40).
+    f = RadialFill2(
+        (30.0, 40.0), (31.0, 40.0), (50.0, 40.0), (75.0, 40.0),
+        False, False, C.white, C.black,
+    )
+    img = f.image((0, 0, 99, 79), 80, 100)
+
+    def px(x, y):
+        return img[y, x]
+
+    near_start = px(31, 40)  # on the start circle's rim: s = 0
+    assert near_start[0] > 200, near_start  # white end
+    on_end_rim = px(73, 40)
+    assert on_end_rim[3] > 200 and on_end_rim[0] < 40, on_end_rim  # black
+    outside = px(2, 5)
+    assert outside[3] == 0, outside  # transparent (no extend)
+    # STRICT PDF semantics: with Extend[0] false the start circle's
+    # interior is a hole (no s >= 0 circle passes through its centre).
+    assert px(30, 40)[3] == 0
+    # Monotone darkening along the sweep axis.
+    vals = [int(px(x, 40)[0]) for x in (32, 40, 50, 60, 70)]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
+
+    # With ext_s, the backward sweep covers the start interior with the
+    # start colour.
+    f_s = RadialFill2(
+        (30.0, 40.0), (31.0, 40.0), (50.0, 40.0), (75.0, 40.0),
+        True, False, C.white, C.black,
+    )
+    img_s = f_s.image((0, 0, 99, 79), 80, 100)
+    assert img_s[40, 30][0] > 200
+
+    # With ext_e, the outside region takes the end colour.
+    f2 = RadialFill2(
+        (30.0, 40.0), (31.0, 40.0), (50.0, 40.0), (75.0, 40.0),
+        False, True, C.white, C.black,
+    )
+    img2 = f2.image((0, 0, 99, 79), 80, 100)
+    assert img2[5, 2, 3] > 200 and img2[5, 2, 0] < 40
+
+    # A PDF radial with offset centres produces a RadialFill2 scene fill.
+    rad = {
+        "ShadingType": 3,
+        "ColorSpace": Name("DeviceGray"),
+        "Coords": [30.0, 40.0, 1.0, 50.0, 40.0, 25.0],
+        "Function": {
+            "FunctionType": 2, "Domain": [0.0, 1.0],
+            "C0": [1.0], "C1": [0.0], "N": 1,
+        },
+    }
+    content = b"/Pattern cs /P0 scn 0 0 90 70 re f"
+    pdf = mkpage(
+        content, mediabox=(0, 0, 100, 80),
+        resources={"Pattern": {"P0": {"PatternType": 2, "Shading": rad}}},
+    )
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    assert any(isinstance(o.geometry.fill, RadialFill2) for o in scene)
