@@ -161,18 +161,29 @@ def _batches(items: list, chunk: int) -> list:
 
 def _combined_zero_args():
     """Zero-work argument tuple for _combined_build_kernel at the fixed
-    chunk shapes."""
+    chunk shapes.  Built ON DEVICE (jnp fills) — shipping tens of MB of
+    host zeros through the tunnel would compete with the real build's
+    uploads, defeating the warmup."""
+
+    def zero_pairs(n: int, k: int):
+        # _triples' empty encoding: scatter rows all _PAD_ROW, cols 0.
+        return jnp.stack(
+            [
+                jnp.full((n, k), _PAD_ROW, jnp.int16),
+                jnp.zeros((n, k), jnp.int16),
+            ],
+            axis=1,
+        )
+
     args = []
     for cls, chunk in enumerate(_CHUNKS):
         k1, ka = _CLASSES[cls]
-        z1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
-        za = _triples(np.zeros(0, np.int64), 0, 0, ka)
-        cov = jnp.asarray(np.broadcast_to(z1, (chunk, 2, k1)))
-        aasp = jnp.asarray(np.broadcast_to(za, (chunk, 2, ka)))
-        args += [cov, cov, aasp, jnp.zeros((chunk, 4), jnp.int32)]
-    zi = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
-    cross = jnp.asarray(np.broadcast_to(zi, (_CHUNK_INTERIOR, 2, _K_INTERIOR)))
-    args += [cross, jnp.zeros((_CHUNK_INTERIOR, 4), jnp.int32)]
+        cov = zero_pairs(chunk, k1)
+        args += [cov, cov, zero_pairs(chunk, ka), jnp.zeros((chunk, 4), jnp.int32)]
+    args += [
+        zero_pairs(_CHUNK_INTERIOR, _K_INTERIOR),
+        jnp.zeros((_CHUNK_INTERIOR, 4), jnp.int32),
+    ]
     return args
 
 
