@@ -305,6 +305,32 @@ def _triples(r, s, e, k: int):
     return out
 
 
+def _fills_stack(fills, nb: int) -> np.ndarray:
+    """(nb, 4) int32 fill batch, tail zero-padded."""
+    out = np.zeros((nb, 4), np.int32)
+    for i, f in enumerate(fills):
+        out[i] = f
+    return out
+
+
+def _pairs_stack(spans, nb: int, k: int) -> np.ndarray:
+    """(nb, 2, k) int16 difference-pair batch from raw (r, s, e) span
+    tuples, tail slots padded.  ONE preallocated fill — the per-item
+    `_triples` + `np.stack` formulation copied ~50 MB twice per 4K scene
+    build, the dominant host cost of an interactive zoom re-rasterize."""
+    out = np.empty((nb, 2, k), np.int16)
+    out[:, 0] = _PAD_ROW
+    out[:, 1] = 0
+    half = k // 2
+    for i, (r, s, e) in enumerate(spans):
+        n = r.shape[0]
+        out[i, 0, :n] = r
+        out[i, 0, half : half + n] = r
+        out[i, 1, :n] = s
+        out[i, 1, half : half + n] = e + 1
+    return out
+
+
 class TileBuild:
     """Accumulated batched work items, flushed with one kernel per class."""
 
@@ -380,7 +406,7 @@ class TileBuild:
             if cov1 is None:
                 if 2 * cross1[0].shape[0] > _K_INTERIOR:
                     return False
-                staged_interior.append((key, t, _triples(*cross1, _K_INTERIOR)))
+                staged_interior.append((key, t, cross1))
                 continue
             aa1 = aag.get(t, (np.zeros(0, np.int64),) * 3)
             need1 = 2 * max(cov1[0].shape[0], cross1[0].shape[0])
@@ -392,19 +418,7 @@ class TileBuild:
                     break
             if cls is None:
                 return False
-            k1, ka = _CLASSES[cls]
-            staged_edge.append(
-                (
-                    cls,
-                    (
-                        key,
-                        t,
-                        _triples(*cov1, k1),
-                        _triples(*cross1, k1),
-                        _triples(*aa1, ka),
-                    ),
-                )
-            )
+            staged_edge.append((cls, (key, t, cov1, cross1, aa1)))
         for cls, item in staged_edge:
             self.edge_items.setdefault(cls, []).append(item + (fill4,))
         for item in staged_interior:
@@ -439,26 +453,17 @@ class TileBuild:
                 k1, ka = _CLASSES[cls]
                 all_items = self.edge_items.get(cls, [])
                 items, edge_rest[cls] = all_items[:chunk], all_items[chunk:]
-                pad = chunk - len(items)
-                zero1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
-                zeroa = _triples(np.zeros(0, np.int64), 0, 0, ka)
-                args.append(jnp.asarray(np.stack([it[2] for it in items] + [zero1] * pad)))
-                args.append(jnp.asarray(np.stack([it[3] for it in items] + [zero1] * pad)))
-                args.append(jnp.asarray(np.stack([it[4] for it in items] + [zeroa] * pad)))
-                args.append(jnp.asarray(np.stack(
-                    [np.asarray(it[5], np.int32) for it in items]
-                    + [np.zeros(4, np.int32)] * pad
-                )))
+                args.append(jnp.asarray(_pairs_stack([it[2] for it in items], chunk, k1)))
+                args.append(jnp.asarray(_pairs_stack([it[3] for it in items], chunk, k1)))
+                args.append(jnp.asarray(_pairs_stack([it[4] for it in items], chunk, ka)))
+                args.append(jnp.asarray(_fills_stack([it[5] for it in items], chunk)))
                 heads.append(items)
-            zi = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
             iitems = self.interior_items[:_CHUNK_INTERIOR]
             interior_rest = self.interior_items[_CHUNK_INTERIOR:]
-            ipad = _CHUNK_INTERIOR - len(iitems)
-            args.append(jnp.asarray(np.stack([it[2] for it in iitems] + [zi] * ipad)))
-            args.append(jnp.asarray(np.stack(
-                [np.asarray(it[3], np.int32) for it in iitems]
-                + [np.zeros(4, np.int32)] * ipad
-            )))
+            args.append(jnp.asarray(
+                _pairs_stack([it[2] for it in iitems], _CHUNK_INTERIOR, _K_INTERIOR)
+            ))
+            args.append(jnp.asarray(_fills_stack([it[3] for it in iitems], _CHUNK_INTERIOR)))
             outs = _combined_build_kernel(*args)
             for items, out in zip(heads + [iitems], outs):
                 block_id = len(blocks)
@@ -470,17 +475,11 @@ class TileBuild:
         for cls in sorted(edge_rest):
             k1, ka = _CLASSES[cls]
             chunk = _CHUNKS[cls] if cls < len(_CHUNKS) else _CHUNKS[-1]
-            zero1 = _triples(np.zeros(0, np.int64), 0, 0, k1)
-            zeroa = _triples(np.zeros(0, np.int64), 0, 0, ka)
             for items, nb in _batches(edge_rest[cls], chunk):
-                pad = nb - len(items)
-                cov = np.stack([it[2] for it in items] + [zero1] * pad)
-                cross = np.stack([it[3] for it in items] + [zero1] * pad)
-                aasp = np.stack([it[4] for it in items] + [zeroa] * pad)
-                fills = np.stack(
-                    [np.asarray(it[5], np.int32) for it in items]
-                    + [np.zeros(4, np.int32)] * pad
-                )
+                cov = _pairs_stack([it[2] for it in items], nb, k1)
+                cross = _pairs_stack([it[3] for it in items], nb, k1)
+                aasp = _pairs_stack([it[4] for it in items], nb, ka)
+                fills = _fills_stack([it[5] for it in items], nb)
                 block_id = len(blocks)
                 blocks.append(
                     _edge_tile_kernel(
@@ -495,14 +494,9 @@ class TileBuild:
                     reg(it[0], it[1], block_id, slot)
 
         if interior_rest:
-            zero1 = _triples(np.zeros(0, np.int64), 0, 0, _K_INTERIOR)
             for items, nb in _batches(interior_rest, _CHUNK_INTERIOR):
-                pad = nb - len(items)
-                cross = np.stack([it[2] for it in items] + [zero1] * pad)
-                fills = np.stack(
-                    [np.asarray(it[3], np.int32) for it in items]
-                    + [np.zeros(4, np.int32)] * pad
-                )
+                cross = _pairs_stack([it[2] for it in items], nb, _K_INTERIOR)
+                fills = _fills_stack([it[3] for it in items], nb)
                 block_id = len(blocks)
                 blocks.append(
                     _interior_tile_kernel(jnp.asarray(cross), jnp.asarray(fills), n=nb)
