@@ -102,26 +102,9 @@ def build():
     def _pre_unpack():
         _ff._unpack_crop_kernel(jnp.zeros((_ph, _pw), jnp.uint32), h=H, w=W)
 
-    def _pre_blend():
-        # The per-frame blend window at the shapes the loop will use: the
-        # blob's first dirty box (circle r=60 at (120, 400), moved (7, 3)),
-        # bloated 2r and bucketed by the SAME helper the real path uses.
-        box = (120 - 61, 400 - 61, 120 + 61 + 7, 400 + 61 + 3)
-        got = _rfp.blur_window(box, (1, 1, W, H), BLUR_RADIUS, H, W)
-        if got is None:
-            return
-        _, oy, ox, ry0, rx0, h, w, hb, wb, d_box = got
-        _ff._blur_blend_window_kernel(
-            jnp.zeros((H, W, 4), jnp.int32),
-            jnp.zeros((_ph, _pw), jnp.uint32),
-            jnp.zeros((H, W), jnp.int32),
-            oy, ox, ry0, rx0, h, w, d_box,
-            hb=hb, wb=wb, weights=_weights, total=_total,
-        )
-
     prewarm_threads = [
         threading.Thread(target=fn, daemon=True)
-        for fn in (tile_raster.warmup, _pre_blur_rect, _pre_unpack, _pre_blend)
+        for fn in (tile_raster.warmup, _pre_blur_rect, _pre_unpack)
     ]
     for th in prewarm_threads:
         th.start()
@@ -209,14 +192,26 @@ def build():
     # The animated blob: raster from the (already compiled) tile kernels,
     # topmost in z, moving via in-place reserved-slot atlas updates.
     blob_spr = tiled_sprite_of_object(blob, view.pw, view.ph)
+    _tick("blob raster")
     blob_key = blob.idset
     view.sprites[blob_key] = blob_spr
     view.order.insert(0, blob_key)
     view.make_animated(blob_key)
-    view.render(full=True)
-    _tick("blob + full content render")
+    _tick("make_animated (reserve+shatter)")
 
+    # The scene (and so every per-frame program's shape key) is final:
+    # load the fused animated-frame program and the plain-loop programs
+    # from a side thread, overlapping the remaining build work below.
     kernel = rconvolve.mkgaussian(BLUR_RADIUS)
+    pw_th = threading.Thread(
+        target=_ff.prewarm_animated,
+        args=(view, kernel, blob_key, 7, 3),
+        daemon=True,
+    )
+    pw_th.start()
+
+    view.render(full=True)
+    _tick("full content render")
 
     alpha_th.join()
     f_alpha = side["f_alpha"]
@@ -225,6 +220,8 @@ def build():
     disp = FilteredDisplay(view, f_alpha, kernel)
     disp.full_refresh()
     _tick("initial filtered frame")
+    pw_th.join()
+    _tick("prewarm joined (fused + plain loop programs)")
     return view, disp, blob_key, kernel, f_alpha
 
 
@@ -259,10 +256,17 @@ def main():
         return dirty
 
     # Warm up both loop kernels (the only per-frame programs).
+    _dbg = os.environ.get("BENCH_DEBUG")
+    _tw = time.time()
     for k in range(3):
         frame(k)
+    if _dbg:
+        print(f"# warm frames (fused kernel load): {time.time() - _tw:.1f}s", flush=True)
+        _tw = time.time()
     frame_plain(3)
     force_done()
+    if _dbg:
+        print(f"# warm plain frame + force: {time.time() - _tw:.1f}s", flush=True)
     build_time = time.time() - t0
 
     # Readback-overhead baseline (amortized out of the frame loop).

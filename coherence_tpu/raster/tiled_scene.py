@@ -68,6 +68,34 @@ def _shatter_into_kernel(atlas, rgba, oys, oxs, base):
     return jax.lax.dynamic_update_slice(atlas, block, (base, 0, 0))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _paste_block_kernel(atlas, block, base):
+    """Write a pre-built (k, TILE_H, TILE_W) piece block into the (donated)
+    atlas buffer at slots [base, base+k)."""
+    return jax.lax.dynamic_update_slice(atlas, block, (base, 0, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _paste_blocks_kernel(atlas, base, *blocks):
+    """Write several pre-built piece blocks contiguously into the (donated)
+    atlas starting at slot `base` — ONE program per (cap, block-shape
+    tuple), and with the fixed-chunk build those block shapes are
+    scene-independent, so a whole scene ingest is one dispatch."""
+    off = 0
+    for blk in blocks:
+        atlas = jax.lax.dynamic_update_slice(atlas, blk, (base + off, 0, 0))
+        off += blk.shape[0]
+    return atlas
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("newcap",))
+def _grow_atlas_kernel(atlas, *, newcap: int):
+    """Grow the atlas buffer to `newcap` slots; the new tail slots are zero
+    (the spare-capacity invariant reserve_slots relies on)."""
+    pad = jnp.zeros((newcap - atlas.shape[0],) + atlas.shape[1:], atlas.dtype)
+    return jnp.concatenate([atlas, pad], axis=0)
+
+
 @jax.jit
 def _box_pieces_kernel(meta):
     """meta (n, 8) int32 [ox, oy, w, h, r, g, b, a]: piece[r, c] = packed
@@ -87,6 +115,14 @@ def _box_pieces_kernel(meta):
         return jnp.where(inside, col, jnp.uint32(0))
 
     return jax.vmap(one)(meta)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _box_pieces_into_kernel(atlas, meta, base):
+    """Synthesize every box piece and write them into the (donated) atlas
+    at slots [base, base+n) in one dispatch."""
+    block = _box_pieces_kernel.__wrapped__(meta)
+    return jax.lax.dynamic_update_slice(atlas, block, (base, 0, 0))
 
 
 def _kernel(starts_ref, idxs_ref, bg_ref, atlas_hbm, out_ref, scratch, sems):
@@ -353,17 +389,39 @@ class TiledScene:
         self.width, self.height = width, height
         self.ntx = width // TILE_W
         self.nty = height // TILE_H
-        self._chunks: List[jnp.ndarray] = []  # (n, TH, TW) u32 blocks
+        # Capacity model: ONE (cap, TH, TW) u32 buffer, cap a pow2 >=
+        # _n_pieces, slots >= _n_pieces zero.  Adds paste into spare
+        # capacity (amortized-doubling growth) instead of concatenating
+        # chunks, so (a) scene edits cost one in-place dispatch, not an
+        # O(atlas) rebuild, and (b) every downstream program's shape key
+        # (full render, dirty render, fused animated frame) stays stable
+        # across edits within a capacity bucket — no recompiles/reloads.
+        self._data: Optional[jnp.ndarray] = None
         self._n_pieces = 0
         # object id -> list of (tile_index, atlas_entry), with reverse index
         self.pieces: PieceMap = PieceMap()
-        self._atlas: Optional[jnp.ndarray] = None
         # animated objects: key -> (slot base, capacity)
         self._reserved: Dict[object, Tuple[int, int]] = {}
         # order -> position cache (invalidated by list identity/length; the
         # view layer always installs a NEW list on reorder, and in-place
         # inserts change the length, so both changes are caught)
         self._order_cache: Optional[Tuple[object, int, Dict[object, int]]] = None
+
+    def _ensure(self, k: int) -> None:
+        """Guarantee spare capacity for `k` more pieces beyond _n_pieces.
+        New capacity is the next pow2 (amortized doubling); fresh slots are
+        zero — the invariant every paste/shatter path relies on."""
+        need = self._n_pieces + k
+        if self._data is None:
+            cap = 8
+            while cap < need:
+                cap *= 2
+            self._data = jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)
+        elif need > self._data.shape[0]:
+            cap = int(self._data.shape[0])
+            while cap < need:
+                cap *= 2
+            self._data = _grow_atlas_kernel(self._data, newcap=cap)
 
     def _order_pos(self, order) -> Dict[object, int]:
         cached = self._order_cache
@@ -376,7 +434,6 @@ class TiledScene:
     def add_object(self, key, spr: Sprite) -> None:
         """Shatter a sprite's raster into frame-aligned tile pieces
         (one-time per object; frame coords are 1-based boxes)."""
-        packed = pack_rgba(spr.rgba)
         x0, y0, x1, y1 = spr.box
         # Frame pixel p (1-based) lives in tile (p-1)//TILE.
         tx_lo = max(0, (x0 - 1) // TILE_W)
@@ -392,16 +449,18 @@ class TiledScene:
             self.pieces[key] = []
             return
         # piece[r, c] = packed[(ty*TH + r) - (y0-1), (tx*TW + c) - (x0-1)]
-        oys = jnp.asarray([ty * TILE_H - (y0 - 1) for ty, _ in coords], jnp.int32)
-        oxs = jnp.asarray([tx * TILE_W - (x0 - 1) for _, tx in coords], jnp.int32)
-        block = _shatter_kernel(packed, oys, oxs)
-        self._chunks.append(block)
+        oys = np.asarray([ty * TILE_H - (y0 - 1) for ty, _ in coords], np.int32)
+        oxs = np.asarray([tx * TILE_W - (x0 - 1) for _, tx in coords], np.int32)
+        self._ensure(len(coords))
+        base = self._n_pieces
+        # ONE fused dispatch (pack + shatter + paste) — the same program the
+        # animated in-place update uses, so it is usually already loaded.
+        self._data = _shatter_into_kernel(self._data, spr.rgba, oys, oxs, base)
         entries = []
         for j, (ty, tx) in enumerate(coords):
-            entries.append((ty * self.ntx + tx, self._n_pieces + j))
+            entries.append((ty * self.ntx + tx, base + j))
         self._n_pieces += len(coords)
         self.pieces[key] = entries
-        self._atlas = None
 
     def add_boxes(self, items) -> None:
         """Bulk-ingest plain-colour rectangle layers:
@@ -447,27 +506,32 @@ class TiledScene:
             nb *= 2
         meta = np.zeros((nb, 8), dtype=np.int32)
         meta[:n] = np.asarray(metas, dtype=np.int32)
-        self._chunks.append(_box_pieces_kernel(jnp.asarray(meta)))
+        self._ensure(nb)
+        # padding rows (w == h == 0) write zero pieces into their slots,
+        # preserving the spare-capacity zero invariant.
+        self._data = _box_pieces_into_kernel(self._data, meta, base)
         self._n_pieces += nb
         for key, entries in regs:
             self.pieces[key] = entries
-        self._atlas = None
 
     def add_rastered(self, registry, blocks) -> None:
         """Ingest pieces produced by the tile-normalized batched rasterizer
         (raster/tile_raster): `blocks` is a list of (n, TILE_H, TILE_W) u32
         device arrays, `registry` maps key -> [(tile, block_id, slot)]."""
         base = []
+        off = self._n_pieces
+        total = 0
         for blk in blocks:
-            base.append(self._n_pieces)
-            self._chunks.append(blk)
-            self._n_pieces += int(blk.shape[0])
+            base.append(off + total)
+            total += int(blk.shape[0])
+        if total:
+            self._ensure(total)  # grow at most once for the whole ingest
+            self._data = _paste_blocks_kernel(self._data, off, *blocks)
+            self._n_pieces += total
         for key, pieces in registry.items():
             self.pieces[key] = [
                 (tile, base[b] + slot) for tile, b, slot in pieces
             ]
-        if blocks:
-            self._atlas = None
 
     def reserve_slots(self, key, cap: int) -> None:
         """Reserve `cap` fixed atlas slots for an ANIMATED object: its
@@ -475,20 +539,7 @@ class TiledScene:
         of appending a fresh block per move — the atlas stays fixed-size
         and no per-frame concatenation/upload happens."""
         base = self._n_pieces
-        if self._chunks:
-            self.atlas()  # consolidate existing chunks first
-            self._chunks = [
-                jnp.concatenate(
-                    [self.atlas(), jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)],
-                    axis=0,
-                )
-            ]
-        else:
-            # Empty scene: do NOT go through atlas(), whose synthesized
-            # 1-slot dummy is not accounted in _n_pieces — concatenating it
-            # would shift every later entry's atlas index by one.
-            self._chunks = [jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32)]
-        self._atlas = self._chunks[0]
+        self._ensure(cap)  # reserved slots start zero (spare-capacity invariant)
         self._n_pieces += cap
         self._reserved[key] = (base, cap)
         self.pieces[key] = []
@@ -534,21 +585,13 @@ class TiledScene:
             self.pieces[key] = []
             return
         oys, oxs, base, entries = got
-        atlas = _shatter_into_kernel(self.atlas(), spr.rgba, oys, oxs, base)
-        self._chunks = [atlas]
-        self._atlas = atlas
+        self._data = _shatter_into_kernel(self._data, spr.rgba, oys, oxs, base)
         self.pieces[key] = entries
 
     def atlas(self) -> jnp.ndarray:
-        if self._atlas is None:
-            if len(self._chunks) > 1:
-                self._chunks = [jnp.concatenate(self._chunks, axis=0)]
-            self._atlas = (
-                self._chunks[0]
-                if self._chunks
-                else jnp.zeros((1, TILE_H, TILE_W), jnp.uint32)
-            )
-        return self._atlas
+        if self._data is None:
+            self._ensure(0)  # empty scene: minimal all-zero buffer
+        return self._data
 
     def build_lists(self, order: List[object], dirty_tiles=None):
         """Per-tile front-to-back entry lists for objects in `order`

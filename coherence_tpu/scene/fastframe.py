@@ -793,6 +793,73 @@ def _animated_blur_frame_kernel(
     return atlas, content, display
 
 
+def prewarm_animated(view: "DeviceView", kernel, key, dx: int, dy: int) -> None:
+    """Load the animated loop's XLA programs before the loop runs, using
+    throwaway zero buffers with exactly the shapes and statics the live
+    calls will use; installs NO view/display state.  On the remote TPU
+    transport each distinct program pays a one-time ~1-7 s load, so calling
+    this from a side thread once the scene is final (after make_animated)
+    overlaps those loads with the remaining build work.  Covers the FUSED
+    animated-with-filter frame (step_animated) and the unfused plain pair
+    (translate_object's in-place shatter + the dirty-tile recomposite)."""
+    from ..raster.framepath import blur_window
+    from ..raster.tiled_scene import _render_dirty_tiles, _shatter_into_kernel
+
+    ts = view.ts
+    spr = view.sprites.get(key)
+    if spr is None or key not in ts._reserved or view.mesh is not None:
+        return
+    moved = translate_sprite(dx, dy, spr)
+    got = ts._inplace_args(key, moved)
+    if got is None:
+        return
+    oys, oxs, base, entries = got
+    old_tiles = {t for t, _ in ts.pieces.get(key, ())}
+    new_tiles = {t for t, _ in entries}
+    interp = _tiled_interpret()
+
+    zatlas = jnp.zeros(ts.atlas().shape, jnp.uint32)
+    # Plain (unfused) loop: in-place shatter + dirty-tile recomposite.
+    zatlas = _shatter_into_kernel(zatlas, moved.rgba, oys, oxs, base)
+    plain = ts._dirty_args(
+        view.order, old_tiles | new_tiles, pieces_override={key: entries}
+    )
+    if plain is not None:
+        coords, spans, idxs, n_slots = plain
+        _render_dirty_tiles(
+            coords, spans, idxs, view.background,
+            jnp.zeros((view.ph, view.pw), jnp.uint32), zatlas,
+            n_slots=n_slots, interpret=interp,
+        )
+
+    # Fused animated-with-filter frame (mirrors step_animated's staging
+    # with view.dirty empty — the steady state of the animated loop).
+    box = (1, 1, view.width, view.height)
+    dirty_box = region.box_union(spr.box, moved.box)
+    win = blur_window(dirty_box, box, kernel.radius, view.height, view.width)
+    if win is None:
+        return
+    _, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
+    probe = FilteredDisplay(view, None, kernel)
+    dirty_tiles = old_tiles | new_tiles | probe._window_tiles(oy, ox, ry0, rx0, h, w)
+    got2 = ts._dirty_args(view.order, dirty_tiles, pieces_override={key: entries})
+    if got2 is None:
+        return
+    coords, spans, idxs, n_slots = got2
+    _animated_blur_frame_kernel(
+        zatlas,
+        jnp.zeros((view.ph, view.pw), jnp.uint32),
+        jnp.zeros((view.height, view.width, 4), jnp.int32),
+        moved.rgba, oys, oxs, base, coords, spans, idxs,
+        view.background,
+        jnp.zeros((view.height, view.width), jnp.int32),
+        oy, ox, ry0, rx0, h, w, d_box,
+        n_slots=n_slots, hb=hb, wb=wb,
+        weights=tuple(kernel.values), total=kernel.total,
+        interpret=interp,
+    )
+
+
 class FilteredDisplay:
     """Display = blur(content) blended by a filter geometry's alpha plane.
 
@@ -969,8 +1036,7 @@ class FilteredDisplay:
             total=self.kernel.total,
             interpret=_tiled_interpret(),
         )
-        ts._chunks = [atlas]
-        ts._atlas = atlas
+        ts._data = atlas
         ts.pieces[key] = entries
         view.sprites[key] = moved
         view.frame = content
@@ -1004,8 +1070,7 @@ class FilteredDisplay:
         # The unsharded global atlas is the source of truth for future
         # banded rebuilds (and for leaving the mesh); keep it in step.
         atlas = TSmod._shatter_into_kernel(ts.atlas(), moved.rgba, oys, oxs, base)
-        ts._chunks = [atlas]
-        ts._atlas = atlas
+        ts._data = atlas
         old_tiles = {t for t, _ in ts.pieces.get(key, ())}
         ts.pieces[key] = entries
         banded.update_inplace(ts, key, moved.rgba, entries, oys, oxs, view.mesh)

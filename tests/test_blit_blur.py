@@ -197,6 +197,38 @@ def test_tiled_filtered_display_matches_general():
         assert (got == want).all(), f"tiled frame {k} mismatch"
 
 
+def test_prewarm_animated_is_stateless_and_loop_matches():
+    """prewarm_animated loads the loop programs on throwaway buffers: it
+    must install no scene/display state, and the real fused step after it
+    must still match the general renderer frame."""
+    from coherence_tpu.scene.fastframe import (
+        DeviceView,
+        FilteredDisplay,
+        prewarm_animated,
+    )
+
+    kernel = rconvolve.mkgaussian(RADIUS)
+    view = DeviceView(W, H)
+    view.set_scene(_statics())
+    blob_obj = _blob_at(40, 50)
+    view.add_object(blob_obj, index=0)
+    view.make_animated(blob_obj.idset)
+    pieces_before = {k: list(v) for k, v in view.ts.pieces.items()}
+    dirty_before = set(view.dirty)
+    prewarm_animated(view, kernel, blob_obj.idset, 7, 3)
+    assert {k: list(v) for k, v in view.ts.pieces.items()} == pieces_before
+    assert view.dirty == dirty_before
+
+    f_alpha = _f_alpha(kernel)
+    disp = FilteredDisplay(view, f_alpha, kernel)
+    disp.full_refresh()
+    disp.step_animated(blob_obj.idset, 7, 3)
+    got = disp.read()
+    cache.clear()
+    want = _general_frame(kernel, _blob_at(47, 53))
+    assert (got == want).all(), "post-prewarm fused step mismatch"
+
+
 def test_step_animated_blends_preexisting_dirty_tiles():
     """ADVICE r2: tiles dirtied by OTHER edits before a fused step_animated
     call must get their displayed (filtered) pixels refreshed too, not just
