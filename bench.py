@@ -53,6 +53,9 @@ W, H = 1920, 1080
 BLUR_RADIUS = 5
 # Blur band over the blob's whole diagonal path, >= 2r inside the frame.
 F_BOX = (40, 320, 1680, 1060)
+# Preallocated atlas slots: fixes every downstream program's shape key
+# before the scene exists (the lion + blob need ~718).
+ATLAS_CAP = 1024
 BACKEND_INIT_S = 0.0
 
 
@@ -102,9 +105,27 @@ def build():
     def _pre_unpack():
         _ff._unpack_crop_kernel(jnp.zeros((_ph, _pw), jnp.uint32), h=H, w=W)
 
+    def _pre_full_render():
+        # With ATLAS_CAP preallocated, the full-render program's shape key
+        # is known before the scene exists, except the per-tile entry-list
+        # bucket — predicted as pow2(expected pieces); a wrong guess wastes
+        # one overlapped load and the real shape loads at render time.
+        from coherence_tpu.raster.tiled_scene import _render_tiles
+
+        nty, ntx = _ph // _TH, _pw // _TW
+        _render_tiles(
+            _np.zeros(nty * ntx + 1, _np.int32),
+            _np.zeros(ATLAS_CAP, _np.int32),
+            jnp.zeros((_ph, _pw), jnp.uint32),
+            jnp.zeros((ATLAS_CAP, _TH, _TW), jnp.uint32),
+            nty=nty,
+            ntx=ntx,
+            interpret=False,
+        )
+
     prewarm_threads = [
         threading.Thread(target=fn, daemon=True)
-        for fn in (tile_raster.warmup, _pre_blur_rect, _pre_unpack)
+        for fn in (tile_raster.warmup, _pre_blur_rect, _pre_unpack, _pre_full_render)
     ]
     for th in prewarm_threads:
         th.start()
@@ -185,14 +206,24 @@ def build():
     alpha_th.start()
 
     # Static scene: tile-normalized batched rasterization into the atlas.
-    view = DeviceView(W, H)
+    view = DeviceView(W, H, atlas_cap=ATLAS_CAP)
+
+    # The animated blob's raster is scene-independent: sweep + rasterize it
+    # on a side thread while the main thread builds the scene (the tile
+    # kernels it uses are the same programs the warmup is already loading).
+    def _blob_thread():
+        side["blob_spr"] = tiled_sprite_of_object(blob, view.pw, view.ph)
+
+    blob_th = threading.Thread(target=_blob_thread, daemon=True)
+    blob_th.start()
+
     view.set_scene(objs, tiled=True)
     _tick("set_scene (tile-normalized build)")
 
-    # The animated blob: raster from the (already compiled) tile kernels,
-    # topmost in z, moving via in-place reserved-slot atlas updates.
-    blob_spr = tiled_sprite_of_object(blob, view.pw, view.ph)
-    _tick("blob raster")
+    # The blob moves via in-place reserved-slot atlas updates, topmost in z.
+    blob_th.join()
+    blob_spr = side["blob_spr"]
+    _tick("blob raster (joined side thread)")
     blob_key = blob.idset
     view.sprites[blob_key] = blob_spr
     view.order.insert(0, blob_key)

@@ -48,10 +48,13 @@ _TTW = _H * TILE_W + _H  # scaled t-plane cols per tile (2064)
 _PAD_ROW = 32767
 
 # Span-capacity classes: (K1 for each 1x family, KA for the 16x AA family).
-# K1 grows by 4x per class, KA likewise; items pick the smallest fit.  The
-# number of distinct XLA programs is bounded by len(_CLASSES) x len(N
-# buckets), independent of scene content.
-_CLASSES = [(256, 4096), (1024, 16384), (4096, 65536)]
+# K1/KA grow by 2x per class; items pick the smallest fit.  A finer ladder
+# bounds per-item padding at 2x (a 4x ladder shipped ~8x the real span
+# payload for a typical scene — measured 47 MB shipped vs ~6 MB real on the
+# 1080p lion; at ~45 MB/s of tunnel upload bandwidth padding is cold-start
+# wall time).  The number of distinct XLA programs stays bounded by
+# len(_CLASSES) x len(N buckets), independent of scene content.
+_CLASSES = [(256, 4096), (512, 8192), (1024, 16384), (2048, 32768), (4096, 65536)]
 # Interior pieces (no AA fringe in the tile) carry only crossing spans.
 _K_INTERIOR = 256
 
@@ -116,20 +119,70 @@ def _interior_tile_kernel(cross, fills, *, n: int):
     return _interior_impl(cross, fills)
 
 
+# Fixed batch sizes per capacity class (and for the interior family): once
+# an item count reaches its chunk, work dispatches in fixed-`chunk` batches,
+# so the XLA program SHAPES of any big scene build are scene-independent —
+# `warmup()` can preload them on the remote transport while the host is
+# still sweeping geometry.  Small counts keep their pow2 bucket (tests and
+# tiny scenes stay cheap on CPU).
+_CHUNKS = [256, 256, 128, 32, 8]
+_CHUNK_INTERIOR = 32
+
+
+def _flat_layout():
+    """Static slot layout of the single flat int16 upload buffer holding
+    every family's difference-pair array (cov, cross, aa per class, then
+    the interior cross), and of the flat int32 fills buffer.  One upload
+    shape for the whole combined build: the remote transport pays a
+    one-time per-shape transfer setup, and one transfer has no per-call
+    overhead per family."""
+    segs = []
+    off = 0
+    for cls, chunk in enumerate(_CHUNKS):
+        k1, ka = _CLASSES[cls]
+        for k in (k1, k1, ka):
+            segs.append((off, (chunk, 2, k)))
+            off += chunk * 2 * k
+    segs.append((off, (_CHUNK_INTERIOR, 2, _K_INTERIOR)))
+    off += _CHUNK_INTERIOR * 2 * _K_INTERIOR
+    fsegs = []
+    foff = 0
+    for chunk in list(_CHUNKS) + [_CHUNK_INTERIOR]:
+        fsegs.append((foff, (chunk, 4)))
+        foff += chunk * 4
+    return segs, off, fsegs, foff
+
+
+_FLAT_SEGS, _FLAT_LEN, _FILL_SEGS, _FILL_LEN = _flat_layout()
+
+
 @jax.jit
-def _combined_build_kernel(c0, x0, a0, f0, c1, x1, a1, f1, c2, x2, a2, f2, xi, fi):
-    """All four build families in ONE XLA program.  On the remote TPU
-    transport each distinct program pays a one-time load latency (~2.5 s
-    measured, independent of dispatch order), so a cold scene build that
-    needs all four families loads one program instead of four.  Shapes are
-    the fixed chunks (_CHUNKS/_CHUNK_INTERIOR), so the program is
+def _combined_build_kernel(flat16, flat32):
+    """Every build family in ONE XLA program fed by ONE flat pair buffer
+    and ONE flat fills buffer.  On the remote TPU transport each distinct
+    program pays a one-time load latency (~2.5 s measured) and each
+    distinct transfer shape a one-time setup, so a cold scene build loads
+    one program and one upload shape instead of one per family.  Shapes
+    are the fixed chunks (_CHUNKS/_CHUNK_INTERIOR), so the program is
     scene-independent and warmup() preloads it."""
-    return (
-        _edge_impl(c0, x0, a0, f0),
-        _edge_impl(c1, x1, a1, f1),
-        _edge_impl(c2, x2, a2, f2),
-        _interior_impl(xi, fi),
-    )
+
+    def seg(i):
+        off, shape = _FLAT_SEGS[i]
+        n = shape[0] * shape[1] * shape[2]
+        return lax.slice(flat16, (off,), (off + n,)).reshape(shape)
+
+    def fills(i):
+        off, shape = _FILL_SEGS[i]
+        n = shape[0] * shape[1]
+        return lax.slice(flat32, (off,), (off + n,)).reshape(shape)
+
+    outs = []
+    for cls in range(len(_CHUNKS)):
+        outs.append(
+            _edge_impl(seg(3 * cls), seg(3 * cls + 1), seg(3 * cls + 2), fills(cls))
+        )
+    outs.append(_interior_impl(seg(3 * len(_CHUNKS)), fills(len(_CHUNKS))))
+    return tuple(outs)
 
 
 def _n_bucket(n: int) -> int:
@@ -137,16 +190,6 @@ def _n_bucket(n: int) -> int:
     while b < n:
         b *= 2
     return b
-
-
-# Fixed batch sizes per capacity class (and for the interior family): once
-# an item count reaches its chunk, work dispatches in fixed-`chunk` batches,
-# so the XLA program SHAPES of any big scene build are scene-independent —
-# `warmup()` can preload them on the remote transport while the host is
-# still sweeping geometry.  Small counts keep their pow2 bucket (tests and
-# tiny scenes stay cheap on CPU).
-_CHUNKS = [256, 512, 16]
-_CHUNK_INTERIOR = 32
 
 
 def _batches(items: list, chunk: int) -> list:
@@ -159,41 +202,19 @@ def _batches(items: list, chunk: int) -> list:
     ]
 
 
-def _combined_zero_args():
-    """Zero-work argument tuple for _combined_build_kernel at the fixed
-    chunk shapes.  Built ON DEVICE (jnp fills) — shipping tens of MB of
-    host zeros through the tunnel would compete with the real build's
-    uploads, defeating the warmup."""
-
-    def zero_pairs(n: int, k: int):
-        # _triples' empty encoding: scatter rows all _PAD_ROW, cols 0.
-        return jnp.stack(
-            [
-                jnp.full((n, k), _PAD_ROW, jnp.int16),
-                jnp.zeros((n, k), jnp.int16),
-            ],
-            axis=1,
-        )
-
-    args = []
-    for cls, chunk in enumerate(_CHUNKS):
-        k1, ka = _CLASSES[cls]
-        cov = zero_pairs(chunk, k1)
-        args += [cov, cov, zero_pairs(chunk, ka), jnp.zeros((chunk, 4), jnp.int32)]
-    args += [
-        zero_pairs(_CHUNK_INTERIOR, _K_INTERIOR),
-        jnp.zeros((_CHUNK_INTERIOR, 4), jnp.int32),
-    ]
-    return args
-
-
 def warmup():
     """Dispatch the combined build program once with empty work, ASYNC (no
     blocking): on the remote TPU transport each distinct program pays a
     one-time load latency (~2.5 s), so issuing it first lets the load
-    overlap the host-side scene preparation.  Returns the output arrays so
-    a caller may optionally block on them."""
-    return _combined_build_kernel(*_combined_zero_args())
+    overlap the host-side scene preparation.  All-zero flat buffers are
+    valid empty work: a zero pair scatters +1 and -1 at the same cell
+    (0, 0), so every difference mask nets to empty.  Built ON DEVICE (jnp
+    zeros) — shipping tens of MB of host zeros through the tunnel would
+    compete with the real build's uploads, defeating the warmup.  Returns
+    the output arrays so a caller may optionally block on them."""
+    return _combined_build_kernel(
+        jnp.zeros(_FLAT_LEN, jnp.int16), jnp.zeros(_FILL_LEN, jnp.int32)
+    )
 
 
 def _expand_1x(rows, ss, ee, nty: int, ntx: int):
@@ -289,22 +310,6 @@ def _group_slices(tiles: np.ndarray):
     ]
 
 
-def _triples(r, s, e, k: int):
-    """(2, k) int16 difference-scatter pairs from relative spans: slots
-    [0, k/2) add +1 at span starts, slots [k/2, k) add -1 past span ends
-    (values implied by position — see _scatter_mask).  Requires
-    2 * len(r) <= k (the capacity-class fit check)."""
-    n = r.shape[0]
-    half = k // 2
-    out = np.zeros((2, k), np.int16)
-    out[0, :] = _PAD_ROW
-    out[0, :n] = r
-    out[0, half : half + n] = r
-    out[1, :n] = s
-    out[1, half : half + n] = e + 1
-    return out
-
-
 def _fills_stack(fills, nb: int) -> np.ndarray:
     """(nb, 4) int32 fill batch, tail zero-padded."""
     out = np.zeros((nb, 4), np.int32)
@@ -313,14 +318,12 @@ def _fills_stack(fills, nb: int) -> np.ndarray:
     return out
 
 
-def _pairs_stack(spans, nb: int, k: int) -> np.ndarray:
-    """(nb, 2, k) int16 difference-pair batch from raw (r, s, e) span
-    tuples, tail slots padded.  ONE preallocated fill — the per-item
-    `_triples` + `np.stack` formulation copied ~50 MB twice per 4K scene
-    build, the dominant host cost of an interactive zoom re-rasterize."""
-    out = np.empty((nb, 2, k), np.int16)
+def _pairs_fill(out: np.ndarray, spans) -> None:
+    """Fill a preallocated (nb, 2, k) int16 view with difference pairs from
+    raw (r, s, e) span tuples, tail slots padded."""
     out[:, 0] = _PAD_ROW
     out[:, 1] = 0
+    k = out.shape[2]
     half = k // 2
     for i, (r, s, e) in enumerate(spans):
         n = r.shape[0]
@@ -328,6 +331,15 @@ def _pairs_stack(spans, nb: int, k: int) -> np.ndarray:
         out[i, 0, half : half + n] = r
         out[i, 1, :n] = s
         out[i, 1, half : half + n] = e + 1
+
+
+def _pairs_stack(spans, nb: int, k: int) -> np.ndarray:
+    """(nb, 2, k) int16 difference-pair batch from raw (r, s, e) span
+    tuples, tail slots padded.  ONE preallocated fill — the per-item
+    `_triples` + `np.stack` formulation copied ~50 MB twice per 4K scene
+    build, the dominant host cost of an interactive zoom re-rasterize."""
+    out = np.empty((nb, 2, k), np.int16)
+    _pairs_fill(out, spans)
     return out
 
 
@@ -446,25 +458,40 @@ class TileBuild:
         edge_rest: Dict[int, list] = self.edge_items
         interior_rest = self.interior_items
         if combined and (self.edge_items or self.interior_items):
-            args = []
+            # ONE flat pair buffer + ONE flat fills buffer (static layout):
+            # a single upload shape and a single program for the whole
+            # first-chunk build.  np (not device) args: the transfer rides
+            # the jit dispatch instead of paying eager round trips.
+            flat16 = np.empty(_FLAT_LEN, np.int16)
+            flat32 = np.zeros(_FILL_LEN, np.int32)
+
+            def pair_view(i):
+                off, shape = _FLAT_SEGS[i]
+                n = shape[0] * shape[1] * shape[2]
+                return flat16[off : off + n].reshape(shape)
+
+            def fill_view(i):
+                off, shape = _FILL_SEGS[i]
+                return flat32[off : off + shape[0] * shape[1]].reshape(shape)
+
             heads = []
             edge_rest = {}
             for cls, chunk in enumerate(_CHUNKS):
-                k1, ka = _CLASSES[cls]
                 all_items = self.edge_items.get(cls, [])
                 items, edge_rest[cls] = all_items[:chunk], all_items[chunk:]
-                args.append(jnp.asarray(_pairs_stack([it[2] for it in items], chunk, k1)))
-                args.append(jnp.asarray(_pairs_stack([it[3] for it in items], chunk, k1)))
-                args.append(jnp.asarray(_pairs_stack([it[4] for it in items], chunk, ka)))
-                args.append(jnp.asarray(_fills_stack([it[5] for it in items], chunk)))
+                for fam, sel in ((0, 2), (1, 3), (2, 4)):
+                    _pairs_fill(pair_view(3 * cls + fam), [it[sel] for it in items])
+                fv = fill_view(cls)
+                for i, it in enumerate(items):
+                    fv[i] = it[5]
                 heads.append(items)
             iitems = self.interior_items[:_CHUNK_INTERIOR]
             interior_rest = self.interior_items[_CHUNK_INTERIOR:]
-            args.append(jnp.asarray(
-                _pairs_stack([it[2] for it in iitems], _CHUNK_INTERIOR, _K_INTERIOR)
-            ))
-            args.append(jnp.asarray(_fills_stack([it[3] for it in iitems], _CHUNK_INTERIOR)))
-            outs = _combined_build_kernel(*args)
+            _pairs_fill(pair_view(3 * len(_CHUNKS)), [it[2] for it in iitems])
+            fv = fill_view(len(_CHUNKS))
+            for i, it in enumerate(iitems):
+                fv[i] = it[3]
+            outs = _combined_build_kernel(flat16, flat32)
             for items, out in zip(heads + [iitems], outs):
                 block_id = len(blocks)
                 blocks.append(out)
@@ -474,7 +501,7 @@ class TileBuild:
 
         for cls in sorted(edge_rest):
             k1, ka = _CLASSES[cls]
-            chunk = _CHUNKS[cls] if cls < len(_CHUNKS) else _CHUNKS[-1]
+            chunk = _CHUNKS[cls]
             for items, nb in _batches(edge_rest[cls], chunk):
                 cov = _pairs_stack([it[2] for it in items], nb, k1)
                 cross = _pairs_stack([it[3] for it in items], nb, k1)

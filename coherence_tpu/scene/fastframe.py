@@ -308,6 +308,19 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
     from ..raster.brush_tiles import BrushTileBuild
     from ..raster.tile_raster import TileBuild
 
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("BENCH_DEBUG")
+    _t0 = _time.time()
+
+    def _tick(label):
+        nonlocal _t0
+        if _dbg:
+            now = _time.time()
+            print(f"#   build: {label}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     W, H = ts.width, ts.height
     tb = TileBuild(ts.nty, ts.ntx)
     bb = BrushTileBuild(ts.nty, ts.ntx)
@@ -346,10 +359,14 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
             fallback.append((key, o))
         else:
             handled.append(key)
+    _tick(f"host sweep+stage ({len(keyed_objs)} objects, {len(fallback)} fallback)")
     blocks, registry = tb.flush()
+    _tick("tile flush (stack+upload+dispatch)")
     ts.add_rastered(registry, blocks)
+    _tick("paste into atlas")
     bblocks, bregistry = bb.flush()
     ts.add_rastered(bregistry, bblocks)
+    _tick("brush flush+paste")
     for key in handled:
         ts.pieces.setdefault(key, [])  # swept-empty objects have no pieces
     for key, o in fallback:
@@ -358,6 +375,7 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
             ts.add_object(key, spr)
         else:
             ts.pieces[key] = []
+    _tick(f"fallback scalar path ({len(fallback)} objects)")
 
 
 def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
@@ -532,12 +550,19 @@ def alpha_plane_of_object(o: R.Obj, width: int, height: int):
 class DeviceView:
     """A window-sized packed framebuffer + tiled scene with dirty tracking."""
 
-    def __init__(self, width: int, height: int, bg_colour: int = None):
+    def __init__(self, width: int, height: int, bg_colour: int = None,
+                 atlas_cap: int = None):
         # Round up to tile multiples; the logical window is (width, height).
         self.width, self.height = width, height
         self.pw = ((width + TILE_W - 1) // TILE_W) * TILE_W
         self.ph = ((height + TILE_H - 1) // TILE_H) * TILE_H
         self.ts = TiledScene(self.pw, self.ph)
+        if atlas_cap:
+            # Preallocate atlas capacity: every downstream program's shape
+            # key (full/dirty render, fused animated frame) is then fixed
+            # before the scene exists — loadable ahead of the build and
+            # shared across scenes that fit the capacity.
+            self.ts._ensure(atlas_cap)
         bg = bg_colour if bg_colour is not None else C.white
         bgvec = jnp.asarray(C.rgba_of_colour(bg), jnp.int32)
         self.background = pack_rgba(
