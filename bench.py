@@ -123,21 +123,39 @@ def build():
             interpret=False,
         )
 
+    def _timed(fn):
+        if not os.environ.get("BENCH_DEBUG"):
+            return fn
+
+        def run():
+            w0, c0 = _time.time(), _time.thread_time()
+            fn()
+            print(
+                f"# thread {fn.__name__}: wall {_time.time() - w0:.1f}s "
+                f"cpu {_time.thread_time() - c0:.1f}s",
+                flush=True,
+            )
+
+        return run
+
     prewarm_threads = [
-        threading.Thread(target=fn, daemon=True)
+        threading.Thread(target=_timed(fn), daemon=True)
         for fn in (tile_raster.warmup, _pre_blur_rect, _pre_unpack, _pre_full_render)
     ]
     for th in prewarm_threads:
         th.start()
 
     _dbg = os.environ.get("BENCH_DEBUG")
-    _last = [_time.time()]
+    _last = [_time.time(), _time.thread_time()]
 
     def _tick(label):
         if _dbg:
-            now = _time.time()
-            print(f"# {label}: {now - _last[0]:.1f}s", flush=True)
-            _last[0] = now
+            now, cpu = _time.time(), _time.thread_time()
+            print(
+                f"# {label}: {now - _last[0]:.1f}s (cpu {cpu - _last[1]:.1f}s)",
+                flush=True,
+            )
+            _last[0], _last[1] = now, cpu
 
     import coherence_tpu.colour as C
     import coherence_tpu.ident as ident
@@ -202,7 +220,7 @@ def build():
     def _alpha_thread():
         side["f_alpha"] = alpha_plane_of_object(f_geom, W, H)
 
-    alpha_th = threading.Thread(target=_alpha_thread, daemon=True)
+    alpha_th = threading.Thread(target=_timed(_alpha_thread), daemon=True)
     alpha_th.start()
 
     # Static scene: tile-normalized batched rasterization into the atlas.
@@ -214,7 +232,7 @@ def build():
     def _blob_thread():
         side["blob_spr"] = tiled_sprite_of_object(blob, view.pw, view.ph)
 
-    blob_th = threading.Thread(target=_blob_thread, daemon=True)
+    blob_th = threading.Thread(target=_timed(_blob_thread), daemon=True)
     blob_th.start()
 
     view.set_scene(objs, tiled=True)
@@ -234,9 +252,12 @@ def build():
     # load the fused animated-frame program and the plain-loop programs
     # from a side thread, overlapping the remaining build work below.
     kernel = rconvolve.mkgaussian(BLUR_RADIUS)
+
+    def _prewarm_animated():
+        _ff.prewarm_animated(view, kernel, blob_key, 7, 3)
+
     pw_th = threading.Thread(
-        target=_ff.prewarm_animated,
-        args=(view, kernel, blob_key, 7, 3),
+        target=_timed(_prewarm_animated),
         daemon=True,
     )
     pw_th.start()

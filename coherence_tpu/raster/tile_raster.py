@@ -448,7 +448,26 @@ class TileBuild:
         one-time load latency on the remote transport, and off for CPU,
         where the zero-padded families would cost real interpret time."""
         if combined is None:
-            combined = jax.default_backend() == "tpu"
+            # The combined program trades ONE program load for uploading the
+            # full fixed-chunk flat buffer (~30 MB, mostly padding).  Below
+            # a few dozen items the padding upload dwarfs the per-class
+            # program loads it saves.
+            n_items = sum(len(v) for v in self.edge_items.values()) + len(
+                self.interior_items
+            )
+            combined = jax.default_backend() == "tpu" and n_items >= 64
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("BENCH_DEBUG")
+        _t0 = [_time.time()]
+
+        def _tick(label):
+            if _dbg:
+                now = _time.time()
+                print(f"#     flush: {label}: {now - _t0[0]:.1f}s", flush=True)
+                _t0[0] = now
+
         blocks = []
         registry: Dict[object, List[Tuple[int, int, int]]] = {}
 
@@ -491,7 +510,12 @@ class TileBuild:
             fv = fill_view(len(_CHUNKS))
             for i, it in enumerate(iitems):
                 fv[i] = it[3]
-            outs = _combined_build_kernel(flat16, flat32)
+            _tick("host staging fill")
+            d16 = jax.device_put(flat16)
+            d32 = jax.device_put(flat32)
+            _tick("upload (device_put)")
+            outs = _combined_build_kernel(d16, d32)
+            _tick("combined dispatch (program wait)")
             for items, out in zip(heads + [iitems], outs):
                 block_id = len(blocks)
                 blocks.append(out)

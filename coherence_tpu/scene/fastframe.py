@@ -398,7 +398,11 @@ def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
     tb = TileBuild(nty, ntx)
     if not tb.add_object("k", *ext):
         return full_sprite_of_object(o)
-    blocks, registry = tb.flush()
+    # combined=False: one object stages a handful of items; the combined
+    # path would stage and upload the full fixed-chunk flat buffer (~30 MB
+    # of padding) for them.  The small pow2-bucket programs this loads are
+    # cheap relative to that upload and reusable across calls.
+    blocks, registry = tb.flush(combined=False)
     pieces = registry.get("k", [])
     if not pieces:
         return None
