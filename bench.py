@@ -59,15 +59,86 @@ ATLAS_CAP = 1024
 BACKEND_INIT_S = 0.0
 
 
+def _geometry_prep(side):
+    """ALL pure-host geometry work: transform the lion, create the blob and
+    filter geometry, and run the full scene sweep+staging.  Needs no live
+    backend, so build() runs it on a thread DURING the 40-300 s one-time
+    backend/tunnel initialization — by the time the device is usable, only
+    the device half of the build (flush + paste + render) remains."""
+    import coherence_tpu.colour as C
+    import coherence_tpu.ident as ident
+    import coherence_tpu.transform as tr
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.raster import fills as rfills
+    from coherence_tpu.raster.pallas_compositor import TILE_H as _TH, TILE_W as _TW
+    from coherence_tpu.scene import examples as E
+    from coherence_tpu.scene import render as R
+    from coherence_tpu.scene.fastframe import stage_tiled_scene
+
+    # Lion scaled to fill 1080p, y-flipped into raster orientation.
+    lion = E.smalllion()
+    xmin, xmax, ymin, ymax = R.bounds_of_basicshape(lion)
+    scale = min(W / (xmax - xmin), H / (ymax - ymin))
+    lion = R.transform_renderobject_many(
+        [
+            tr.Translate(0.0, float(H)),
+            tr.Scale((0.0, 0.0), 1.0, -1.0),
+            tr.Scale((0.0, 0.0), scale, scale),
+            tr.Translate(-xmin, -ymin),
+        ],
+        lion,
+    )
+    objs = list(lion.geometry.objects)
+
+    blob = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(C.crimson, delta=170)),
+            R.PathShape(gshapes.circle(0.0, 0.0, 60.0)),
+        ),
+        (tr.Translate(120.0, 400.0),),
+        R.OVER,
+    )
+
+    # The blur filter's geometry: an opaque rect band over the blob's path.
+    f_geom = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.white),
+            R.rectangle(
+                float(F_BOX[0]),
+                float(F_BOX[1]),
+                float(F_BOX[2] - F_BOX[0] + 1),
+                float(F_BOX[3] - F_BOX[1] + 1),
+            ),
+        ),
+        (),
+        R.OVER,
+    )
+
+    ph = ((H + _TH - 1) // _TH) * _TH
+    pw = ((W + _TW - 1) // _TW) * _TW
+    side["objs"], side["blob"], side["f_geom"] = objs, blob, f_geom
+    side["staged"] = stage_tiled_scene(
+        ph // _TH, pw // _TW, pw, ph, [(o.idset, o) for o in objs]
+    )
+
+
 def build():
+    import threading
     import time as _time
+
+    side = {}
+    geom_th = threading.Thread(target=_geometry_prep, args=(side,), daemon=True)
+    geom_th.start()
 
     import jax.numpy as jnp
 
     # The first device interaction of a process pays a large one-time
     # backend/tunnel initialization (measured ~60-300 s on the axon
     # transport, independent of op size).  Absorb and report it separately
-    # so build_s measures the actual scene build.
+    # so build_s measures the actual scene build.  The geometry thread
+    # above needs no backend and runs during it.
     t0 = _time.time()
     float(jnp.sum(jnp.ones((8, 8))))
     global BACKEND_INIT_S
@@ -157,14 +228,7 @@ def build():
             )
             _last[0], _last[1] = now, cpu
 
-    import coherence_tpu.colour as C
-    import coherence_tpu.ident as ident
-    import coherence_tpu.transform as tr
-    from coherence_tpu.geometry import shapes as gshapes
     from coherence_tpu.raster import convolve as rconvolve
-    from coherence_tpu.raster import fills as rfills
-    from coherence_tpu.scene import examples as E
-    from coherence_tpu.scene import render as R
     from coherence_tpu.scene.fastframe import (
         DeviceView,
         FilteredDisplay,
@@ -172,51 +236,13 @@ def build():
         tiled_sprite_of_object,
     )
 
-    # Lion scaled to fill 1080p, y-flipped into raster orientation.
-    lion = E.smalllion()
-    xmin, xmax, ymin, ymax = R.bounds_of_basicshape(lion)
-    scale = min(W / (xmax - xmin), H / (ymax - ymin))
-    lion = R.transform_renderobject_many(
-        [
-            tr.Translate(0.0, float(H)),
-            tr.Scale((0.0, 0.0), 1.0, -1.0),
-            tr.Scale((0.0, 0.0), scale, scale),
-            tr.Translate(-xmin, -ymin),
-        ],
-        lion,
-    )
-    objs = list(lion.geometry.objects)
+    geom_th.join()
+    objs, blob, f_geom = side["objs"], side["blob"], side["f_geom"]
+    _tick("geometry joined (sweep+staging ran during backend init)")
 
-    blob = R.Obj(
-        ident.new_ids(),
-        R.Basic(
-            rfills.plain(C.dissolve(C.crimson, delta=170)),
-            R.PathShape(gshapes.circle(0.0, 0.0, 60.0)),
-        ),
-        (tr.Translate(120.0, 400.0),),
-        R.OVER,
-    )
-
-    # The blur filter's geometry: an opaque rect band over the blob's path;
-    # its alpha plane is scene-independent, so it builds on a SIDE THREAD
-    # while the main thread builds the scene (its programs load
+    # The filter alpha plane is scene-independent: build it on a SIDE
+    # THREAD while the main thread builds the scene (its programs load
     # concurrently, like the prewarm set).
-    f_geom = R.Obj(
-        ident.new_ids(),
-        R.Basic(
-            rfills.plain(C.white),
-            R.rectangle(
-                float(F_BOX[0]),
-                float(F_BOX[1]),
-                float(F_BOX[2] - F_BOX[0] + 1),
-                float(F_BOX[3] - F_BOX[1] + 1),
-            ),
-        ),
-        (),
-        R.OVER,
-    )
-    side = {}
-
     def _alpha_thread():
         side["f_alpha"] = alpha_plane_of_object(f_geom, W, H)
 
@@ -225,6 +251,7 @@ def build():
 
     # Static scene: tile-normalized batched rasterization into the atlas.
     view = DeviceView(W, H, atlas_cap=ATLAS_CAP)
+    _tick("DeviceView init (background + atlas prealloc)")
 
     # The animated blob's raster is scene-independent: sweep + rasterize it
     # on a side thread while the main thread builds the scene (the tile
@@ -235,8 +262,8 @@ def build():
     blob_th = threading.Thread(target=_timed(_blob_thread), daemon=True)
     blob_th.start()
 
-    view.set_scene(objs, tiled=True)
-    _tick("set_scene (tile-normalized build)")
+    view.set_scene(objs, tiled=True, staged=side["staged"])
+    _tick("set_scene (device half: flush+paste)")
 
     # The blob moves via in-place reserved-slot atlas updates, topmost in z.
     blob_th.join()

@@ -293,39 +293,25 @@ def _brush_extract(o: R.Obj):
     return sk.brushstroke, f._rgba
 
 
-def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
-    """Batched scene ingestion into a TiledScene via the tile-normalized
-    rasterizer (raster/tile_raster): ONE jitted kernel per span-capacity
-    class rasterizes every supported object's pieces directly at atlas tile
-    granularity — a handful of XLA programs for the whole scene instead of
-    one per (box bucket, span capacity) group.  Plain-filled Gaussian brush
-    strokes batch through the brush-tile kernel (raster/brush_tiles); other
-    unsupported or too-complex objects fall back to the scalar pipeline +
-    shatter.
+def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs):
+    """The pure-HOST half of build_tiled_scene: sweep every object and
+    stage its spans into tile work items.  Needs no device and no live
+    backend — callers with a slow backend bring-up (the remote TPU
+    transport's one-time init is 40-300 s) run this on a thread DURING it,
+    so the device half (flush + paste) is all that remains afterwards.
 
-    keyed_objs: [(key, R.Obj)] front-to-back or any order (piece lists are
-    per-key; compositing order comes from the caller's order list)."""
+    Returns (tb, bb, handled, fallback, culled): the tile and brush
+    builders with staged items, keys rasterized by them, [(key, obj)]
+    needing the scalar fallback, and keys culled as offscreen/empty."""
     from ..raster.brush_tiles import BrushTileBuild
     from ..raster.tile_raster import TileBuild
 
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("BENCH_DEBUG")
-    _t0 = _time.time()
-
-    def _tick(label):
-        nonlocal _t0
-        if _dbg:
-            now = _time.time()
-            print(f"#   build: {label}: {now - _t0:.1f}s", flush=True)
-            _t0 = now
-
-    W, H = ts.width, ts.height
-    tb = TileBuild(ts.nty, ts.ntx)
-    bb = BrushTileBuild(ts.nty, ts.ntx)
+    W, H = width, height
+    tb = TileBuild(nty, ntx)
+    bb = BrushTileBuild(nty, ntx)
     fallback = []
     handled = []
+    culled = []
     for key, o in keyed_objs:
         ext = _batch_extract(o)
         if ext is None:
@@ -335,7 +321,7 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
             # brush strokes otherwise pay the full scalar pipeline.
             xmin, xmax, ymin, ymax = R.bounds_of_basicshape(o)
             if xmax < -1 or xmin > W + 2 or ymax < -1 or ymin > H + 2:
-                ts.pieces[key] = []
+                culled.append(key)
                 continue
             bext = _brush_extract(o)
             if bext is not None and bb.add_stroke(key, *bext):
@@ -353,12 +339,49 @@ def build_tiled_scene(ts: TiledScene, keyed_objs) -> None:
                 or e[:, [1, 3]].max() // 32 < -2
                 or e[:, [1, 3]].min() // 32 > H + 2
             ):
-                ts.pieces[key] = []
+                culled.append(key)
                 continue
         if not tb.add_object(key, *ext):
             fallback.append((key, o))
         else:
             handled.append(key)
+    return tb, bb, handled, fallback, culled
+
+
+def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
+    """Batched scene ingestion into a TiledScene via the tile-normalized
+    rasterizer (raster/tile_raster): ONE jitted kernel per span-capacity
+    class rasterizes every supported object's pieces directly at atlas tile
+    granularity — a handful of XLA programs for the whole scene instead of
+    one per (box bucket, span capacity) group.  Plain-filled Gaussian brush
+    strokes batch through the brush-tile kernel (raster/brush_tiles); other
+    unsupported or too-complex objects fall back to the scalar pipeline +
+    shatter.
+
+    keyed_objs: [(key, R.Obj)] front-to-back or any order (piece lists are
+    per-key; compositing order comes from the caller's order list).
+    staged: a stage_tiled_scene result for these objects, if the host
+    sweep already ran (e.g. during backend bring-up).
+    """
+
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("BENCH_DEBUG")
+    _t0 = _time.time()
+
+    def _tick(label):
+        nonlocal _t0
+        if _dbg:
+            now = _time.time()
+            print(f"#   build: {label}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
+    if staged is None:
+        staged = stage_tiled_scene(ts.nty, ts.ntx, ts.width, ts.height, keyed_objs)
+    tb, bb, handled, fallback, culled = staged
+    for key in culled:
+        ts.pieces[key] = []
     _tick(f"host sweep+stage ({len(keyed_objs)} objects, {len(fallback)} fallback)")
     blocks, registry = tb.flush()
     _tick("tile flush (stack+upload+dispatch)")
@@ -551,6 +574,12 @@ def alpha_plane_of_object(o: R.Obj, width: int, height: int):
     return _paste_alpha(alpha, spr.box[1] - 1, spr.box[0] - 1, H=height, W=width)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _background_kernel(bgvec, *, h, w):
+    """(h, w) packed-u32 constant-colour plane from a (4,) int32 vector."""
+    return pack_rgba(jnp.broadcast_to(bgvec, (h, w, 4)).astype(jnp.int32))
+
+
 class DeviceView:
     """A window-sized packed framebuffer + tiled scene with dirty tracking."""
 
@@ -569,9 +598,9 @@ class DeviceView:
             self.ts._ensure(atlas_cap)
         bg = bg_colour if bg_colour is not None else C.white
         bgvec = jnp.asarray(C.rgba_of_colour(bg), jnp.int32)
-        self.background = pack_rgba(
-            jnp.broadcast_to(bgvec, (self.ph, self.pw, 4)).astype(jnp.int32)
-        )
+        # ONE jitted program (not ~10 eager ops — each eager op on a remote
+        # transport is a round trip plus a first-time tiny-program load).
+        self.background = _background_kernel(bgvec, h=self.ph, w=self.pw)
         self.frame = self.background
         self.order: List[object] = []  # idsets front-to-back
         self.sprites: Dict[object, object] = {}
@@ -599,18 +628,19 @@ class DeviceView:
     def _tiles_of(self, key) -> Set[int]:
         return {tile for tile, _ in self.ts.pieces.get(key, ())}
 
-    def set_scene(self, scene: List[R.Obj], tiled: bool = False):
+    def set_scene(self, scene: List[R.Obj], tiled: bool = False, staged=None):
         """(Re)build from a scene list (front-to-back), batch-rasterized.
 
         tiled=True uses the tile-normalized rasterizer (a handful of XLA
         programs for the whole scene — the fast cold start); it does not
         materialize per-object Sprites, so translate_object on such objects
         re-rasterizes via replace_object instead of shifting a cached
-        raster."""
+        raster.  staged: a stage_tiled_scene result for `scene`, if the
+        host sweep already ran (overlapped with backend bring-up)."""
         self.order = []
         if tiled:
             keyed = [(o.idset, o) for o in scene]
-            build_tiled_scene(self.ts, keyed)
+            build_tiled_scene(self.ts, keyed, staged=staged)
             for o in scene:
                 self.sprites[o.idset] = None
                 self.order.append(o.idset)
@@ -847,46 +877,62 @@ def prewarm_animated(view: "DeviceView", kernel, key, dx: int, dy: int) -> None:
     new_tiles = {t for t, _ in entries}
     interp = _tiled_interpret()
 
-    zatlas = jnp.zeros(ts.atlas().shape, jnp.uint32)
-    # Plain (unfused) loop: in-place shatter + dirty-tile recomposite.
-    zatlas = _shatter_into_kernel(zatlas, moved.rgba, oys, oxs, base)
-    plain = ts._dirty_args(
-        view.order, old_tiles | new_tiles, pieces_override={key: entries}
-    )
-    if plain is not None:
-        coords, spans, idxs, n_slots = plain
-        _render_dirty_tiles(
-            coords, spans, idxs, view.background,
-            jnp.zeros((view.ph, view.pw), jnp.uint32), zatlas,
-            n_slots=n_slots, interpret=interp,
+    # The three loop programs are independent; their first calls each block
+    # on trace + compile-cache load, so issue them from separate threads
+    # (loads on the remote transport overlap — measured 10.2 s serial ->
+    # 1.8 s threaded for comparable program sets).
+    import threading
+
+    def _plain():
+        # Plain (unfused) loop: in-place shatter + dirty-tile recomposite.
+        zatlas = jnp.zeros(ts.atlas().shape, jnp.uint32)
+        zatlas = _shatter_into_kernel(zatlas, moved.rgba, oys, oxs, base)
+        plain = ts._dirty_args(
+            view.order, old_tiles | new_tiles, pieces_override={key: entries}
+        )
+        if plain is not None:
+            coords, spans, idxs, n_slots = plain
+            _render_dirty_tiles(
+                coords, spans, idxs, view.background,
+                jnp.zeros((view.ph, view.pw), jnp.uint32), zatlas,
+                n_slots=n_slots, interpret=interp,
+            )
+
+    def _fused():
+        # Fused animated-with-filter frame (mirrors step_animated's staging
+        # with view.dirty empty — the steady state of the animated loop).
+        box = (1, 1, view.width, view.height)
+        dirty_box = region.box_union(spr.box, moved.box)
+        win = blur_window(dirty_box, box, kernel.radius, view.height, view.width)
+        if win is None:
+            return
+        _, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
+        probe = FilteredDisplay(view, None, kernel)
+        dirty_tiles = (
+            old_tiles | new_tiles | probe._window_tiles(oy, ox, ry0, rx0, h, w)
+        )
+        got2 = ts._dirty_args(view.order, dirty_tiles, pieces_override={key: entries})
+        if got2 is None:
+            return
+        coords, spans, idxs, n_slots = got2
+        _animated_blur_frame_kernel(
+            jnp.zeros(ts.atlas().shape, jnp.uint32),
+            jnp.zeros((view.ph, view.pw), jnp.uint32),
+            jnp.zeros((view.height, view.width, 4), jnp.int32),
+            moved.rgba, oys, oxs, base, coords, spans, idxs,
+            view.background,
+            jnp.zeros((view.height, view.width), jnp.int32),
+            oy, ox, ry0, rx0, h, w, d_box,
+            n_slots=n_slots, hb=hb, wb=wb,
+            weights=tuple(kernel.values), total=kernel.total,
+            interpret=interp,
         )
 
-    # Fused animated-with-filter frame (mirrors step_animated's staging
-    # with view.dirty empty — the steady state of the animated loop).
-    box = (1, 1, view.width, view.height)
-    dirty_box = region.box_union(spr.box, moved.box)
-    win = blur_window(dirty_box, box, kernel.radius, view.height, view.width)
-    if win is None:
-        return
-    _, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
-    probe = FilteredDisplay(view, None, kernel)
-    dirty_tiles = old_tiles | new_tiles | probe._window_tiles(oy, ox, ry0, rx0, h, w)
-    got2 = ts._dirty_args(view.order, dirty_tiles, pieces_override={key: entries})
-    if got2 is None:
-        return
-    coords, spans, idxs, n_slots = got2
-    _animated_blur_frame_kernel(
-        zatlas,
-        jnp.zeros((view.ph, view.pw), jnp.uint32),
-        jnp.zeros((view.height, view.width, 4), jnp.int32),
-        moved.rgba, oys, oxs, base, coords, spans, idxs,
-        view.background,
-        jnp.zeros((view.height, view.width), jnp.int32),
-        oy, ox, ry0, rx0, h, w, d_box,
-        n_slots=n_slots, hb=hb, wb=wb,
-        weights=tuple(kernel.values), total=kernel.total,
-        interpret=interp,
-    )
+    threads = [threading.Thread(target=f, daemon=True) for f in (_plain, _fused)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
 
 class FilteredDisplay:
