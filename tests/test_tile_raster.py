@@ -223,3 +223,27 @@ def test_combined_flush_matches_per_class():
             assert (
                 np.asarray(blocks_a[ba][sa]) == np.asarray(blocks_b[bb][sb])
             ).all()
+
+
+def test_staged_set_scene_matches_inline():
+    """set_scene(staged=stage_tiled_scene(...)) — the backend-bring-up
+    overlap path — must be identical to inline staging: same pieces, same
+    rendered frame."""
+    from coherence_tpu.scene.fastframe import DeviceView, stage_tiled_scene
+
+    objs = [
+        _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson, alpha=170),
+        _poly([(-20.0, -20.0), (600.0, -20.0), (600.0, 300.0), (-20.0, 300.0)], C.wheat),
+    ]
+    dv_a = DeviceView(W, H)
+    staged = stage_tiled_scene(
+        dv_a.ts.nty, dv_a.ts.ntx, dv_a.pw, dv_a.ph, [(o.idset, o) for o in objs]
+    )
+    dv_a.set_scene(objs, tiled=True, staged=staged)
+    dv_a.render(full=True)
+    dv_b = DeviceView(W, H)
+    dv_b.set_scene(objs, tiled=True)
+    dv_b.render(full=True)
+    for o in objs:
+        assert dv_a.ts.pieces[o.idset] == dv_b.ts.pieces[o.idset]
+    assert (dv_a.read() == dv_b.read()).all()
