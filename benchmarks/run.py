@@ -324,23 +324,8 @@ def config5():
     fps_filtered = timed(frame)
     fps_plain = timed(frame_plain)
 
-    # Zoom step: scale the whole scene 2x about the frame centre and
-    # re-rasterize + re-render (the reference transforms the scene and
-    # redraws, engine.ml:1015-1057).
-    zoom = [
-        tr.Translate(W / 2.0, H / 2.0),
-        tr.Scale((0.0, 0.0), 2.0, 2.0),
-        tr.Translate(-W / 2.0, -H / 2.0),
-    ]
-    zoomed = [R.transform_renderobject_many(zoom, o) for o in objs]
-    t0 = time.time()
-    view2 = DeviceView(W, H)
-    view2.set_scene(zoomed, tiled=True)
-    view2.render(full=True)
-    int(jnp.sum(view2.frame[::128, ::128] & 0xFF))
-    zoom_s = time.time() - t0
-
     # Full-frame 4K throughput (all tiles recomposite every frame).
+    # (Measured BEFORE the zoom steps below replace the view's scene.)
     starts, idxs = view.ts.build_lists(view.order)
     x = view.ts.render(view.background, starts, idxs)
     int(jnp.sum(x[::128, ::128] & 0xFF))
@@ -356,6 +341,39 @@ def config5():
     int(jnp.sum(x[::128, ::128] & 0xFF))
     full_fps = n / max(1e-9, time.time() - t0 - readback_x)
 
+    n_pieces = sum(len(v) for v in view.ts.pieces.values())
+
+    # Zoom steps: scale the whole scene 2x about the frame centre and
+    # re-rasterize + re-render IN PLACE (the reference transforms the
+    # scene and redraws, engine.ml:1015-1057; the engine's zoom tool
+    # mutates the live view, so reset_scene keeps the atlas allocation
+    # and the loaded programs).  First step may load zoom-specific batch
+    # programs; subsequent steps are the interactive steady state —
+    # report first and warm-median separately.
+    zoom_in = [
+        tr.Translate(W / 2.0, H / 2.0),
+        tr.Scale((0.0, 0.0), 2.0, 2.0),
+        tr.Translate(-W / 2.0, -H / 2.0),
+    ]
+    zoom_out = [
+        tr.Translate(W / 2.0, H / 2.0),
+        tr.Scale((0.0, 0.0), 0.5, 0.5),
+        tr.Translate(-W / 2.0, -H / 2.0),
+    ]
+    zoom_times = []
+    cur = objs
+    for rep in range(4):
+        tmat = zoom_in if rep % 2 == 0 else zoom_out
+        cur = [R.transform_renderobject_many(tmat, o) for o in cur]
+        t0 = time.time()
+        view.reset_scene(cur, tiled=True)
+        view.render(full=True)
+        int(jnp.sum(view.frame[::128, ::128] & 0xFF))
+        zoom_times.append(time.time() - t0)
+    zoom_first_s = zoom_times[0]
+    warm = sorted(zoom_times[1:])
+    zoom_s = warm[len(warm) // 2]
+
     emit(
         "interactive_4k_1000prims_fps",
         fps_filtered,
@@ -366,9 +384,10 @@ def config5():
             "fullframe_fps": round(full_fps, 1),
             "fullframe_mpix_per_s": round(W * H * full_fps / 1e6),
             "zoom_step_s": round(zoom_s, 2),
+            "zoom_first_step_s": round(zoom_first_s, 2),
             "build_s": round(build_s, 1),
             "objects": len(objs) + 1,
-            "pieces": sum(len(v) for v in view.ts.pieces.values()),
+            "pieces": n_pieces,
         },
     )
 

@@ -407,6 +407,20 @@ class TiledScene:
         # inserts change the length, so both changes are caught)
         self._order_cache: Optional[Tuple[object, int, Dict[object, int]]] = None
 
+    def reset(self) -> None:
+        """Clear the scene but KEEP the atlas buffer's capacity: the slots
+        re-zero in one device op (restoring the spare-capacity invariant)
+        and pieces/reservations/caches clear.  An in-place scene swap —
+        interactive zoom re-rasterizes the whole transformed scene
+        (engine.ml:1015-1057) — then reuses the allocation and every
+        loaded program (the shape keys are capacity-bucketed)."""
+        if self._data is not None:
+            self._data = jnp.zeros(self._data.shape, jnp.uint32)
+        self._n_pieces = 0
+        self.pieces = PieceMap()
+        self._reserved = {}
+        self._order_cache = None
+
     def _ensure(self, k: int) -> None:
         """Guarantee spare capacity for `k` more pieces beyond _n_pieces.
         New capacity is the next pow2 (amortized doubling); fresh slots are

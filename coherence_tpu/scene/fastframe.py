@@ -650,6 +650,18 @@ class DeviceView:
         for o, spr in zip(scene, sprites):
             self._install(o, spr, None)
 
+    def reset_scene(self, scene: List[R.Obj], tiled: bool = False, staged=None):
+        """Replace the WHOLE scene in place (interactive zoom/pan — the
+        reference transforms the scene and redraws, engine.ml:1015-1057):
+        unlike constructing a fresh DeviceView, this keeps the device
+        allocations (atlas capacity, background plane) and every loaded
+        program (shape keys are capacity-bucketed), so only the new
+        scene's sweep + flush + render are paid."""
+        self.ts.reset()
+        self.sprites = {}
+        self.dirty = set(range(self.ts.nty * self.ts.ntx))
+        self.set_scene(scene, tiled=tiled, staged=staged)
+
     def add_object(self, o: R.Obj, index: Optional[int] = None):
         self._install(o, full_sprite_of_object(o), index)
 

@@ -247,3 +247,34 @@ def test_staged_set_scene_matches_inline():
     for o in objs:
         assert dv_a.ts.pieces[o.idset] == dv_b.ts.pieces[o.idset]
     assert (dv_a.read() == dv_b.read()).all()
+
+
+def test_reset_scene_matches_fresh_view():
+    """reset_scene (the in-place zoom path) must render identically to a
+    fresh DeviceView of the new scene, while reusing the atlas buffer."""
+    from coherence_tpu.scene.fastframe import DeviceView
+
+    scene_a = [
+        _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson, alpha=170),
+        _poly([(-20.0, -20.0), (600.0, -20.0), (600.0, 300.0), (-20.0, 300.0)], C.wheat),
+    ]
+    # Scene B = A scaled 2x about the frame centre (a zoom step).
+    zoom = [
+        tr.Translate(W / 2.0, H / 2.0),
+        tr.Scale((0.0, 0.0), 2.0, 2.0),
+        tr.Translate(-W / 2.0, -H / 2.0),
+    ]
+    scene_b = [R.transform_renderobject_many(zoom, o) for o in scene_a]
+
+    dv = DeviceView(W, H)
+    dv.set_scene(scene_a, tiled=True)
+    dv.render(full=True)
+    cap_before = dv.ts.atlas().shape[0]
+    dv.reset_scene(scene_b, tiled=True)
+    dv.render(full=True)
+    assert dv.ts.atlas().shape[0] >= cap_before  # buffer reused/grown, not shrunk
+
+    fresh = DeviceView(W, H)
+    fresh.set_scene(scene_b, tiled=True)
+    fresh.render(full=True)
+    assert (dv.read() == fresh.read()).all()
