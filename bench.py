@@ -177,18 +177,27 @@ def build():
         _ff._unpack_crop_kernel(jnp.zeros((_ph, _pw), jnp.uint32), h=H, w=W)
 
     def _pre_full_render():
-        # With ATLAS_CAP preallocated, the full-render program's shape key
-        # is known before the scene exists, except the per-tile entry-list
-        # bucket — predicted as pow2(expected pieces); a wrong guess wastes
-        # one overlapped load and the real shape loads at render time.
-        from coherence_tpu.raster.tiled_scene import _render_tiles
+        # With ATLAS_CAP preallocated, the full-render programs' shape keys
+        # are known before the scene exists, except the entry-list bucket —
+        # predicted as pow2(expected pieces); a wrong guess wastes one
+        # overlapped load and the real shape loads at render time.  Full
+        # renders go through the run-contiguous pair (gather + row kernel).
+        from coherence_tpu.raster.tiled_scene import (
+            _RUN_CHUNK,
+            _gather_runs_kernel,
+            _render_tiles_runs,
+        )
 
         nty, ntx = _ph // _TH, _pw // _TW
-        _render_tiles(
-            _np.zeros(nty * ntx + 1, _np.int32),
-            _np.zeros(ATLAS_CAP, _np.int32),
-            jnp.zeros((_ph, _pw), jnp.uint32),
+        runs = _gather_runs_kernel(
             jnp.zeros((ATLAS_CAP, _TH, _TW), jnp.uint32),
+            _np.zeros(ATLAS_CAP, _np.int32),
+        )
+        assert runs.shape[0] == ATLAS_CAP + _RUN_CHUNK - 1
+        _render_tiles_runs(
+            _np.zeros(nty * ntx + 1, _np.int32),
+            jnp.zeros((_ph, _pw), jnp.uint32),
+            runs,
             nty=nty,
             ntx=ntx,
             interpret=False,

@@ -206,6 +206,218 @@ def _render_tiles(starts, idxs, background, atlas, *, nty: int, ntx: int,
     )(starts, idxs, background, atlas)
 
 
+# Layers fetched per DMA in the run-contiguous full-frame kernel: the
+# per-tile piece list becomes ONE contiguous range of a tile-major gather,
+# so each DMA moves _RUN_CHUNK pieces (128 KB) instead of one (32 KB) —
+# at the typical visible depth of ~2, one DMA + one loop trip per tile
+# replaces two of each (per-piece DMA issue + while-loop scalar overhead
+# is what holds the full-frame recomposite under the HBM roofline).
+_RUN_CHUNK = 4
+# First-chunk DMA lookahead depth of the row kernel (tiles in flight).
+_RUN_AHEAD = 3
+
+
+@jax.jit
+def _gather_runs_kernel(atlas, idxs):
+    """Tile-major piece runs: runs[k] = atlas[idxs[k]], padded with
+    _RUN_CHUNK - 1 zero pieces so the kernel's fixed-size chunk DMAs may
+    overfetch past the end of the buffer safely."""
+    gathered = atlas[idxs]
+    pad = jnp.zeros((_RUN_CHUNK - 1, TILE_H, TILE_W), jnp.uint32)
+    return jnp.concatenate([gathered, pad])
+
+
+def _kernel_runs(starts_ref, bg_ref, runs_hbm, out_ref, scratch, sems):
+    """Full-frame composite over tile-major contiguous piece runs: tile t's
+    front-to-back pieces are runs[starts[t]:starts[t+1]], fetched in
+    _RUN_CHUNK-piece DMAs.  Layers at k >= hi inside the last chunk are
+    masked to zero (`over` identity) — the gather's padding makes the
+    overfetch safe, the mask makes it bit-neutral.  Early termination
+    checks opacity between chunks (render.ml:1322 at tile granularity,
+    chunked).
+
+    Pipelining is CROSS-TILE: tile t issues the DMA for tile t+1's FIRST
+    chunk before compositing its own (TPU grid steps run in order and
+    scratch/semaphores persist across them), so the dominant per-tile cost
+    — the first chunk's HBM latency — overlaps the previous tile's
+    compute.  Slots 0/1 alternate by tile parity for those prefetches;
+    slot 2 serves the rare deeper-than-_RUN_CHUNK extra chunks serially."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    lo = starts_ref[t]
+    hi = starts_ref[t + 1]
+    C = _RUN_CHUNK
+
+    def chunk_copy(base, slot):
+        return pltpu.make_async_copy(
+            runs_hbm.at[pl.ds(base, C)], scratch.at[slot], sems.at[slot]
+        )
+
+    # The first tile primes its own first chunk; every tile prefetches the
+    # NEXT tile's first chunk (consumed by that tile's first wait).
+    @pl.when(jnp.logical_and(t == 0, lo < hi))
+    def _():
+        chunk_copy(lo, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        nlo = starts_ref[t + 1]
+        nhi = starts_ref[t + 2]
+
+        @pl.when(nlo < nhi)
+        def _():
+            chunk_copy(nlo, jax.lax.rem(t + 1, 2)).start()
+
+    def cond(state):
+        base, acc, open_any = state
+        return jnp.logical_and(base < hi, open_any)
+
+    def body(state):
+        base, acc, _ = state
+        is_first = base == lo
+        slot = jnp.where(is_first, jax.lax.rem(t, 2), 2)
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            chunk_copy(base, 2).start()
+
+        chunk_copy(base, slot).wait()
+        chunk = scratch[slot]
+        for j in range(C):
+            layer = jnp.where(base + j < hi, chunk[j], jnp.uint32(0))
+            open_mask = (acc >> 24) != 255
+            acc = jnp.where(open_mask, _over_packed(acc, layer), acc)
+        return base + C, acc, jnp.any((acc >> 24) != 255)
+
+    acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
+    _, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
+    # No drain needed: extra chunks are issued and waited in the same
+    # iteration, and each cross-tile prefetch is consumed unconditionally
+    # by its owner's first iteration (open_any starts True, so a non-empty
+    # tile always processes its first chunk before it can early-exit).
+
+    out_ref[:] = _over_packed(acc, bg_ref[:])
+
+
+def _kernel_runs_row(starts_ref, bg_ref, runs_hbm, out_ref, scratch, sems, *, ntx):
+    """_kernel_runs amortized over a whole TILE ROW per grid step: the
+    ~1 us/grid-step orchestration cost (block fetch/flush bookkeeping on
+    the scalar core) dominated the per-tile kernel at typical depth ~2, so
+    each step now composites ntx tiles (statically unrolled), keeping the
+    same cross-tile first-chunk DMA prefetch — tile t's first chunk is
+    issued while tile t-1 composites, across row boundaries included."""
+    ty = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    C = _RUN_CHUNK
+
+    def chunk_copy(base, slot):
+        return pltpu.make_async_copy(
+            runs_hbm.at[pl.ds(base, C)], scratch.at[slot], sems.at[slot]
+        )
+
+    # Row 0 primes the first _RUN_AHEAD tiles; every other row's leading
+    # tiles were prefetched by the previous row's trailing iterations.
+    n_tiles = n_rows * ntx
+    for a in range(_RUN_AHEAD):
+        @pl.when(jnp.logical_and(ty == 0, a < n_tiles))
+        def _(a=a):
+            @pl.when(starts_ref[a] < starts_ref[a + 1])
+            def _():
+                chunk_copy(starts_ref[a], a % _RUN_AHEAD).start()
+
+    for tx in range(ntx):  # static unroll
+        t = ty * ntx + tx
+        lo = starts_ref[t]
+        hi = starts_ref[t + 1]
+        slot_self = jax.lax.rem(t, _RUN_AHEAD)
+
+        def cond(state):
+            base, acc, open_any = state
+            return jnp.logical_and(base < hi, open_any)
+
+        def body(state, lo=lo, hi=hi, slot_self=slot_self):
+            base, acc, _ = state
+            is_first = base == lo
+            slot = jnp.where(is_first, slot_self, _RUN_AHEAD)
+
+            @pl.when(jnp.logical_not(is_first))
+            def _():
+                chunk_copy(base, _RUN_AHEAD).start()
+
+            chunk_copy(base, slot).wait()
+            chunk = scratch[slot]
+
+            # Composite exactly the chunk's VALID layer count (a scalar
+            # branch), not C masked layers — at typical depth ~2 the two
+            # masked no-op composites were half the kernel's VPU work.
+            def upto(k):
+                def f(a):
+                    for j in range(k):
+                        open_mask = (a >> 24) != 255
+                        a = jnp.where(open_mask, _over_packed(a, chunk[j]), a)
+                    return a
+
+                return f
+
+            v = jnp.clip(hi - base, 0, C)
+            acc = jax.lax.switch(v, [upto(k) for k in range(C + 1)], acc)
+            return base + C, acc, jnp.any((acc >> 24) != 255)
+
+        acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
+        _, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
+
+        # Prefetch the first chunk of the tile _RUN_AHEAD ahead — AFTER
+        # this tile consumed its own chunk, because slot (t + _RUN_AHEAD)
+        # mod _RUN_AHEAD IS slot t: issuing earlier would overwrite the
+        # buffer this tile is about to read.  In-flight tiles are then
+        # t+1 .. t+_RUN_AHEAD (distinct slots), and each DMA has
+        # _RUN_AHEAD composites of time to complete before its wait.
+        @pl.when(t + _RUN_AHEAD < n_tiles)
+        def _():
+            nlo = starts_ref[t + _RUN_AHEAD]
+            nhi = starts_ref[t + _RUN_AHEAD + 1]
+
+            @pl.when(nlo < nhi)
+            def _():
+                chunk_copy(nlo, jax.lax.rem(t + _RUN_AHEAD, _RUN_AHEAD)).start()
+
+        out_ref[:, tx * TILE_W : (tx + 1) * TILE_W] = _over_packed(
+            acc, bg_ref[:, tx * TILE_W : (tx + 1) * TILE_W]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("nty", "ntx", "interpret"))
+def _render_tiles_runs(starts, background, runs, *, nty: int, ntx: int,
+                       interpret: bool = False):
+    grid = (nty,)
+    return pl.pallas_call(
+        functools.partial(_kernel_runs_row, ntx=ntx),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_H, ntx * TILE_W),
+                    lambda ty, starts: (ty, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_H, ntx * TILE_W),
+                lambda ty, starts: (ty, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_RUN_AHEAD + 1, _RUN_CHUNK, TILE_H, TILE_W), jnp.uint32),
+                pltpu.SemaphoreType.DMA((_RUN_AHEAD + 1,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(background.shape, jnp.uint32),
+        interpret=interpret,
+    )(starts, background, runs)
+
+
 def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, frame_ref, atlas_hbm, out_ref, scratch, sems):
     """Like _kernel but the grid runs over a compacted dirty-tile list; the
     tile position comes from scalar-prefetched coords (block index maps read
@@ -637,6 +849,22 @@ class TiledScene:
         """Composite all listed pieces over `background` ((H, W) packed u32)."""
         return _render_tiles(
             starts, idxs, background, self.atlas(), nty=self.nty, ntx=self.ntx,
+            interpret=_default_interpret(),
+        )
+
+    def render_runs(self, background, starts, idxs) -> jnp.ndarray:
+        """Full-frame composite via the run-contiguous kernel: gather the
+        listed pieces tile-major ONCE (one fused device op), then fetch
+        each tile's whole front-to-back list in _RUN_CHUNK-piece DMAs.
+        Pixel-identical to `render` (same fold, same pieces); faster for
+        full frames because per-piece DMA issue + loop overhead is the
+        bottleneck at typical visible depth ~2.  The gather re-reads the
+        listed pieces (~depth x frame bytes), so the dirty path — whose
+        piece lists change every frame anyway — keeps the in-place
+        per-piece kernel."""
+        runs = _gather_runs_kernel(self.atlas(), idxs)
+        return _render_tiles_runs(
+            starts, background, runs, nty=self.nty, ntx=self.ntx,
             interpret=_default_interpret(),
         )
 

@@ -749,7 +749,9 @@ class DeviceView:
                 )
             else:
                 starts, idxs = self.ts.build_lists(self.order)
-                self.frame = self.ts.render(self.background, starts, idxs)
+                # Run-contiguous kernel: ~1.7x the per-piece kernel on full
+                # frames (see render_runs docstring).
+                self.frame = self.ts.render_runs(self.background, starts, idxs)
         else:
             if not self.dirty:
                 return

@@ -543,3 +543,43 @@ def test_sharded_step_animated_crosses_bands_under_blur():
     # Per-device atlas stays a fraction of the replicated one.
     per_dev = v2.ts._banded.data.size // 8
     assert per_dev < v2.ts.atlas().size, (per_dev, v2.ts.atlas().size)
+
+
+def test_render_runs_matches_render():
+    """The run-contiguous full-frame kernel must be pixel-identical to the
+    per-piece kernel, including early-termination (opaque stacks) and
+    masked tail layers inside the last chunk."""
+    import coherence_tpu.colour as C
+    from coherence_tpu.raster import fills as rfills
+    from coherence_tpu.raster.tiled_scene import TiledScene
+    from coherence_tpu.scene import render as R
+    from coherence_tpu.scene.fastframe import build_tiled_scene
+    from coherence_tpu.geometry import path as gpath
+    from coherence_tpu.raster.pallas_compositor import pack_rgba
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    W, H = 512, 256
+    rng = np.random.default_rng(11)
+    objs = []
+    for k in range(12):
+        n = int(rng.integers(3, 6))
+        pts = [
+            (float(rng.uniform(-40, W + 40)), float(rng.uniform(-40, H + 40)))
+            for _ in range(n)
+        ]
+        colour = C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255)
+        alpha = 255 if k % 2 else int(rng.integers(60, 256))  # opaque + translucent
+        fill = rfills.plain(C.dissolve(colour, delta=alpha) if alpha != 255 else colour)
+        path = gpath.path_of_pointlist(gpath.NONZERO, pts)
+        objs.append(R.Obj(R.ident.new_ids(), R.Basic(fill, R.PathShape(path)), (), R.OVER))
+
+    ts = TiledScene(W, H)
+    build_tiled_scene(ts, [(i, o) for i, o in enumerate(objs)])
+    order = list(range(len(objs)))
+    starts, idxs = ts.build_lists(order)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    a = np.asarray(ts.render(bg, starts, idxs))
+    b = np.asarray(ts.render_runs(bg, starts, idxs))
+    assert (a == b).all()
