@@ -227,80 +227,14 @@ def _gather_runs_kernel(atlas, idxs):
     return jnp.concatenate([gathered, pad])
 
 
-def _kernel_runs(starts_ref, bg_ref, runs_hbm, out_ref, scratch, sems):
-    """Full-frame composite over tile-major contiguous piece runs: tile t's
-    front-to-back pieces are runs[starts[t]:starts[t+1]], fetched in
-    _RUN_CHUNK-piece DMAs.  Layers at k >= hi inside the last chunk are
-    masked to zero (`over` identity) — the gather's padding makes the
-    overfetch safe, the mask makes it bit-neutral.  Early termination
-    checks opacity between chunks (render.ml:1322 at tile granularity,
-    chunked).
-
-    Pipelining is CROSS-TILE: tile t issues the DMA for tile t+1's FIRST
-    chunk before compositing its own (TPU grid steps run in order and
-    scratch/semaphores persist across them), so the dominant per-tile cost
-    — the first chunk's HBM latency — overlaps the previous tile's
-    compute.  Slots 0/1 alternate by tile parity for those prefetches;
-    slot 2 serves the rare deeper-than-_RUN_CHUNK extra chunks serially."""
-    t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
-    lo = starts_ref[t]
-    hi = starts_ref[t + 1]
-    C = _RUN_CHUNK
-
-    def chunk_copy(base, slot):
-        return pltpu.make_async_copy(
-            runs_hbm.at[pl.ds(base, C)], scratch.at[slot], sems.at[slot]
-        )
-
-    # The first tile primes its own first chunk; every tile prefetches the
-    # NEXT tile's first chunk (consumed by that tile's first wait).
-    @pl.when(jnp.logical_and(t == 0, lo < hi))
-    def _():
-        chunk_copy(lo, 0).start()
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        nlo = starts_ref[t + 1]
-        nhi = starts_ref[t + 2]
-
-        @pl.when(nlo < nhi)
-        def _():
-            chunk_copy(nlo, jax.lax.rem(t + 1, 2)).start()
-
-    def cond(state):
-        base, acc, open_any = state
-        return jnp.logical_and(base < hi, open_any)
-
-    def body(state):
-        base, acc, _ = state
-        is_first = base == lo
-        slot = jnp.where(is_first, jax.lax.rem(t, 2), 2)
-
-        @pl.when(jnp.logical_not(is_first))
-        def _():
-            chunk_copy(base, 2).start()
-
-        chunk_copy(base, slot).wait()
-        chunk = scratch[slot]
-        for j in range(C):
-            layer = jnp.where(base + j < hi, chunk[j], jnp.uint32(0))
-            open_mask = (acc >> 24) != 255
-            acc = jnp.where(open_mask, _over_packed(acc, layer), acc)
-        return base + C, acc, jnp.any((acc >> 24) != 255)
-
-    acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
-    _, acc, _ = jax.lax.while_loop(cond, body, (lo, acc0, jnp.bool_(True)))
-    # No drain needed: extra chunks are issued and waited in the same
-    # iteration, and each cross-tile prefetch is consumed unconditionally
-    # by its owner's first iteration (open_any starts True, so a non-empty
-    # tile always processes its first chunk before it can early-exit).
-
-    out_ref[:] = _over_packed(acc, bg_ref[:])
-
-
 def _kernel_runs_row(starts_ref, bg_ref, runs_hbm, out_ref, scratch, sems, *, ntx):
-    """_kernel_runs amortized over a whole TILE ROW per grid step: the
+    """Full-frame composite over tile-major contiguous piece runs: tile
+    t's front-to-back pieces are runs[starts[t]:starts[t+1]], fetched in
+    _RUN_CHUNK-piece chunk DMAs; a scalar switch composites exactly the
+    chunk's valid layer count, and early termination between chunks keeps
+    render.ml:1322's update-shape semantics at tile granularity.
+
+    Each grid step processes a whole TILE ROW: the
     ~1 us/grid-step orchestration cost (block fetch/flush bookkeeping on
     the scalar core) dominated the per-tile kernel at typical depth ~2, so
     each step now composites ntx tiles (statically unrolled), keeping the
