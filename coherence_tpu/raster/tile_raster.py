@@ -27,6 +27,8 @@ same table sums, same integer dissolve (tests/test_tile_raster.py).
 from __future__ import annotations
 
 import functools
+import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -343,6 +345,62 @@ def _pairs_stack(spans, nb: int, k: int) -> np.ndarray:
     return out
 
 
+# --- sweep cache ----------------------------------------------------------
+# Content-addressed memo of TileBuild._sweep_stage results: (edge bytes,
+# windings, grid) -> staged per-tile spans.  Byte-capped LRU; exact-bytes
+# keys mean a hit is bit-identical by construction (no invalidation).
+
+_SWEEP_CACHE: "OrderedDict" = OrderedDict()
+_SWEEP_CACHE_LOCK = threading.Lock()
+_SWEEP_CACHE_MAX_BYTES = 256 << 20
+_SWEEP_CACHE_BYTES = [0]
+sweep_cache_stats = {"hits": 0, "misses": 0}
+
+
+def _sweep_entry_bytes(ck, val) -> int:
+    n = len(ck[0]) + 64
+    if val is not False:
+        for part in val:
+            for item in part:
+                for x in item:
+                    if isinstance(x, tuple):
+                        n += sum(a.nbytes for a in x)
+    return n
+
+
+def _sweep_cache_get(ck):
+    with _SWEEP_CACHE_LOCK:
+        got = _SWEEP_CACHE.get(ck)
+        if got is None:
+            sweep_cache_stats["misses"] += 1
+            return None
+        sweep_cache_stats["hits"] += 1
+        _SWEEP_CACHE.move_to_end(ck)
+        return got[0]
+
+
+def _sweep_cache_put(ck, val) -> None:
+    nb = _sweep_entry_bytes(ck, val)
+    if nb > _SWEEP_CACHE_MAX_BYTES // 8:
+        return  # one huge object must not evict the whole working set
+    with _SWEEP_CACHE_LOCK:
+        old = _SWEEP_CACHE.pop(ck, None)
+        if old is not None:
+            _SWEEP_CACHE_BYTES[0] -= old[1]
+        _SWEEP_CACHE[ck] = (val, nb)
+        _SWEEP_CACHE_BYTES[0] += nb
+        while _SWEEP_CACHE_BYTES[0] > _SWEEP_CACHE_MAX_BYTES and _SWEEP_CACHE:
+            _, (_, evicted) = _SWEEP_CACHE.popitem(last=False)
+            _SWEEP_CACHE_BYTES[0] -= evicted
+
+
+def sweep_cache_clear() -> None:
+    with _SWEEP_CACHE_LOCK:
+        _SWEEP_CACHE.clear()
+        _SWEEP_CACHE_BYTES[0] = 0
+        sweep_cache_stats["hits"] = sweep_cache_stats["misses"] = 0
+
+
 class TileBuild:
     """Accumulated batched work items, flushed with one kernel per class."""
 
@@ -358,11 +416,40 @@ class TileBuild:
     def add_object(self, key, edges, shape_winding, aa_winding, fill4) -> bool:
         """Sweep + assign one object's spans to tile work items.  Returns
         False if the object exceeds every capacity class (caller falls back
-        to the scalar path)."""
+        to the scalar path).
+
+        The sweep result is memoized CONTENT-ADDRESSED (edge bytes +
+        windings + grid) in a byte-capped LRU: the engine's zoom tool
+        steps between 2x scales (engine.ml:1083-1090), so zooming back to
+        a previously seen scale re-stages every object from the cache
+        instead of re-sweeping — frame-to-frame coherence (cache.ml's
+        thesis) applied to the host geometry stage.  Keys are exact bytes,
+        so a hit is bit-identical by construction and needs no
+        invalidation."""
+        e64 = np.asarray(edges, dtype=np.int64)
+        ck = (e64.tobytes(), shape_winding, aa_winding, self.nty, self.ntx)
+        got = _sweep_cache_get(ck)
+        if got is None:
+            got = self._sweep_stage(e64, shape_winding, aa_winding)
+            _sweep_cache_put(ck, got)
+        if got is False:
+            return False
+        staged_edge, staged_interior = got
+        for cls, tile, cov1, cross1, aa1 in staged_edge:
+            self.edge_items.setdefault(cls, []).append(
+                (key, tile, cov1, cross1, aa1, fill4)
+            )
+        for tile, cross1 in staged_interior:
+            self.interior_items.append((key, tile, cross1, fill4))
+        return True
+
+    def _sweep_stage(self, e64, shape_winding, aa_winding):
+        """The key-independent sweep + tile assignment: ([(cls, tile, cov,
+        cross, aa)], [(tile, cross)]), or False when the object exceeds
+        every capacity class.  Pure function of (e64, windings, grid) —
+        the unit the sweep cache stores."""
         from . import scanline
         from .scanline import _HALF
-
-        e64 = np.asarray(edges, dtype=np.int64)
         # The grid IS the viewport: sweep only rows that can land in it
         # (pixel rows 1..nty*TILE_H; span work for a zoomed-in scene's
         # offscreen extent is skipped on the host).
@@ -370,10 +457,10 @@ class TileBuild:
             e64, shape_winding, _HALF, rows_clip=(1, self.nty * TILE_H)
         )
         if spans is None:
-            return True  # empty object: no pieces
+            return [], []  # empty object: no pieces
         rows, cov_s, cov_e, x_rows, x_s, x_e = spans
         if rows.size == 0 and x_rows.size == 0:
-            return True
+            return [], []
 
         cov_tile, cov_r, cov_ss, cov_ee = _expand_1x(
             rows, cov_s, cov_e, self.nty, self.ntx
@@ -418,7 +505,7 @@ class TileBuild:
             if cov1 is None:
                 if 2 * cross1[0].shape[0] > _K_INTERIOR:
                     return False
-                staged_interior.append((key, t, cross1))
+                staged_interior.append((t, cross1))
                 continue
             aa1 = aag.get(t, (np.zeros(0, np.int64),) * 3)
             need1 = 2 * max(cov1[0].shape[0], cross1[0].shape[0])
@@ -430,12 +517,8 @@ class TileBuild:
                     break
             if cls is None:
                 return False
-            staged_edge.append((cls, (key, t, cov1, cross1, aa1)))
-        for cls, item in staged_edge:
-            self.edge_items.setdefault(cls, []).append(item + (fill4,))
-        for item in staged_interior:
-            self.interior_items.append(item + (fill4,))
-        return True
+            staged_edge.append((cls, t, cov1, cross1, aa1))
+        return staged_edge, staged_interior
 
     def flush(self, combined: Optional[bool] = None):
         """Run the batched kernels.  Returns (blocks, registry): blocks is a

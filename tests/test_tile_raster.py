@@ -278,3 +278,32 @@ def test_reset_scene_matches_fresh_view():
     fresh.set_scene(scene_b, tiled=True)
     fresh.render(full=True)
     assert (dv.read() == fresh.read()).all()
+
+
+def test_sweep_cache_hit_is_identical():
+    """Re-staging the same geometry must hit the content-addressed sweep
+    cache and produce identical work items (the zoom-revisit coherence
+    path)."""
+    from coherence_tpu.raster import tile_raster as T
+
+    o = _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson, alpha=170)
+    from coherence_tpu.scene.fastframe import _batch_extract
+
+    ext = _batch_extract(o)
+    T.sweep_cache_clear()
+    b1 = T.TileBuild(nty=4, ntx=4)
+    assert b1.add_object("a", *ext)
+    assert T.sweep_cache_stats == {"hits": 0, "misses": 1}
+    b2 = T.TileBuild(nty=4, ntx=4)
+    assert b2.add_object("b", *ext)
+    assert T.sweep_cache_stats == {"hits": 1, "misses": 1}
+    for cls in b1.edge_items:
+        for ia, ib in zip(b1.edge_items[cls], b2.edge_items[cls]):
+            assert ia[1] == ib[1]  # same tile
+            for fa, fb in zip(ia[2:5], ib[2:5]):
+                for xa, xb in zip(fa, fb):
+                    assert (xa == xb).all()
+    # A different grid is a different key (rows_clip changes the sweep).
+    b3 = T.TileBuild(nty=2, ntx=4)
+    b3.add_object("c", *ext)
+    assert T.sweep_cache_stats["misses"] == 2
