@@ -58,6 +58,31 @@ F_BOX = (40, 320, 1680, 1060)
 ATLAS_CAP = 1024
 BACKEND_INIT_S = 0.0
 
+_FORCE = []
+
+
+def _force_jit():
+    if not _FORCE:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def k(rgba, frame):
+            a = jnp.sum(rgba[::64, ::64, 3]).astype(jnp.int32)
+            b = jnp.sum((frame[::64, ::64] & 0xFF).astype(jnp.int32))
+            return a + b
+
+        _FORCE.append(k)
+    return _FORCE[0]
+
+
+def _force_kernel(rgba, frame):
+    """ONE jitted program for the forced-readback sync (block_until_ready
+    does not block on the axon transport): a scalar that data-depends on
+    the display plane and the content frame.  Jitted so the warm-up pays a
+    single prewarmable program load instead of ~5 eager-op loads."""
+    return _force_jit()(rgba, frame)
+
 
 def _geometry_prep(side):
     """ALL pure-host geometry work: transform the lion, create the blob and
@@ -124,6 +149,26 @@ def _geometry_prep(side):
     )
 
 
+def _pretrace():
+    """Trace every big fixed-shape program with ShapeDtypeStructs — pure
+    Python, touches NO device, and fully populates jit's jaxpr cache (the
+    later real calls skip straight to lower/load).  Runs on a thread DURING
+    the one-time backend init: the ~8 s of GIL-serialized trace work that
+    used to compete with the post-init build rides the 40-300 s tunnel
+    handshake instead."""
+    import jax
+    import numpy as _np
+
+    from coherence_tpu.raster.pallas_compositor import TILE_H as _TH, TILE_W as _TW
+    from coherence_tpu.scene.fastframe import pretrace_view_programs
+
+    pretrace_view_programs(W, H, ATLAS_CAP, blur_radius=BLUR_RADIUS)
+    ph = ((H + _TH - 1) // _TH) * _TH
+    pw = ((W + _TW - 1) // _TW) * _TW
+    S = jax.ShapeDtypeStruct
+    _force_jit().trace(S((H, W, 4), _np.int32), S((ph, pw), _np.uint32))
+
+
 def build():
     import threading
     import time as _time
@@ -131,6 +176,8 @@ def build():
     side = {}
     geom_th = threading.Thread(target=_geometry_prep, args=(side,), daemon=True)
     geom_th.start()
+    pretrace_th = threading.Thread(target=_pretrace, daemon=True)
+    pretrace_th.start()
 
     import jax.numpy as jnp
 
@@ -173,33 +220,42 @@ def build():
             total=_total,
         )
 
+    def _pre_misc():
+        # Tiny fixed-shape programs the loop/readback paths touch: the
+        # force-readback reduction (its first call otherwise pays a load
+        # right inside the warm section) and the background plane.
+        _force_kernel(
+            jnp.zeros((H, W, 4), jnp.int32), jnp.zeros((_ph, _pw), jnp.uint32)
+        )
+        import coherence_tpu.colour as _C
+
+        _ff._background_kernel(
+            jnp.asarray(_C.rgba_of_colour(_C.white), jnp.int32), h=_ph, w=_pw
+        )
+
     def _pre_unpack():
         _ff._unpack_crop_kernel(jnp.zeros((_ph, _pw), jnp.uint32), h=H, w=W)
 
-    def _pre_full_render():
-        # With ATLAS_CAP preallocated, the full-render programs' shape keys
-        # are known before the scene exists, except the entry-list bucket —
-        # predicted as pow2(expected pieces); a wrong guess wastes one
-        # overlapped load and the real shape loads at render time.  Full
-        # renders go through the run-contiguous pair (gather + row kernel).
-        from coherence_tpu.raster.tiled_scene import (
-            _RUN_CHUNK,
-            _gather_runs_kernel,
-            _render_tiles_runs,
-        )
+    # The initial content render (full_refresh: every tile dirty) uses the
+    # dirty kernel at predictable buckets — a SMALL program whose load is a
+    # fraction of the run-contiguous full-frame pair's (program-load
+    # latency scales with program size on this transport; the big
+    # throughput kernel is not on the cold path any more).
+    def _pre_initial_render():
+        from coherence_tpu.raster.tiled_scene import _render_dirty_tiles
 
         nty, ntx = _ph // _TH, _pw // _TW
-        runs = _gather_runs_kernel(
-            jnp.zeros((ATLAS_CAP, _TH, _TW), jnp.uint32),
+        ns = 8
+        while ns < nty * ntx:
+            ns *= 2
+        _render_dirty_tiles(
+            _np.zeros((ns, 2), _np.int32),
+            _np.zeros((ns, 2), _np.int32),
             _np.zeros(ATLAS_CAP, _np.int32),
-        )
-        assert runs.shape[0] == ATLAS_CAP + _RUN_CHUNK - 1
-        _render_tiles_runs(
-            _np.zeros(nty * ntx + 1, _np.int32),
             jnp.zeros((_ph, _pw), jnp.uint32),
-            runs,
-            nty=nty,
-            ntx=ntx,
+            jnp.zeros((_ph, _pw), jnp.uint32),
+            jnp.zeros((ATLAS_CAP, _TH, _TW), jnp.uint32),
+            n_slots=ns,
             interpret=False,
         )
 
@@ -218,9 +274,17 @@ def build():
 
         return run
 
+    # _pre_full_render first: the full content render is the last serial
+    # build step, so its programs' lowering+load should start earliest.
     prewarm_threads = [
         threading.Thread(target=_timed(fn), daemon=True)
-        for fn in (tile_raster.warmup, _pre_blur_rect, _pre_unpack, _pre_full_render)
+        for fn in (
+            _pre_initial_render,
+            tile_raster.warmup,
+            _pre_blur_rect,
+            _pre_unpack,
+            _pre_misc,
+        )
     ]
     for th in prewarm_threads:
         th.start()
@@ -298,16 +362,15 @@ def build():
     )
     pw_th.start()
 
-    view.render(full=True)
-    _tick("full content render")
-
     alpha_th.join()
     f_alpha = side["f_alpha"]
     _tick("alpha_plane (joined side thread)")
 
+    # full_refresh renders the content (every tile is dirty after
+    # set_scene) through the dirty kernel and blur-blends the display.
     disp = FilteredDisplay(view, f_alpha, kernel)
     disp.full_refresh()
-    _tick("initial filtered frame")
+    _tick("initial content render + filtered frame")
     pw_th.join()
     _tick("prewarm joined (fused + plain loop programs)")
     return view, disp, blob_key, kernel, f_alpha
@@ -323,9 +386,7 @@ def main():
     def force_done():
         # block_until_ready does not actually block on the axon transport;
         # a scalar readback of a value that depends on every frame does.
-        return int(jnp.sum(disp.rgba[::64, ::64, 3])) + int(
-            jnp.sum(view.frame[::64, ::64] & 0xFF)
-        )
+        return int(_force_kernel(disp.rgba, view.frame))
 
     def frame(k):
         dxy = (7, 3) if (k // 200) % 2 == 0 else (-7, -3)
@@ -367,12 +428,19 @@ def main():
         results = []
         for _rep in range(reps):
             dirty_pix = 0
-            t0 = time.time()
+            t0, c0 = time.time(), time.thread_time()
             for k in range(n_frames):
                 d = fn(k)
                 dirty_pix += (d[2] - d[0] + 1) * (d[3] - d[1] + 1)
+            cpu_ms = (time.thread_time() - c0) / n_frames * 1e3
             force_done()
             dt = max(1e-9, time.time() - t0 - readback_s)
+            if os.environ.get("BENCH_DEBUG"):
+                print(
+                    f"# loop {fn.__name__}: {n_frames / dt:.0f} fps, host cpu "
+                    f"{cpu_ms:.2f} ms/frame of {dt / n_frames * 1e3:.2f} ms/frame",
+                    flush=True,
+                )
             results.append((n_frames / dt, dirty_pix / dt / 1e6))
         results.sort()
         return results[len(results) // 2]

@@ -39,6 +39,73 @@ from ..raster.tiled_scene import TiledScene, _default_interpret as _tiled_interp
 from . import render as R
 
 
+def pretrace_view_programs(width: int, height: int, atlas_cap: int,
+                           blur_radius: Optional[int] = None) -> None:
+    """Pre-trace every fixed-shape program a DeviceView(atlas_cap=...) +
+    FilteredDisplay session dispatches, using ShapeDtypeStructs only — pure
+    Python, touches NO device, and fully populates jit's jaxpr cache (the
+    later real calls skip straight to lower/load).  On the remote TPU
+    transport the first device op of a process pays a 40-300 s one-time
+    backend init; calling this from a thread during that window removes
+    ~8 s of GIL-serialized tracing from the post-init build critical path.
+
+    Covers: background plane, unpack-crop, the run-contiguous full render
+    pair, the combined tile-raster build, and (when blur_radius is given)
+    the full-frame blur blend."""
+    from ..raster import framepath as _rfp
+    from ..raster import tile_raster as _tr
+    from ..raster import tiled_scene as _tsm
+
+    S = jax.ShapeDtypeStruct
+    pw = ((width + TILE_W - 1) // TILE_W) * TILE_W
+    ph = ((height + TILE_H - 1) // TILE_H) * TILE_H
+    nty, ntx = ph // TILE_H, pw // TILE_W
+    _background_kernel.trace(S((4,), np.int32), h=ph, w=pw)
+    _unpack_crop_kernel.trace(S((ph, pw), np.uint32), h=height, w=width)
+    _tr._combined_build_kernel.trace(
+        S((_tr._FLAT_LEN,), np.int16), S((_tr._FILL_LEN,), np.int32)
+    )
+    _tsm._gather_runs_kernel.trace(
+        S((atlas_cap, TILE_H, TILE_W), np.uint32), S((atlas_cap,), np.int32)
+    )
+    _tsm._render_tiles_runs.trace(
+        S((nty * ntx + 1,), np.int32),
+        S((ph, pw), np.uint32),
+        S((atlas_cap + _tsm._RUN_CHUNK - 1, TILE_H, TILE_W), np.uint32),
+        nty=nty,
+        ntx=ntx,
+        interpret=False,
+    )
+    # The initial content render (full_refresh: every tile dirty) rides the
+    # dirty kernel at these predictable buckets.
+    ns = 8
+    while ns < nty * ntx:
+        ns *= 2
+    ni = 8
+    while ni < atlas_cap:
+        ni *= 2
+    _tsm._render_dirty_tiles.trace(
+        S((ns, 2), np.int32),
+        S((ns, 2), np.int32),
+        S((ni,), np.int32),
+        S((ph, pw), np.uint32),
+        S((ph, pw), np.uint32),
+        S((atlas_cap, TILE_H, TILE_W), np.uint32),
+        n_slots=ns,
+        interpret=False,
+    )
+    if blur_radius is not None:
+        from ..raster.convolve import mkgaussian
+
+        k = mkgaussian(blur_radius)
+        _rfp._apply_blur_rect_kernel.trace(
+            S((height, width, 4), np.int32),
+            S((height, width), np.int32),
+            weights=tuple(k.values),
+            total=k.total,
+        )
+
+
 def full_sprite_of_object(o: R.Obj, whole_scene=None):
     """An object's complete raster: direct-filled interior + AA fringe,
     composed with one fused caf (the spriteof pipeline of render.ml:1198-1213
@@ -601,7 +668,10 @@ class DeviceView:
         # ONE jitted program (not ~10 eager ops — each eager op on a remote
         # transport is a round trip plus a first-time tiny-program load).
         self.background = _background_kernel(bgvec, h=self.ph, w=self.pw)
-        self.frame = self.background
+        # A DISTINCT buffer (same program, second execution): the dirty
+        # render donates `frame` while reading `background` — aliasing them
+        # would be `f(a, donate(a))`.
+        self.frame = _background_kernel(bgvec, h=self.ph, w=self.pw)
         self.order: List[object] = []  # idsets front-to-back
         self.sprites: Dict[object, object] = {}
         self.dirty: Set[int] = set(range(self.ts.nty * self.ts.ntx))
@@ -968,11 +1038,19 @@ class FilteredDisplay:
         self.box = (1, 1, view.width, view.height)
 
     def full_refresh(self):
-        """Initial full application: render content, blur-blend everywhere.
-        Under a mesh the display plane comes out row-sharded."""
+        """Initial full application: render pending content, blur-blend
+        everywhere.  Under a mesh the display plane comes out row-sharded.
+
+        Content renders through the DIRTY path (after set_scene/reset_scene
+        every tile is dirty, so this IS a full content render): the dirty
+        kernel's program is a fraction of the run-contiguous full-frame
+        pair's size, and on the remote TPU transport program-load latency
+        scales with program size — a cold start that only ever needs one
+        full frame should not wait on the big throughput kernel's load
+        (render(full=True) keeps it for steady-state full-frame work)."""
         from ..raster.framepath import _apply_blur_rect_kernel
 
-        self.view.render(full=True)
+        self.view.render()
         content = _unpack_crop_kernel(
             self.view.frame, h=self.view.height, w=self.view.width
         )
