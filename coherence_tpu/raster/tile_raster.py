@@ -412,6 +412,8 @@ class TileBuild:
         self.interior_items: list = []
         # owner_key -> list of tiles (for registry building after flush)
         self.unsupported: List[object] = []
+        # prefill_combined() result, consumed by flush(combined=True)
+        self._prefilled = None
 
     def add_object(self, key, edges, shape_winding, aa_winding, fill4) -> bool:
         """Sweep + assign one object's spans to tile work items.  Returns
@@ -520,6 +522,51 @@ class TileBuild:
             staged_edge.append((cls, t, cov1, cross1, aa1))
         return staged_edge, staged_interior
 
+    def _stage_combined(self):
+        """Host staging for the combined-program path: fill ONE flat pair
+        buffer + ONE flat fills buffer (static layout — a single upload
+        shape and a single program for the whole first-chunk build) and
+        split the overflow.  np (not device) buffers: the transfer rides
+        the jit dispatch instead of paying eager round trips.  Returns
+        (flat16, flat32, heads, iitems, edge_rest, interior_rest)."""
+        flat16 = np.empty(_FLAT_LEN, np.int16)
+        flat32 = np.zeros(_FILL_LEN, np.int32)
+
+        def pair_view(i):
+            off, shape = _FLAT_SEGS[i]
+            n = shape[0] * shape[1] * shape[2]
+            return flat16[off : off + n].reshape(shape)
+
+        def fill_view(i):
+            off, shape = _FILL_SEGS[i]
+            return flat32[off : off + shape[0] * shape[1]].reshape(shape)
+
+        heads = []
+        edge_rest = {}
+        for cls, chunk in enumerate(_CHUNKS):
+            all_items = self.edge_items.get(cls, [])
+            items, edge_rest[cls] = all_items[:chunk], all_items[chunk:]
+            for fam, sel in ((0, 2), (1, 3), (2, 4)):
+                _pairs_fill(pair_view(3 * cls + fam), [it[sel] for it in items])
+            fv = fill_view(cls)
+            for i, it in enumerate(items):
+                fv[i] = it[5]
+            heads.append(items)
+        iitems = self.interior_items[:_CHUNK_INTERIOR]
+        interior_rest = self.interior_items[_CHUNK_INTERIOR:]
+        _pairs_fill(pair_view(3 * len(_CHUNKS)), [it[2] for it in iitems])
+        fv = fill_view(len(_CHUNKS))
+        for i, it in enumerate(iitems):
+            fv[i] = it[3]
+        return flat16, flat32, heads, iitems, edge_rest, interior_rest
+
+    def prefill_combined(self) -> None:
+        """Run the combined path's host staging AHEAD of flush — callers
+        with a slow backend bring-up do this on the geometry thread during
+        it, so flush's host half is just two device_puts.  Only useful when
+        flush will take the combined route (TPU backend, >= 64 items)."""
+        self._prefilled = self._stage_combined()
+
     def flush(self, combined: Optional[bool] = None):
         """Run the batched kernels.  Returns (blocks, registry): blocks is a
         list of (n, TILE_H, TILE_W) u32 device arrays; registry maps
@@ -560,39 +607,12 @@ class TileBuild:
         edge_rest: Dict[int, list] = self.edge_items
         interior_rest = self.interior_items
         if combined and (self.edge_items or self.interior_items):
-            # ONE flat pair buffer + ONE flat fills buffer (static layout):
-            # a single upload shape and a single program for the whole
-            # first-chunk build.  np (not device) args: the transfer rides
-            # the jit dispatch instead of paying eager round trips.
-            flat16 = np.empty(_FLAT_LEN, np.int16)
-            flat32 = np.zeros(_FILL_LEN, np.int32)
-
-            def pair_view(i):
-                off, shape = _FLAT_SEGS[i]
-                n = shape[0] * shape[1] * shape[2]
-                return flat16[off : off + n].reshape(shape)
-
-            def fill_view(i):
-                off, shape = _FILL_SEGS[i]
-                return flat32[off : off + shape[0] * shape[1]].reshape(shape)
-
-            heads = []
-            edge_rest = {}
-            for cls, chunk in enumerate(_CHUNKS):
-                all_items = self.edge_items.get(cls, [])
-                items, edge_rest[cls] = all_items[:chunk], all_items[chunk:]
-                for fam, sel in ((0, 2), (1, 3), (2, 4)):
-                    _pairs_fill(pair_view(3 * cls + fam), [it[sel] for it in items])
-                fv = fill_view(cls)
-                for i, it in enumerate(items):
-                    fv[i] = it[5]
-                heads.append(items)
-            iitems = self.interior_items[:_CHUNK_INTERIOR]
-            interior_rest = self.interior_items[_CHUNK_INTERIOR:]
-            _pairs_fill(pair_view(3 * len(_CHUNKS)), [it[2] for it in iitems])
-            fv = fill_view(len(_CHUNKS))
-            for i, it in enumerate(iitems):
-                fv[i] = it[3]
+            flat16, flat32, heads, iitems, edge_rest, interior_rest = (
+                self._prefilled
+                if self._prefilled is not None
+                else self._stage_combined()
+            )
+            self._prefilled = None
             _tick("host staging fill")
             d16 = jax.device_put(flat16)
             d32 = jax.device_put(flat32)

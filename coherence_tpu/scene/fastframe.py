@@ -360,12 +360,18 @@ def _brush_extract(o: R.Obj):
     return sk.brushstroke, f._rgba
 
 
-def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs):
+def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
+                      prefill_combined: bool = False):
     """The pure-HOST half of build_tiled_scene: sweep every object and
     stage its spans into tile work items.  Needs no device and no live
     backend — callers with a slow backend bring-up (the remote TPU
     transport's one-time init is 40-300 s) run this on a thread DURING it,
     so the device half (flush + paste) is all that remains afterwards.
+
+    prefill_combined: also run the combined-program flat-buffer staging
+    here (pass True when the flush will take the combined route — TPU
+    backend, >= 64 items; this function must not ask jax itself, since
+    querying the backend would trigger the very init it runs during).
 
     Returns (tb, bb, handled, fallback, culled): the tile and brush
     builders with staged items, keys rasterized by them, [(key, obj)]
@@ -412,6 +418,8 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs):
             fallback.append((key, o))
         else:
             handled.append(key)
+    if prefill_combined:
+        tb.prefill_combined()
     return tb, bb, handled, fallback, culled
 
 

@@ -212,16 +212,30 @@ def test_combined_flush_matches_per_class():
     b2.edge_items = {c: list(v) for c, v in build.edge_items.items()}
     b2.interior_items = list(build.interior_items)
 
+    b3 = T.TileBuild(build.nty, build.ntx)
+    b3.edge_items = {c: list(v) for c, v in build.edge_items.items()}
+    b3.interior_items = list(build.interior_items)
+    b3.prefill_combined()  # the backend-bring-up overlap path
+
     blocks_a, reg_a = build.flush(combined=True)
     blocks_b, reg_b = b2.flush(combined=False)
-    assert set(reg_a) == set(reg_b)
+    blocks_c, reg_c = b3.flush(combined=True)
+    assert set(reg_a) == set(reg_b) == set(reg_c)
     for key in reg_a:
         pa = sorted(reg_a[key])
         pb = sorted(reg_b[key])
-        assert [t for t, _, _ in pa] == [t for t, _, _ in pb]
-        for (ta, ba, sa), (tb, bb, sb) in zip(pa, pb):
+        pc = sorted(reg_c[key])
+        assert (
+            [t for t, _, _ in pa]
+            == [t for t, _, _ in pb]
+            == [t for t, _, _ in pc]
+        )
+        for (ta, ba, sa), (tb, bb, sb), (tc, bc, sc) in zip(pa, pb, pc):
             assert (
                 np.asarray(blocks_a[ba][sa]) == np.asarray(blocks_b[bb][sb])
+            ).all()
+            assert (
+                np.asarray(blocks_a[ba][sa]) == np.asarray(blocks_c[bc][sc])
             ).all()
 
 
