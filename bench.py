@@ -254,8 +254,8 @@ def build():
         while ns < nty * ntx:
             ns *= 2
         _render_dirty_tiles(
-            _np.zeros((ns, 2), _np.int32),
-            _np.zeros((ns, 2), _np.int32),
+            _np.zeros(2 * ns, _np.int32),
+            _np.zeros(2 * ns, _np.int32),
             _np.zeros(ATLAS_CAP, _np.int32),
             jnp.zeros((_ph, _pw), jnp.uint32),
             jnp.zeros((_ph, _pw), jnp.uint32),

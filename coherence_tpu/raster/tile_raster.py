@@ -606,13 +606,11 @@ class TileBuild:
 
         edge_rest: Dict[int, list] = self.edge_items
         interior_rest = self.interior_items
+        prefilled, self._prefilled = self._prefilled, None
         if combined and (self.edge_items or self.interior_items):
             flat16, flat32, heads, iitems, edge_rest, interior_rest = (
-                self._prefilled
-                if self._prefilled is not None
-                else self._stage_combined()
+                prefilled if prefilled is not None else self._stage_combined()
             )
-            self._prefilled = None
             _tick("host staging fill")
             d16 = jax.device_put(flat16)
             d32 = jax.device_put(flat32)

@@ -372,8 +372,13 @@ def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, frame_ref, atlas_hbm
     read it, and their tiles are written by no other slot, so the read
     cannot race a pending flush."""
     t = pl.program_id(0)
-    lo = spans_ref[t, 0]
-    hi = spans_ref[t, 1]
+    # coords/spans are FLAT (2 * n_slots,) int32, slot t at [2t, 2t+1]:
+    # Pallas pads each ROW of a prefetched SMEM operand to ~512 B, so a
+    # (1024, 2) operand costs 512 KB of the ~1 MB SMEM budget (observed
+    # RESOURCE_EXHAUSTED at the 4K grid's 1024-slot bucket); flat 1-D
+    # operands stay at payload size.
+    lo = spans_ref[2 * t]
+    hi = spans_ref[2 * t + 1]
 
     @pl.when(lo < 0)
     def _():
@@ -431,14 +436,15 @@ def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *,
                         n_slots: int, interpret: bool = False):
     """Re-render only the listed tiles in-place in `frame` (donated).
 
-    coords: (n_slots, 2) int32 [tile_y, tile_x]; spans: (n_slots, 2) int32
-    [lo, hi) into idxs, or (-1, -1) for a frame-passthrough slot.  Padding
-    slots must duplicate the last real slot (idempotent re-render; see
-    _kernel_subset)."""
+    coords: FLAT (2 * n_slots,) int32 [tile_y, tile_x] per slot; spans:
+    FLAT (2 * n_slots,) int32 [lo, hi) into idxs, or (-1, -1) for a
+    frame-passthrough slot (1-D because Pallas pads each ROW of a
+    prefetched SMEM operand to ~512 B — see _kernel_subset).  Padding
+    slots must duplicate the last real slot (idempotent re-render)."""
     grid = (n_slots,)
     tile_block = pl.BlockSpec(
         (TILE_H, TILE_W),
-        lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+        lambda t, coords, spans, idxs: (coords[2 * t], coords[2 * t + 1]),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
@@ -453,7 +459,7 @@ def _render_dirty_tiles(coords, spans, idxs, background, frame, atlas, *,
             ],
             out_specs=pl.BlockSpec(
                 (TILE_H, TILE_W),
-                lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+                lambda t, coords, spans, idxs: (coords[2 * t], coords[2 * t + 1]),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -834,19 +840,25 @@ class TiledScene:
         n_slots = 8
         while n_slots < n:
             n_slots *= 2
-        coords = np.zeros((n_slots, 2), np.int32)
-        spans = np.zeros((n_slots, 2), np.int32)
+        # FLAT (2 * n_slots,) slot arrays (SMEM row padding; see
+        # _kernel_subset): slot j lives at [2j, 2j+1].
+        coords = np.zeros(2 * n_slots, np.int32)
+        spans = np.zeros(2 * n_slots, np.int32)
         idxs_list = []
         for j, t in enumerate(dirty):
-            coords[j] = (t // self.ntx, t % self.ntx)
+            coords[2 * j] = t // self.ntx
+            coords[2 * j + 1] = t % self.ntx
             lo = len(idxs_list)
             idxs_list.extend(per_tile[t])
-            spans[j] = (lo, len(idxs_list))
+            spans[2 * j] = lo
+            spans[2 * j + 1] = len(idxs_list)
         # Padding slots duplicate the last dirty tile: an idempotent
         # re-render is correct under any Pallas block flush/fetch timing,
         # where a frame passthrough would not be (see _kernel_subset).
-        coords[n:] = coords[n - 1]
-        spans[n:] = spans[n - 1]
+        coords[2 * n :: 2] = coords[2 * n - 2]
+        coords[2 * n + 1 :: 2] = coords[2 * n - 1]
+        spans[2 * n :: 2] = spans[2 * n - 2]
+        spans[2 * n + 1 :: 2] = spans[2 * n - 1]
         # Pad the entry list to a pow2 length so the jitted kernel's shape
         # key is stable across frames (no retraces as lists grow/shrink).
         n_idx = 8
@@ -1155,18 +1167,25 @@ def render_dirty_sharded(
     staged = []
     for d in range(n_dev):
         tiles = by_band[d]
-        coords = np.zeros((n_slots, 2), np.int32)
-        spans = np.zeros((n_slots, 2), np.int32)
+        # FLAT (2 * n_slots,) slot arrays (SMEM row padding; see
+        # _kernel_subset).
+        coords = np.zeros(2 * n_slots, np.int32)
+        spans = np.zeros(2 * n_slots, np.int32)
         idxs_list: List[int] = []
         if tiles:
             for j, t in enumerate(tiles):
                 ty_local = t // ts.ntx - d * band_ty
-                coords[j] = (ty_local, t % ts.ntx)
+                coords[2 * j] = ty_local
+                coords[2 * j + 1] = t % ts.ntx
                 lo = len(idxs_list)
                 idxs_list.extend(per_tile[t])
-                spans[j] = (lo, len(idxs_list))
-            coords[len(tiles) :] = coords[len(tiles) - 1]
-            spans[len(tiles) :] = spans[len(tiles) - 1]
+                spans[2 * j] = lo
+                spans[2 * j + 1] = len(idxs_list)
+            k = len(tiles)
+            coords[2 * k :: 2] = coords[2 * k - 2]
+            coords[2 * k + 1 :: 2] = coords[2 * k - 1]
+            spans[2 * k :: 2] = spans[2 * k - 2]
+            spans[2 * k + 1 :: 2] = spans[2 * k - 1]
         else:
             spans[:] = -1  # idle band: every slot passes tile (0, 0) through
         staged.append((coords, spans, idxs_list))
@@ -1183,7 +1202,7 @@ def render_dirty_sharded(
         atlas = atlas_l[0]
         tile_block = pl.BlockSpec(
             (TILE_H, TILE_W),
-            lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+            lambda t, coords, spans, idxs: (coords[2 * t], coords[2 * t + 1]),
             memory_space=pltpu.VMEM,
         )
         return pl.pallas_call(
@@ -1198,7 +1217,7 @@ def render_dirty_sharded(
                 ],
                 out_specs=pl.BlockSpec(
                     (TILE_H, TILE_W),
-                    lambda t, coords, spans, idxs: (coords[t, 0], coords[t, 1]),
+                    lambda t, coords, spans, idxs: (coords[2 * t], coords[2 * t + 1]),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
@@ -1215,8 +1234,8 @@ def render_dirty_sharded(
         band_dirty,
         mesh=mesh,
         in_specs=(
-            P(axis, None, None),
-            P(axis, None, None),
+            P(axis, None),
+            P(axis, None),
             P(axis, None),
             P(axis, None),
             P(axis, None),
@@ -1226,8 +1245,8 @@ def render_dirty_sharded(
         check_vma=False,
     )
     sh = NamedSharding(mesh, P(axis, None))
-    coords_all = jax.device_put(np.stack(all_coords), NamedSharding(mesh, P(axis, None, None)))
-    spans_all = jax.device_put(np.stack(all_spans), NamedSharding(mesh, P(axis, None, None)))
+    coords_all = jax.device_put(np.stack(all_coords), sh)
+    spans_all = jax.device_put(np.stack(all_spans), sh)
     idxs_all = jax.device_put(np.stack(all_idxs), sh)
     bg = jax.device_put(background, sh)
     fr = jax.device_put(frame, sh)

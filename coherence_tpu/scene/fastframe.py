@@ -85,8 +85,8 @@ def pretrace_view_programs(width: int, height: int, atlas_cap: int,
     while ni < atlas_cap:
         ni *= 2
     _tsm._render_dirty_tiles.trace(
-        S((ns, 2), np.int32),
-        S((ns, 2), np.int32),
+        S((2 * ns,), np.int32),
+        S((2 * ns,), np.int32),
         S((ni,), np.int32),
         S((ph, pw), np.uint32),
         S((ph, pw), np.uint32),

@@ -189,9 +189,12 @@ def test_render_dirty_padding_slots_duplicate_last_tile():
     finally:
         mod._render_dirty_tiles = orig
     coords, spans = captured["coords"], captured["spans"]
-    assert coords.shape[0] == 8 and spans.shape[0] == 8
-    assert (coords == coords[0]).all(), "padding must duplicate the dirty tile"
-    assert (spans == spans[0]).all()
+    # FLAT (2 * n_slots,) slot arrays: slot j at [2j, 2j+1].
+    assert coords.shape == (16,) and spans.shape == (16,)
+    assert (coords[0::2] == coords[0]).all() and (coords[1::2] == coords[1]).all(), (
+        "padding must duplicate the dirty tile"
+    )
+    assert (spans[0::2] == spans[0]).all() and (spans[1::2] == spans[1]).all()
 
 
 def test_add_boxes_matches_add_object():
@@ -400,7 +403,7 @@ def test_piece_map_index_matches_brute_force():
                 if tile in per_tile:
                     per_tile[tile].append(entry)
         for j, t in enumerate(sorted(set(dirty))):
-            lo, hi = spans[j]
+            lo, hi = spans[2 * j], spans[2 * j + 1]  # flat slot arrays
             assert list(idxs[lo:hi]) == per_tile[t], (t, idxs[lo:hi], per_tile[t])
 
     # Override path (the fused animated step): entries swap in for the key.
@@ -413,7 +416,7 @@ def test_piece_map_index_matches_brute_force():
             if tile in per_tile:
                 per_tile[tile].append(entry)
     for j, t in enumerate((0, 1)):
-        lo, hi = spans[j]
+        lo, hi = spans[2 * j], spans[2 * j + 1]
         assert list(idxs[lo:hi]) == per_tile[t]
 
 
