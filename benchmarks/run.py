@@ -325,6 +325,12 @@ def config5():
     int(jnp.sum(disp.rgba[::128, ::128, 3]))
     build_s = time.time() - t0
 
+    # Close the tile-program set ahead of the zoom section: the loads ride
+    # the fps loops below instead of the first zoom step.
+    from coherence_tpu.raster.tile_raster import warmup_chunk_programs
+
+    threading.Thread(target=warmup_chunk_programs, daemon=True).start()
+
     def force():
         return int(jnp.sum(disp.rgba[::128, ::128, 3])) + int(
             jnp.sum(view.frame[::128, ::128] & 0xFF)

@@ -194,11 +194,19 @@ def _n_bucket(n: int) -> int:
     return b
 
 
-def _batches(items: list, chunk: int) -> list:
-    """[(batch_items, n_bucket)] per the fixed-chunk rule above."""
+def _batches(items: list, chunk: int, force_chunk: bool = False) -> list:
+    """[(batch_items, n_bucket)] per the fixed-chunk rule above.
+
+    force_chunk pads even a small batch to the full fixed chunk, CLOSING
+    the program set: with pow2 buckets, a zoom step that shifts items
+    across capacity classes can mint a batch size never seen before —
+    one fresh XLA compile (measured 123 s for a first-visit 2x zoom at
+    4K) or program load right in an interactive step.  The price is
+    padding upload, bounded by one chunk per family (~1-5 MB).  Used
+    whenever the combined path is active (big scene on TPU)."""
     nb = _n_bucket(len(items))
     if nb < chunk:
-        return [(items, nb)]
+        return [(items, chunk if force_chunk else nb)]
     return [
         (items[i : i + chunk], chunk) for i in range(0, len(items), chunk)
     ]
@@ -217,6 +225,44 @@ def warmup():
     return _combined_build_kernel(
         jnp.zeros(_FLAT_LEN, jnp.int16), jnp.zeros(_FILL_LEN, jnp.int32)
     )
+
+
+def warmup_chunk_programs() -> None:
+    """Load the per-class fixed-chunk batch programs — the rest-batch
+    programs beyond the combined first chunk.  With `_batches`'
+    force_chunk these 6 programs CLOSE the tile-kernel program set: once
+    they are loaded, no scene build at ANY zoom scale can stall on a
+    fresh tile-program compile/load.  Zero work (all-zero pairs net to
+    empty masks), inputs built on device, one thread per program so the
+    loads overlap; blocks until all are loaded."""
+    import threading
+
+    def one_edge(cls):
+        k1, ka = _CLASSES[cls]
+        chunk = _CHUNKS[cls]
+        _edge_tile_kernel(
+            jnp.zeros((chunk, 2, k1), jnp.int16),
+            jnp.zeros((chunk, 2, k1), jnp.int16),
+            jnp.zeros((chunk, 2, ka), jnp.int16),
+            jnp.zeros((chunk, 4), jnp.int32),
+            n=chunk,
+        )
+
+    def one_interior():
+        _interior_tile_kernel(
+            jnp.zeros((_CHUNK_INTERIOR, 2, _K_INTERIOR), jnp.int16),
+            jnp.zeros((_CHUNK_INTERIOR, 4), jnp.int32),
+            n=_CHUNK_INTERIOR,
+        )
+
+    threads = [
+        threading.Thread(target=one_edge, args=(cls,), daemon=True)
+        for cls in range(len(_CHUNKS))
+    ] + [threading.Thread(target=one_interior, daemon=True)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
 
 def _expand_1x(rows, ss, ee, nty: int, ntx: int):
@@ -627,7 +673,7 @@ class TileBuild:
         for cls in sorted(edge_rest):
             k1, ka = _CLASSES[cls]
             chunk = _CHUNKS[cls]
-            for items, nb in _batches(edge_rest[cls], chunk):
+            for items, nb in _batches(edge_rest[cls], chunk, force_chunk=combined):
                 cov = _pairs_stack([it[2] for it in items], nb, k1)
                 cross = _pairs_stack([it[3] for it in items], nb, k1)
                 aasp = _pairs_stack([it[4] for it in items], nb, ka)
@@ -646,7 +692,9 @@ class TileBuild:
                     reg(it[0], it[1], block_id, slot)
 
         if interior_rest:
-            for items, nb in _batches(interior_rest, _CHUNK_INTERIOR):
+            for items, nb in _batches(
+                interior_rest, _CHUNK_INTERIOR, force_chunk=combined
+            ):
                 cross = _pairs_stack([it[2] for it in items], nb, _K_INTERIOR)
                 fills = _fills_stack([it[3] for it in items], nb)
                 block_id = len(blocks)

@@ -184,6 +184,10 @@ def test_fixed_chunk_batches_and_warmup():
     assert [len(b) for b, _ in got] == [256, 256, 88]
     exact = list(range(256))
     assert T._batches(exact, 256) == [(exact, 256)]
+    # force_chunk closes the program set: small batches pad to the full
+    # chunk instead of minting a fresh pow2-bucket program shape.
+    assert T._batches(small, 256, force_chunk=True) == [(small, 256)]
+    assert T._batches(big, 256, force_chunk=True) == T._batches(big, 256)
 
     outs = T.warmup()  # must not raise; shapes are the fixed chunks
     assert outs[0].shape[0] == T._CHUNKS[0]
