@@ -773,10 +773,17 @@ class TiledScene:
         starts = np.zeros(n_tiles + 1, dtype=np.int32)
         for t in range(n_tiles):
             starts[t + 1] = starts[t] + len(per_tile[t])
-        # pow2 padding keeps the kernel's jit shape key stable across frames.
+        # pow2 padding keeps the kernel's jit shape key stable across frames;
+        # rounding up to the atlas CAPACITY keeps it stable across SCENES
+        # too (a zoom step culls offscreen pieces, and a smaller pow2 bucket
+        # would mint fresh gather/row-kernel program shapes — a multi-second
+        # program load inside an interactive step).  Padding entries are
+        # zeros; the row kernel never walks past starts[-1].
         n_idx = 8
         while n_idx < starts[-1]:
             n_idx *= 2
+        if self._data is not None:
+            n_idx = max(n_idx, int(self._data.shape[0]))
         idxs = np.zeros(n_idx, dtype=np.int32)
         pos = 0
         for t in range(n_tiles):
