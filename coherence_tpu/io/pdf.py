@@ -123,7 +123,13 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+            # The encoder bumps its code width as soon as the NEXT code it
+            # could emit (== next table index, i.e. len(table); one earlier
+            # with EarlyChange=1) no longer fits — the decoder must follow
+            # at exactly the same point (verified against a TIFF-LZW
+            # encoder: bumping one entry late diverges at the first 9->10
+            # transition).
+            if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 

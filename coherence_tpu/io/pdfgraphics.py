@@ -279,7 +279,15 @@ def _ps_exec(prog: tuple, stack: list):
             elif op == "div":
                 stack.append(a / b if b != 0 else 0.0)
             elif op == "idiv":
-                stack.append(int(a) // int(b) if int(b) else 0)
+                # PostScript idiv truncates toward ZERO (-7 idiv 2 = -3);
+                # Python // floors (-4).
+                ia, ib = int(a), int(b)
+                if not ib:
+                    stack.append(0)
+                elif (ia < 0) != (ib < 0):
+                    stack.append(-(-ia // ib))
+                else:
+                    stack.append(ia // ib)
             elif op == "mod":
                 stack.append(int(math.fmod(int(a), int(b))) if int(b) else 0)
             elif op == "exp":

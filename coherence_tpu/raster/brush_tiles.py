@@ -112,12 +112,6 @@ def _brush_group_kernel(
     return lax.map(one_piece, piece_meta)
 
 
-def _pow2(n: int, floor: int) -> int:
-    b = floor
-    while b < n:
-        b *= 2
-    return b
-
 
 class BrushTileBuild:
     """Accumulate plain-filled Gaussian brush strokes; flush rasterizes
@@ -158,7 +152,7 @@ class BrushTileBuild:
             return True
         th, tw = ty_hi - ty_lo + 1, tx_hi - tx_lo + 1
         bhb, bwb = region.bucket_hw(bh, bw)
-        th_b, tw_b = _pow2(th, 1), _pow2(tw, 1)
+        th_b, tw_b = raa.span_bucket(th, floor=1), raa.span_bucket(tw, floor=1)
         hp = bhb + th_b * TILE_H + 2 * bhb
         wp = bwb + tw_b * TILE_W + 2 * bwb
         # Plane row 0 / col 0 in 1-based frame pixels.
@@ -209,7 +203,7 @@ class BrushTileBuild:
         for key in self.empty_keys:
             registry.setdefault(key, [])
         for (hp, wp, bhb, bwb, npb), items in sorted(self.groups.items()):
-            sb = _pow2(len(items), 1)
+            sb = raa.span_bucket(len(items), floor=1)
             brushes = np.zeros((sb, bhb, bwb), np.int32)
             offsets = np.zeros((sb, npb, 2), np.int32)
             valid = np.zeros((sb, npb), bool)
@@ -231,7 +225,7 @@ class BrushTileBuild:
                 for tile, oy, ox in pieces:
                     registry[key].append((tile, len(blocks), len(metas)))
                     metas.append([si, oy, ox])
-            pb = _pow2(len(metas), 8)
+            pb = raa.span_bucket(len(metas), floor=8)
             meta = np.zeros((pb, 3), np.int32)
             meta[: len(metas)] = metas
             blocks.append(

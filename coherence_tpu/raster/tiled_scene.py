@@ -572,6 +572,11 @@ class TiledScene:
         self.pieces = PieceMap()
         self._reserved = {}
         self._order_cache = None
+        # Drop any cached BandedAtlas: the fresh PieceMap's version counter
+        # restarts at 0, and a rebuild with the same assignment count would
+        # otherwise COLLIDE with the old cache's version — _banded_of would
+        # serve the previous scene's sharded atlas.
+        self._banded = None
 
     def _ensure(self, k: int) -> None:
         """Guarantee spare capacity for `k` more pieces beyond _n_pieces.

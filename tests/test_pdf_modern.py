@@ -66,6 +66,52 @@ def test_lzw_spec_example():
     assert _lzw_decode(data) == b"EEEEEeEEEf"
 
 
+def _lzw_encode_ref(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal TIFF-semantics LZW encoder (PDF 7.4.4): clear code first,
+    dictionary growth, width bump when the NEXT code (minus EarlyChange)
+    no longer fits, EOD last.  Independent of the decoder under test."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes = [(256, 9)]
+    w = b""
+    for b in bytes(data):
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                # Table full at 12 bits: emit Clear and restart (the
+                # decoder resets on code 256).
+                codes.append((256, width))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([b])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    return _pack_codes([c for c, _ in codes], [wd for _, wd in codes])
+
+
+def test_lzw_width_transitions_roundtrip():
+    """A stream long enough to cross the 9->10->11 bit transitions (the
+    spec example never leaves 9 bits; a decoder that bumps one entry late
+    diverges at exactly output byte 255)."""
+    rng = np.random.default_rng(3)
+    raw = bytes(rng.integers(0, 256, size=6000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode_ref(raw)) == raw
+    # Compressible input exercises multi-byte table entries across bumps.
+    raw2 = bytes((np.arange(8000) % 17).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode_ref(raw2)) == raw2
+
+
 def test_png_predictors():
     rows, cols = 4, 6
     raw = (np.arange(rows * cols, dtype=np.uint8) * 7).reshape(rows, cols)
@@ -312,6 +358,19 @@ def test_calculator_stack_and_control_ops():
     )
     f2 = PG.parse_function(doc2, Ref(1))
     assert abs(PG.eval_function(f2, 0.0)[0] - 315.0) < 1e-9
+    # idiv truncates toward ZERO (PostScript): -7 idiv 2 = -3, not -4.
+    doc3 = _fn_doc(
+        {"FunctionType": 4, "Domain": [0, 1], "Range": [-10, 10]},
+        b"{ pop -7 2 idiv }",
+    )
+    f3 = PG.parse_function(doc3, Ref(1))
+    assert PG.eval_function(f3, 0.0)[0] == -3
+    doc4 = _fn_doc(
+        {"FunctionType": 4, "Domain": [0, 1], "Range": [-10, 10]},
+        b"{ pop 7 -2 idiv }",
+    )
+    f4 = PG.parse_function(doc4, Ref(1))
+    assert PG.eval_function(f4, 0.0)[0] == -3
 
 
 def test_sampled_shading_renders_real_ramp():

@@ -586,3 +586,30 @@ def test_render_runs_matches_render():
     a = np.asarray(ts.render(bg, starts, idxs))
     b = np.asarray(ts.render_runs(bg, starts, idxs))
     assert (a == b).all()
+
+
+def test_reset_invalidates_banded_atlas_cache():
+    """reset() must drop the cached BandedAtlas: the fresh PieceMap's
+    version restarts at 0, so a same-assignment-count rebuild (the
+    interactive-zoom case reset() exists for) would otherwise collide
+    with the old cache's version and serve the PREVIOUS scene's sharded
+    atlas."""
+    import jax
+    from jax.sharding import Mesh
+
+    W, H = TILE_W, TILE_H * 2
+    ts, order = _mk_scene(W, H, 3)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("band",))
+    b1 = TS._banded_of(ts, mesh)
+    assert TS._banded_of(ts, mesh) is b1  # cache hit while unchanged
+
+    ts.reset()
+    # Rebuild with the SAME number of piece-list assignments.
+    for k in range(3):
+        spr = region.fillshape(
+            shape_of_box((5 + k, 5, 24 + k, 24)), rfills.plain(C.steelblue)
+        )
+        ts.add_object(("new", k), spr)
+    assert ts.pieces.version > 0
+    b2 = TS._banded_of(ts, mesh)
+    assert b2 is not b1, "reset() left a stale BandedAtlas in the cache"
