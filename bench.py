@@ -14,7 +14,8 @@ path is the tiled animated pipeline (scene/fastframe.FilteredDisplay):
   3. the dirty window re-convolves and alpha-blends into the display plane
      (blend' of render.ml:1248-1265) in one fused kernel.
 
-Three dispatches per frame, zero host syncs inside the timed loop;
+ONE fused dispatch per frame (the three stages fuse into
+_animated_blur_frame_kernel), zero host syncs inside the timed loop;
 pixel-identical to the general renderer's filter recursion
 (tests/test_blit_blur.py::test_tiled_filtered_display_matches_general).
 
