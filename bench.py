@@ -402,6 +402,9 @@ def build():
     alpha_th.start()
 
     # Static scene: tile-normalized batched rasterization into the atlas.
+    # The scene-build cache only pays off when a scene content is REbuilt
+    # (zoom toggling); this bench builds once, so skip its snapshot copy.
+    _ff._SCENE_BUILD_CACHE_MAX = 0
     view = DeviceView(W, H, atlas_cap=ATLAS_CAP)
     _tick("DeviceView init (background + atlas prealloc)")
 

@@ -94,6 +94,7 @@ def pretrace_view_programs(width: int, height: int, atlas_cap: int,
         n_slots=ns,
         interpret=False,
     )
+    _copy_atlas_kernel.trace(S((atlas_cap, TILE_H, TILE_W), np.uint32))
     if blur_radius is not None:
         from ..raster.convolve import mkgaussian
 
@@ -360,6 +361,36 @@ def _brush_extract(o: R.Obj):
     return sk.brushstroke, f._rgba
 
 
+# Scene-build cache (build_tiled_scene): content digest -> (atlas
+# snapshot, n_pieces, positional piece lists).  Two entries cover the zoom
+# tool's toggle between adjacent scales; each holds one atlas-sized device
+# buffer.
+from collections import OrderedDict as _OrderedDict
+
+_SCENE_BUILD_CACHE: "dict" = _OrderedDict()
+_SCENE_BUILD_CACHE_MAX = 2
+
+
+@jax.jit
+def _copy_atlas_kernel(a):
+    """Materialize a DISTINCT device copy (snapshots must survive the
+    donated in-place mutations the live atlas sees)."""
+    return a + jnp.uint32(0)
+
+
+def scene_build_cache_clear() -> None:
+    _SCENE_BUILD_CACHE.clear()
+
+
+def _scene_digest_update(h, tag: bytes, *parts) -> None:
+    h.update(tag)
+    for p in parts:
+        if isinstance(p, np.ndarray):
+            h.update(np.ascontiguousarray(p).tobytes())
+        else:
+            h.update(repr(p).encode())
+
+
 def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
                       prefill_combined: bool = False):
     """The pure-HOST half of build_tiled_scene: sweep every object and
@@ -373,10 +404,15 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
     backend, >= 64 items; this function must not ask jax itself, since
     querying the backend would trigger the very init it runs during).
 
-    Returns (tb, bb, handled, fallback, culled): the tile and brush
-    builders with staged items, keys rasterized by them, [(key, obj)]
-    needing the scalar fallback, and keys culled as offscreen/empty."""
-    from ..raster.brush_tiles import BrushTileBuild
+    Returns (tb, bb, handled, fallback, culled, digest): the tile and
+    brush builders with staged items, keys rasterized by them, [(key,
+    obj)] needing the scalar fallback, keys culled as offscreen/empty,
+    and a CONTENT digest of the whole staged scene (None when a fallback
+    object makes the content non-digestible) — the scene-build cache key
+    (build_tiled_scene)."""
+    import hashlib
+
+    from ..raster.brush_tiles import BrushTileBuild, points_of_brushstroke
     from ..raster.tile_raster import TileBuild
 
     W, H = width, height
@@ -385,6 +421,9 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
     fallback = []
     handled = []
     culled = []
+    h = hashlib.blake2b(digest_size=16)
+    _scene_digest_update(h, b"grid", nty, ntx, W, H)
+    digestible = True
     for key, o in keyed_objs:
         ext = _batch_extract(o)
         if ext is None:
@@ -395,13 +434,19 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
             xmin, xmax, ymin, ymax = R.bounds_of_basicshape(o)
             if xmax < -1 or xmin > W + 2 or ymax < -1 or ymin > H + 2:
                 culled.append(key)
+                _scene_digest_update(h, b"cull")
                 continue
             bext = _brush_extract(o)
             if bext is not None and bb.add_stroke(key, *bext):
+                brushstroke, fill4 = bext
+                (opacity, kind), _path = brushstroke
+                pts = np.asarray(points_of_brushstroke(brushstroke), np.float64)
+                _scene_digest_update(h, b"brush", pts, opacity, kind, fill4)
                 continue
             fallback.append((key, o))
+            digestible = False
             continue
-        edges = ext[0]
+        edges, sw, aw, fill4 = ext
         if len(edges):
             e = np.asarray(edges, dtype=np.int64)
             # Subbin -> conservative pixel bounds (the correlated AA matte
@@ -413,14 +458,20 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
                 or e[:, [1, 3]].min() // 32 > H + 2
             ):
                 culled.append(key)
+                _scene_digest_update(h, b"cull")
                 continue
         if not tb.add_object(key, *ext):
             fallback.append((key, o))
+            digestible = False
         else:
             handled.append(key)
+            _scene_digest_update(
+                h, b"tile", np.asarray(edges, np.int64), sw, aw, fill4
+            )
     if prefill_combined:
         tb.prefill_combined()
-    return tb, bb, handled, fallback, culled
+    digest = h.digest() if digestible else None
+    return tb, bb, handled, fallback, culled, digest
 
 
 def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
@@ -454,10 +505,34 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
 
     if staged is None:
         staged = stage_tiled_scene(ts.nty, ts.ntx, ts.width, ts.height, keyed_objs)
-    tb, bb, handled, fallback, culled = staged
+    tb, bb, handled, fallback, culled, digest = staged
+    _tick(f"host sweep+stage ({len(keyed_objs)} objects, {len(fallback)} fallback)")
+
+    # Scene-build cache: a previously built scene CONTENT (same staged
+    # spans/brushes/grid — the digest is content-addressed, so the zoom
+    # tool toggling between 2x scales hits it with brand-new object ids)
+    # restores in two device ops: copy the snapshotted atlas + reinstall
+    # the piece lists positionally.  Only exact, fully-digestible builds
+    # into an EMPTY TiledScene participate.
+    cacheable = digest is not None and ts._n_pieces == 0 and not ts.pieces
+    if cacheable:
+        hit = _SCENE_BUILD_CACHE.get(digest)
+        # A preallocated-capacity ts keeps its program shape keys: only
+        # restore a snapshot of the SAME capacity.
+        if hit is not None and (
+            ts._data is None or hit[0].shape == ts._data.shape
+        ):
+            snap_data, snap_n, snap_entries = hit
+            _SCENE_BUILD_CACHE.move_to_end(digest)
+            ts._data = _copy_atlas_kernel(snap_data)
+            ts._n_pieces = snap_n
+            for (key, _o), entries in zip(keyed_objs, snap_entries):
+                ts.pieces[key] = entries
+            _tick("scene-build cache restore (atlas copy + piece lists)")
+            return
+
     for key in culled:
         ts.pieces[key] = []
-    _tick(f"host sweep+stage ({len(keyed_objs)} objects, {len(fallback)} fallback)")
     blocks, registry = tb.flush()
     _tick("tile flush (stack+upload+dispatch)")
     ts.add_rastered(registry, blocks)
@@ -474,6 +549,18 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
         else:
             ts.pieces[key] = []
     _tick(f"fallback scalar path ({len(fallback)} objects)")
+
+    if cacheable and _SCENE_BUILD_CACHE_MAX > 0:
+        # Snapshot AFTER the whole build; the copy isolates the snapshot
+        # from later donated in-place mutations (animated slots, edits).
+        snap_entries = [list(ts.pieces.get(key, ())) for key, _o in keyed_objs]
+        _SCENE_BUILD_CACHE[digest] = (
+            _copy_atlas_kernel(ts.atlas()),
+            ts._n_pieces,
+            snap_entries,
+        )
+        while len(_SCENE_BUILD_CACHE) > _SCENE_BUILD_CACHE_MAX:
+            _SCENE_BUILD_CACHE.popitem(last=False)
 
 
 def tiled_sprite_of_object(o: R.Obj, width: int, height: int):

@@ -31,3 +31,23 @@ try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 except Exception:
     pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clear_scene_build_cache():
+    """The scene-build cache restores identical-content builds from a
+    snapshot; tests that compare two build paths (staged vs inline, reset
+    vs fresh, sharded vs not) must not have the second build
+    short-circuit into the first's output.  Tests that want the cache
+    (test_scene_build_cache_*) opt back in explicitly."""
+    from coherence_tpu.scene import fastframe as _ff
+
+    _ff.scene_build_cache_clear()
+    old_max = _ff._SCENE_BUILD_CACHE_MAX
+    _ff._SCENE_BUILD_CACHE_MAX = 0  # disabled by default inside tests
+    yield
+    _ff._SCENE_BUILD_CACHE_MAX = old_max
+    _ff.scene_build_cache_clear()

@@ -325,3 +325,65 @@ def test_sweep_cache_hit_is_identical():
     b3 = T.TileBuild(nty=2, ntx=4)
     b3.add_object("c", *ext)
     assert T.sweep_cache_stats["misses"] == 2
+
+
+def test_scene_build_cache_restores_identical_content():
+    """Content-addressed scene-build cache: rebuilding a scene with the
+    SAME staged content (new object ids — the zoom tool makes fresh
+    transformed objects every step) must restore from the snapshot
+    without dispatching any build kernel, pixel-identically; different
+    content must rebuild."""
+    import coherence_tpu.ident as ident
+    from coherence_tpu.raster import tile_raster as TR
+    from coherence_tpu.scene import fastframe as FF
+
+    FF._SCENE_BUILD_CACHE_MAX = 2  # the autouse fixture disables + restores
+
+    def mk_scene():
+        # Fresh idsets each call, identical geometry/content.
+        return [
+            _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson,
+                  alpha=170),
+            _poly([(30.0, 200.0), (600.0, 220.0), (300.0, 40.0)], C.wheat),
+        ]
+
+    dv1 = FF.DeviceView(W, H)
+    dv1.set_scene(mk_scene(), tiled=True)
+    dv1.render(full=True)
+    ref = dv1.read()
+
+    orig_flush = TR.TileBuild.flush
+
+    def boom(self, combined=None):
+        raise AssertionError("cache hit expected: flush must not run")
+
+    dv2 = FF.DeviceView(W, H)
+    TR.TileBuild.flush = boom
+    try:
+        dv2.set_scene(mk_scene(), tiled=True)  # restore path, no flush
+    finally:
+        TR.TileBuild.flush = orig_flush
+    dv2.render(full=True)
+    assert (dv2.read() == ref).all()
+
+    # Mutating the live atlas must not corrupt the snapshot.
+    k = dv2.order[0]
+    dv2.replace_object(
+        k, _poly([(50.0, 50.0), (400.0, 60.0), (200.0, 200.0)], C.steelblue)
+    )
+    dv2.render()
+    dv3 = FF.DeviceView(W, H)
+    dv3.set_scene(mk_scene(), tiled=True)
+    dv3.render(full=True)
+    assert (dv3.read() == ref).all()
+
+    # Different content: must rebuild (cache key differs).
+    other = [
+        _poly([(12.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson,
+              alpha=170),
+        _poly([(30.0, 200.0), (600.0, 220.0), (300.0, 40.0)], C.wheat),
+    ]
+    dv4 = FF.DeviceView(W, H)
+    dv4.set_scene(other, tiled=True)
+    dv4.render(full=True)
+    assert not (dv4.read() == ref).all()
