@@ -613,3 +613,71 @@ def test_reset_invalidates_banded_atlas_cache():
     assert ts.pieces.version > 0
     b2 = TS._banded_of(ts, mesh)
     assert b2 is not b1, "reset() left a stale BandedAtlas in the cache"
+
+
+def test_sharded_reset_scene_matches_fresh():
+    """reset_scene under a LIVE mesh (the zoom path multi-chip): after an
+    in-place whole-scene swap, the sharded render must equal a fresh
+    unsharded view of the new scene — this is the end-to-end surface of
+    the stale-BandedAtlas-after-reset bug (the banded cache must rebuild
+    for the new scene's pieces, not serve the old scene's)."""
+    from coherence_tpu import ident
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.parallel import make_mesh
+    from coherence_tpu.scene import render as R
+    from coherence_tpu.scene.fastframe import DeviceView
+
+    W, H = TILE_W * 2, TILE_H * 8
+
+    def scene_a():
+        return [
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(
+                    rfills.plain(C.dissolve(C.crimson, delta=170)),
+                    R.PathShape(gshapes.circle(60.0, 80.0, 25.0)),
+                ),
+                (),
+                R.OVER,
+            ),
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(rfills.plain(C.steelblue), R.rectangle(20.0, 40.0, 150.0, 300.0)),
+                (),
+                R.OVER,
+            ),
+        ]
+
+    def scene_b():
+        # Same OBJECT COUNT as scene_a (the version-collision case).
+        return [
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(
+                    rfills.plain(C.dissolve(C.darkorange, delta=200)),
+                    R.PathShape(gshapes.circle(120.0, 300.0, 40.0)),
+                ),
+                (),
+                R.OVER,
+            ),
+            R.Obj(
+                ident.new_ids(),
+                R.Basic(rfills.plain(C.wheat), R.rectangle(40.0, 100.0, 120.0, 200.0)),
+                (),
+                R.OVER,
+            ),
+        ]
+
+    v = DeviceView(W, H)
+    v.set_scene(scene_a())
+    v.use_mesh(make_mesh(8), interpret=True)
+    v.render(full=True)
+
+    v.reset_scene(scene_b())
+    v.render(full=True)
+    got = v.read()
+
+    fresh = DeviceView(W, H)
+    fresh.set_scene(scene_b())
+    fresh.render(full=True)
+    assert np.array_equal(got, fresh.read())
