@@ -278,8 +278,51 @@ def edges_to_subbin(edges_float: Sequence[Tuple[Point, Point]]) -> np.ndarray:
     return coord.sub_of_float_np(arr)
 
 
+def _edgelist_native(segs) -> "np.ndarray | None":
+    """Float chord array for an ordered segment list via the native batch
+    subdivider (bit-identical chords to bezier_subdivide — the hot host
+    cost of staging a big scene), or None when the library is unavailable."""
+    from .. import native_lib
+
+    beziers = [s for s in segs if not isinstance(s, Straight)]
+    ctrl = np.empty((len(beziers), 8), dtype=np.float64)
+    for j, s in enumerate(beziers):
+        ctrl[j] = (*s.p1, *s.p2, *s.p3, *s.p4)
+    got = native_lib.bezier_subdivide_batch(ctrl, curve_accuracy)
+    if got is None:
+        return None
+    chords, counts = got
+    pieces: List[np.ndarray] = []
+    straight_buf: List[Tuple[float, float, float, float]] = []
+    off = 0
+    cur = 0
+    for s in segs:
+        if isinstance(s, Straight):
+            straight_buf.append((s.a[0], s.a[1], s.b[0], s.b[1]))
+        else:
+            if straight_buf:
+                pieces.append(np.array(straight_buf, dtype=np.float64))
+                straight_buf = []
+            c = int(counts[cur])
+            pieces.append(chords[off : off + c])
+            off += c
+            cur += 1
+    if straight_buf:
+        pieces.append(np.array(straight_buf, dtype=np.float64))
+    if not pieces:
+        return np.zeros((0, 4), dtype=np.float64)
+    return pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=0)
+
+
 def edgelist_of_path(path: Path) -> np.ndarray:
     """All subpaths combined into one subbin edge list (polygon.ml:284-287)."""
+    segs = [s for sp in path.subpaths for s in sp.segments]
+    if not segs:
+        return np.zeros((0, 4), dtype=np.int64)
+    if any(not isinstance(s, Straight) for s in segs):
+        arr = _edgelist_native(segs)
+        if arr is not None:
+            return coord.sub_of_float_np(arr)
     chunks = [edges_to_subbin(edgelist_from_subpath_float(sp)) for sp in path.subpaths]
     if not chunks:
         return np.zeros((0, 4), dtype=np.int64)

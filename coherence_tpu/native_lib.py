@@ -27,7 +27,20 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                # The bezier/scanline entry points are bit-exact float64
+                # transcriptions of NumPy formulas: FMA contraction of
+                # a*b+c would change the double rounding, so forbid it.
+                "-ffp-contract=off",
+                "-shared",
+                "-fPIC",
+                _SRC,
+                "-o",
+                _SO,
+            ],
             check=True,
             capture_output=True,
         )
@@ -75,6 +88,46 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.fb_diff_bbox.restype = ctypes.c_int32
         lib.fb_diff_bbox.argtypes = [u8p, u8p, ctypes.c_int32, ctypes.c_int32, i32p]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.bezier_subdivide_batch.restype = ctypes.c_int64
+        lib.bezier_subdivide_batch.argtypes = [
+            f64p, ctypes.c_int64, ctypes.c_double, f64p, ctypes.c_int64, i64p,
+        ]
+        lib.edge_spans_count.restype = ctypes.c_int64
+        lib.edge_spans_count.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.edge_spans_fill.restype = None
+        lib.edge_spans_fill.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ]
+        lib.expand_1x_count.restype = ctypes.c_int64
+        lib.expand_1x_count.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.expand_1x_grouped.restype = ctypes.c_int64
+        lib.expand_1x_grouped.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
+        lib.expand_aa_count.restype = ctypes.c_int64
+        lib.expand_aa_count.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p,
+        ]
+        lib.expand_aa_grouped.restype = ctypes.c_int64
+        lib.expand_aa_grouped.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, u8p,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -147,6 +200,132 @@ def encode_refresh_frame(fb: np.ndarray, window: int, x: int, y: int, w: int, h:
 
     data = fb[y : y + h, x : x + w].tobytes()
     return wire.marshall(["RefreshWindow", window, x, y, w, h, data])
+
+
+def bezier_subdivide_batch(ctrl: np.ndarray, eps: float):
+    """De Casteljau subdivision of a batch of beziers to chords, exactly
+    matching geometry.path.bezier_subdivide's DFS order and flatness
+    classification (polygon.ml:107-127).
+
+    ctrl: (n, 8) float64 control points [x1 y1 x2 y2 x3 y3 x4 y4].
+    Returns (chords (total, 4) float64 [ax ay bx by], counts (n,) int64)
+    or None when the native library is unavailable (callers fall back to
+    the pure-Python subdivision)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ctrl = np.ascontiguousarray(ctrl, dtype=np.float64)
+    n = ctrl.shape[0]
+    counts = np.empty(n, dtype=np.int64)
+    cap = max(32 * n, 64)
+    while True:
+        out = np.empty((cap, 4), dtype=np.float64)
+        total = lib.bezier_subdivide_batch(ctrl, n, float(eps), out, cap, counts)
+        if total <= cap:
+            return out[:total], counts
+        cap = int(total)
+
+
+def edge_spans(edges: np.ndarray, nonzero: bool, crossing_ext: int,
+               clip_lo: int, clip_hi: int):
+    """Native scanline sweep (raster/scanline._edge_spans semantics, same
+    array order bit-for-bit).  Returns (rows, cov_s, cov_e, cross_rows,
+    cross_s, cross_e) int64 arrays, None when no rows survive the clip, or
+    NotImplemented when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return NotImplemented
+    edges = np.ascontiguousarray(edges, dtype=np.int64)
+    n = edges.shape[0]
+    T = lib.edge_spans_count(edges, n, clip_lo, clip_hi)
+    if T == 0:
+        return None
+    cov_rows = np.empty(T, dtype=np.int64)
+    cov_s = np.empty(T, dtype=np.int64)
+    cov_e = np.empty(T, dtype=np.int64)
+    cross_rows = np.empty(2 * T, dtype=np.int64)
+    cross_s = np.empty(2 * T, dtype=np.int64)
+    cross_e = np.empty(2 * T, dtype=np.int64)
+    counts = np.empty(2, dtype=np.int64)
+    lib.edge_spans_fill(
+        edges, n, 1 if nonzero else 0, int(crossing_ext),
+        int(clip_lo), int(clip_hi),
+        cov_rows, cov_s, cov_e, cross_rows, cross_s, cross_e, counts,
+    )
+    m = int(counts[1])
+    return cov_rows, cov_s, cov_e, cross_rows[:m], cross_s[:m], cross_e[:m]
+
+
+def _as_i64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def expand_1x_grouped(rows, ss, ee, nty: int, ntx: int, tile_h: int, tile_w: int):
+    """Tile assignment of 1x pixel spans, grouped by tile (fused
+    tile_raster._expand_1x + _group_slices; per-tile entry order matches
+    NumPy's stable sort bit-for-bit).  Returns {tile: (r_rel, s_rel,
+    e_rel)} or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, ss, ee = _as_i64(rows), _as_i64(ss), _as_i64(ee)
+    T = rows.shape[0]
+    total = lib.expand_1x_count(rows, ss, ee, T, nty, ntx, tile_h, tile_w) if T else 0
+    if total == 0:
+        return {}
+    out_r = np.empty(total, np.int64)
+    out_s = np.empty(total, np.int64)
+    out_e = np.empty(total, np.int64)
+    groups = np.empty((nty * ntx, 3), np.int64)
+    ng = np.empty(1, np.int64)
+    lib.expand_1x_grouped(
+        rows, ss, ee, T, nty, ntx, tile_h, tile_w, out_r, out_s, out_e, groups, ng
+    )
+    return {
+        int(groups[i, 0]): (
+            out_r[groups[i, 1] : groups[i, 2]],
+            out_s[groups[i, 1] : groups[i, 2]],
+            out_e[groups[i, 1] : groups[i, 2]],
+        )
+        for i in range(int(ng[0]))
+    }
+
+
+def expand_aa_grouped(rows, ss, ee, nty: int, ntx: int, hstep: int, wstep: int,
+                      hpad: int, ttw: int, edge_tiles: np.ndarray):
+    """Tile assignment of 16x AA spans to edge-tile t-plane windows,
+    grouped by tile (fused tile_raster._expand_aa + _group_slices).
+    Returns {tile: (r_rel, s_rel, e_rel)} or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, ss, ee = _as_i64(rows), _as_i64(ss), _as_i64(ee)
+    et = np.ascontiguousarray(edge_tiles, dtype=np.uint8)
+    T = rows.shape[0]
+    total = (
+        lib.expand_aa_count(rows, ss, ee, T, nty, ntx, hstep, wstep, hpad, et)
+        if T
+        else 0
+    )
+    if total == 0:
+        return {}
+    out_r = np.empty(total, np.int64)
+    out_s = np.empty(total, np.int64)
+    out_e = np.empty(total, np.int64)
+    groups = np.empty((nty * ntx, 3), np.int64)
+    ng = np.empty(1, np.int64)
+    lib.expand_aa_grouped(
+        rows, ss, ee, T, nty, ntx, hstep, wstep, hpad, ttw, et,
+        out_r, out_s, out_e, groups, ng,
+    )
+    return {
+        int(groups[i, 0]): (
+            out_r[groups[i, 1] : groups[i, 2]],
+            out_s[groups[i, 1] : groups[i, 2]],
+            out_e[groups[i, 1] : groups[i, 2]],
+        )
+        for i in range(int(ng[0]))
+    }
 
 
 def fb_diff_bbox(a: np.ndarray, b: np.ndarray):

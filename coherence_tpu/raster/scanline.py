@@ -40,6 +40,11 @@ from .region import NULL_SHAPE, Shape, shape_of_mask
 _HALF = coord.halfips  # 16
 _IPS = coord.ipspacing  # 32
 
+# Route sweeps through the native C++ implementation when available (a
+# bit-exact transcription, tests/test_native_sweep.py).  Module flag so
+# differential tests can force the NumPy path.
+use_native = True
+
 
 def _ceil_div(a, b):
     return -((-a) // b)
@@ -59,6 +64,13 @@ def _edge_spans(edges: np.ndarray, winding: str, crossing_ext: int, rows_clip=No
     """
     if edges.shape[0] == 0:
         return None
+    if use_native:
+        from .. import native_lib
+
+        lo, hi = rows_clip if rows_clip is not None else (-(2**62), 2**62)
+        got = native_lib.edge_spans(edges, winding == NONZERO, crossing_ext, lo, hi)
+        if got is not NotImplemented:
+            return got
     ex0 = edges[:, 0].astype(np.int64)
     ey0 = edges[:, 1].astype(np.int64)
     ex1 = edges[:, 2].astype(np.int64)

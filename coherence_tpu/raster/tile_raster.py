@@ -510,38 +510,64 @@ class TileBuild:
         if rows.size == 0 and x_rows.size == 0:
             return [], []
 
-        cov_tile, cov_r, cov_ss, cov_ee = _expand_1x(
-            rows, cov_s, cov_e, self.nty, self.ntx
-        )
-        x_tile, x_r, x_ss, x_ee = _expand_1x(
-            x_rows, x_s, x_e, self.nty, self.ntx
-        )
-        n_tiles = self.nty * self.ntx
-        edge_tiles = np.zeros(n_tiles, dtype=bool)
-        edge_tiles[cov_tile] = True
+        from .. import native_lib
 
-        # Scaled rows that any edge tile's t-plane window can read
-        # (_expand_aa windows: [hstep*ty - _H, hstep*ty + hstep - 1]).
-        aa = scanline.scaled_spans_of_edgelist(
-            e64, aa_winding, _H, rows_clip=(-_H, self.nty * _H * TILE_H - 1)
+        covg = native_lib.expand_1x_grouped(
+            rows, cov_s, cov_e, self.nty, self.ntx, TILE_H, TILE_W
         )
-        if aa is not None and edge_tiles.any():
-            a_tile, a_r, a_ss, a_ee = _expand_aa(
-                aa[0], aa[1], aa[2], self.nty, self.ntx, edge_tiles
+        if covg is not None:
+            # Fused native expansion + grouping (bit-identical per-tile
+            # span arrays; tests/test_native_sweep.py).
+            crossg = native_lib.expand_1x_grouped(
+                x_rows, x_s, x_e, self.nty, self.ntx, TILE_H, TILE_W
             )
+            edge_tiles = np.zeros(self.nty * self.ntx, dtype=bool)
+            if covg:
+                edge_tiles[list(covg)] = True
+            aa = scanline.scaled_spans_of_edgelist(
+                e64, aa_winding, _H, rows_clip=(-_H, self.nty * _H * TILE_H - 1)
+            )
+            aag = {}
+            if aa is not None and covg:
+                aag = native_lib.expand_aa_grouped(
+                    aa[0], aa[1], aa[2], self.nty, self.ntx,
+                    _H * TILE_H, _H * TILE_W, _H, _TTW, edge_tiles,
+                )
         else:
-            a_tile = np.zeros(0, np.int64)
-            a_r = a_ss = a_ee = a_tile
+            cov_tile, cov_r, cov_ss, cov_ee = _expand_1x(
+                rows, cov_s, cov_e, self.nty, self.ntx
+            )
+            x_tile, x_r, x_ss, x_ee = _expand_1x(
+                x_rows, x_s, x_e, self.nty, self.ntx
+            )
+            n_tiles = self.nty * self.ntx
+            edge_tiles = np.zeros(n_tiles, dtype=bool)
+            edge_tiles[cov_tile] = True
 
-        # Per-tile grouping for each family.
-        def grouped(tiles, r, s, e):
-            order, slices = _group_slices(tiles)
-            rs, ss_, es = r[order], s[order], e[order]
-            return {t: (rs[lo:hi], ss_[lo:hi], es[lo:hi]) for t, lo, hi in slices}
+            # Scaled rows that any edge tile's t-plane window can read
+            # (_expand_aa windows: [hstep*ty - _H, hstep*ty + hstep - 1]).
+            aa = scanline.scaled_spans_of_edgelist(
+                e64, aa_winding, _H, rows_clip=(-_H, self.nty * _H * TILE_H - 1)
+            )
+            if aa is not None and edge_tiles.any():
+                a_tile, a_r, a_ss, a_ee = _expand_aa(
+                    aa[0], aa[1], aa[2], self.nty, self.ntx, edge_tiles
+                )
+            else:
+                a_tile = np.zeros(0, np.int64)
+                a_r = a_ss = a_ee = a_tile
 
-        covg = grouped(cov_tile, cov_r, cov_ss, cov_ee)
-        crossg = grouped(x_tile, x_r, x_ss, x_ee)
-        aag = grouped(a_tile, a_r, a_ss, a_ee)
+            # Per-tile grouping for each family.
+            def grouped(tiles, r, s, e):
+                order, slices = _group_slices(tiles)
+                rs, ss_, es = r[order], s[order], e[order]
+                return {
+                    t: (rs[lo:hi], ss_[lo:hi], es[lo:hi]) for t, lo, hi in slices
+                }
+
+            covg = grouped(cov_tile, cov_r, cov_ss, cov_ee)
+            crossg = grouped(x_tile, x_r, x_ss, x_ee)
+            aag = grouped(a_tile, a_r, a_ss, a_ee)
 
         # Validate capacities up front so a too-complex object falls back
         # atomically (no partial piece sets).
