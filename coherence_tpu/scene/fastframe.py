@@ -533,11 +533,28 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
 
     for key in culled:
         ts.pieces[key] = []
+    # Brush kernels flush on a side thread CONCURRENTLY with the tile
+    # flush: at a first-visit zoom scale the brush group's bucket combo
+    # (hp, wp, patch, n-points) is often a program shape this process has
+    # not loaded yet, and program loads from separate threads overlap
+    # (CLAUDE.md program-load economics) — serialized, the load tail sat
+    # on the zoom step's critical path.  Atlas pastes stay sequential on
+    # this thread (slot allocation mutates ts).
+    import threading as _threading
+
+    bres: dict = {}
+
+    def _brush_flush():
+        bres["b"] = bb.flush()
+
+    bth = _threading.Thread(target=_brush_flush, daemon=True)
+    bth.start()
     blocks, registry = tb.flush()
     _tick("tile flush (stack+upload+dispatch)")
     ts.add_rastered(registry, blocks)
     _tick("paste into atlas")
-    bblocks, bregistry = bb.flush()
+    bth.join()
+    bblocks, bregistry = bres["b"]
     ts.add_rastered(bregistry, bblocks)
     _tick("brush flush+paste")
     for key in handled:
