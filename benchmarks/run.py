@@ -373,7 +373,7 @@ def config5():
     # Full-frame 4K throughput (all tiles recomposite every frame).
     # (Measured BEFORE the zoom steps below replace the view's scene.)
     starts, idxs = view.ts.build_lists(view.order)
-    x = view.ts.render_runs(view.background, starts, idxs)
+    x = view.ts.render_full(view.background, starts, idxs)
     int(jnp.sum(x[::128, ::128] & 0xFF))
     # Readback baseline matching THIS loop's sync (one packed-frame sum).
     t0 = time.time()
@@ -383,7 +383,7 @@ def config5():
     t0 = time.time()
     x = view.background
     for _ in range(n):
-        x = view.ts.render_runs(x, starts, idxs)
+        x = view.ts.render_full(x, starts, idxs)
     int(jnp.sum(x[::128, ::128] & 0xFF))
     full_fps = n / max(1e-9, time.time() - t0 - readback_x)
 

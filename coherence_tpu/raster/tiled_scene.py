@@ -352,6 +352,126 @@ def _render_tiles_runs(starts, background, runs, *, nty: int, ntx: int,
     )(starts, background, runs)
 
 
+# Piece-DMA lookahead of the gather-free full-frame kernel: pieces in
+# flight across tile AND row boundaries (scratch persists across the
+# sequential grid).  8 x 64 KB = 512 KB VMEM.
+_PP_AHEAD = 8
+# Pieces composited per while-loop trip (amortizes the scalar-core cost of
+# sem-wait / DMA-issue / loop bookkeeping over several pieces).
+_PP_TRIP = 4
+
+
+def _kernel_atlas_row(starts_ref, idxs_ref, bg_ref, atlas_hbm, out_ref,
+                      scratch, sems, *, ntx):
+    """Full-frame composite reading pieces DIRECTLY from the atlas — no
+    gather pass.  The run-contiguous kernel's tile-major gather re-reads
+    and re-writes every listed piece padded to the atlas-capacity idx
+    bucket (2x the listed bytes on the 4K config), which measured ~0.8 ms
+    of pure HBM traffic against the row walk's 0.4 ms; fetching each piece
+    once from its atlas slot puts the whole composite at the listed-bytes
+    floor (piece + background + frame ≈ 185 MB ≈ 0.23 ms on v5e).
+
+    Pipeline: consumption is the contiguous global piece order
+    k = 0..starts[-1]) (tiles chain within a row, rows chain through the
+    persistent scratch), so piece k+_PP_AHEAD is issued into the slot
+    piece k just drained — a static modular double-buffer that crosses
+    tile and row boundaries.  Each while trip waits/composites/reissues
+    up to _PP_TRIP pieces with a switch on the valid count.
+
+    NO early termination: at the shallow per-tile depths this kernel is
+    for (full-frame recomposites, depth ~2) an opaque-saturation test
+    costs more VPU work than it saves in DMAs (compositing onto an opaque
+    accumulator is already an exact no-op of `_over_packed`); deep stacks
+    where termination pays keep `render`/`render_runs` — `render_full`
+    picks by average depth."""
+    ty = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    A, C = _PP_AHEAD, _PP_TRIP
+    K = starts_ref[n_rows * ntx]
+
+    def piece_copy(k, slot):
+        return pltpu.make_async_copy(
+            atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
+        )
+
+    # Row 0 primes the pipeline with the first A pieces of the frame.
+    for a in range(A):
+        @pl.when(jnp.logical_and(ty == 0, a < K))
+        def _(a=a):
+            piece_copy(a, a % A).start()
+
+    for tx in range(ntx):  # static unroll
+        t = ty * ntx + tx
+        lo = starts_ref[t]
+        hi = starts_ref[t + 1]
+
+        def cond(state):
+            k, _ = state
+            return k < hi
+
+        def body(state, hi=hi):
+            k, acc = state
+            v = jnp.minimum(hi - k, C)
+            for c in range(C):
+                @pl.when(c < v)
+                def _(c=c):
+                    piece_copy(k + c, jax.lax.rem(k + c, A)).wait()
+
+            def upto(m):
+                def f(a):
+                    for j in range(m):
+                        a = _over_packed(a, scratch[jax.lax.rem(k + j, A)])
+                    return a
+
+                return f
+
+            acc = jax.lax.switch(v, [upto(m) for m in range(C + 1)], acc)
+            # Refill the slots this trip drained: slot (k+c+A) mod A IS
+            # slot (k+c) mod A, free now that piece k+c is composited.
+            for c in range(C):
+                @pl.when(jnp.logical_and(c < v, k + c + A < K))
+                def _(c=c):
+                    piece_copy(k + c + A, jax.lax.rem(k + c, A)).start()
+            return k + v, acc
+
+        acc0 = jnp.zeros((TILE_H, TILE_W), dtype=jnp.uint32)
+        _, acc = jax.lax.while_loop(cond, body, (lo, acc0))
+        out_ref[:, tx * TILE_W : (tx + 1) * TILE_W] = _over_packed(
+            acc, bg_ref[:, tx * TILE_W : (tx + 1) * TILE_W]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("nty", "ntx", "interpret"))
+def _render_tiles_atlas(starts, idxs, background, atlas, *, nty: int,
+                        ntx: int, interpret: bool = False):
+    return pl.pallas_call(
+        functools.partial(_kernel_atlas_row, ntx=ntx),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_H, ntx * TILE_W),
+                    lambda ty, starts, idxs: (ty, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_H, ntx * TILE_W),
+                lambda ty, starts, idxs: (ty, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_PP_AHEAD, TILE_H, TILE_W), jnp.uint32),
+                pltpu.SemaphoreType.DMA((_PP_AHEAD,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(background.shape, jnp.uint32),
+        interpret=interpret,
+    )(starts, idxs, background, atlas)
+
+
 def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, frame_ref, atlas_hbm, out_ref, scratch, sems):
     """Like _kernel but the grid runs over a compacted dirty-tile list; the
     tile position comes from scalar-prefetched coords (block index maps read
@@ -818,6 +938,24 @@ class TiledScene:
         return _render_tiles_runs(
             starts, background, runs, nty=self.nty, ntx=self.ntx,
             interpret=_default_interpret(),
+        )
+
+    def render_full(self, background, starts, idxs) -> jnp.ndarray:
+        """Full-frame composite via the gather-free atlas kernel: each
+        listed piece is DMA'd once from its atlas slot (no tile-major
+        gather materialization — see _kernel_atlas_row).  Pixel-identical
+        to `render`/`render_runs`.  Scenes whose average visible depth is
+        deep enough for opaque early-termination to pay (the atlas kernel
+        deliberately has none) fall back to the per-piece kernel."""
+        n_tiles = self.ntx * self.nty
+        # Depth heuristic from the host-side piece map (reading starts[-1]
+        # off the device would be a ~73 ms tunnel sync).
+        n_listed = sum(len(v) for v in self.pieces.values())
+        if n_listed > 8 * n_tiles:
+            return self.render(background, starts, idxs)
+        return _render_tiles_atlas(
+            starts, idxs, background, self.atlas(), nty=self.nty,
+            ntx=self.ntx, interpret=_default_interpret(),
         )
 
     def _dirty_args(self, order, dirty_tiles, pieces_override=None):

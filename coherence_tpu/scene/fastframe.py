@@ -49,9 +49,9 @@ def pretrace_view_programs(width: int, height: int, atlas_cap: int,
     backend init; calling this from a thread during that window removes
     ~8 s of GIL-serialized tracing from the post-init build critical path.
 
-    Covers: background plane, unpack-crop, the run-contiguous full render
-    pair, the combined tile-raster build, and (when blur_radius is given)
-    the full-frame blur blend."""
+    Covers: background plane, unpack-crop, the gather-free full-frame
+    render, the combined tile-raster build, and (when blur_radius is
+    given) the full-frame blur blend."""
     from ..raster import framepath as _rfp
     from ..raster import tile_raster as _tr
     from ..raster import tiled_scene as _tsm
@@ -65,13 +65,11 @@ def pretrace_view_programs(width: int, height: int, atlas_cap: int,
     _tr._combined_build_kernel.trace(
         S((_tr._FLAT_LEN,), np.int16), S((_tr._FILL_LEN,), np.int32)
     )
-    _tsm._gather_runs_kernel.trace(
-        S((atlas_cap, TILE_H, TILE_W), np.uint32), S((atlas_cap,), np.int32)
-    )
-    _tsm._render_tiles_runs.trace(
+    _tsm._render_tiles_atlas.trace(
         S((nty * ntx + 1,), np.int32),
+        S((atlas_cap,), np.int32),
         S((ph, pw), np.uint32),
-        S((atlas_cap + _tsm._RUN_CHUNK - 1, TILE_H, TILE_W), np.uint32),
+        S((atlas_cap, TILE_H, TILE_W), np.uint32),
         nty=nty,
         ntx=ntx,
         interpret=False,
@@ -931,9 +929,9 @@ class DeviceView:
                 )
             else:
                 starts, idxs = self.ts.build_lists(self.order)
-                # Run-contiguous kernel: ~1.7x the per-piece kernel on full
-                # frames (see render_runs docstring).
-                self.frame = self.ts.render_runs(self.background, starts, idxs)
+                # Gather-free atlas kernel: at the HBM listed-bytes floor
+                # on full frames (see _kernel_atlas_row).
+                self.frame = self.ts.render_full(self.background, starts, idxs)
         else:
             if not self.dirty:
                 return

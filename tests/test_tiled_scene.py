@@ -681,3 +681,69 @@ def test_sharded_reset_scene_matches_fresh():
     fresh.set_scene(scene_b())
     fresh.render(full=True)
     assert np.array_equal(got, fresh.read())
+
+
+def test_render_full_matches_render():
+    """The gather-free atlas kernel must be pixel-identical to the
+    per-piece kernel: random overlapping polygons (translucent + opaque),
+    empty tiles (background passthrough), and tile depths straddling the
+    _PP_TRIP switch boundaries."""
+    import coherence_tpu.colour as C
+    from coherence_tpu.raster import fills as rfills
+    from coherence_tpu.raster.tiled_scene import TiledScene
+    from coherence_tpu.scene import render as R
+    from coherence_tpu.scene.fastframe import build_tiled_scene
+    from coherence_tpu.geometry import path as gpath
+
+    W, H = 512, 256
+    rng = np.random.default_rng(23)
+    objs = []
+    for k in range(14):
+        n = int(rng.integers(3, 6))
+        pts = [
+            (float(rng.uniform(-40, W + 40)), float(rng.uniform(-40, H + 40)))
+            for _ in range(n)
+        ]
+        colour = C.colour_of_rgba(*(int(v) for v in rng.integers(0, 256, 3)), 255)
+        alpha = 255 if k % 2 else int(rng.integers(60, 256))
+        fill = rfills.plain(C.dissolve(colour, delta=alpha) if alpha != 255 else colour)
+        path = gpath.path_of_pointlist(gpath.NONZERO, pts)
+        objs.append(R.Obj(R.ident.new_ids(), R.Basic(fill, R.PathShape(path)), (), R.OVER))
+
+    ts = TiledScene(W, H)
+    build_tiled_scene(ts, [(i, o) for i, o in enumerate(objs)])
+    order = list(range(len(objs)))
+    starts, idxs = ts.build_lists(order)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    a = np.asarray(ts.render(bg, starts, idxs))
+    b = np.asarray(ts.render_full(bg, starts, idxs))
+    assert (a == b).all()
+
+
+def test_render_full_deep_stack_pipeline():
+    """A single tile stacking more pieces than _PP_AHEAD exercises the
+    modular slot-reuse pipeline (wait -> composite -> reissue into the
+    same slot) across several while trips; neighbouring empty tiles check
+    the cross-tile chaining."""
+    from coherence_tpu.raster import region as rregion
+    from coherence_tpu.raster.tiled_scene import TiledScene, _PP_AHEAD
+
+    W, H = TILE_W * 3, TILE_H
+    ts = TiledScene(W, H)
+    order = []
+    depth = _PP_AHEAD + 5  # > lookahead, not a multiple of the trip size
+    for k in range(depth):
+        x0 = TILE_W + 1 + 2 * k
+        col = C.dissolve(
+            C.colour_of_rgba(int(40 + k * 7) % 256, 120, 200, 255), delta=140
+        )
+        spr = rregion.fillshape(
+            shape_of_box((x0, 1 + k, x0 + 30, 1 + k + 30)), rfills.plain(col)
+        )
+        ts.add_object(k, spr)
+        order.append(k)
+    starts, idxs = ts.build_lists(order)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    a = np.asarray(ts.render(bg, starts, idxs))
+    b = np.asarray(ts.render_full(bg, starts, idxs))
+    assert (a == b).all()
