@@ -387,6 +387,37 @@ def config5():
     int(jnp.sum(x[::128, ::128] & 0xFF))
     full_fps = n / max(1e-9, time.time() - t0 - readback_x)
 
+    # Pure device throughput of the full-frame kernel: slope between a
+    # short and a long IN-JIT chained loop (host dispatch + the tunnel's
+    # ~73 ms sync jitter cancel in the difference; the loop above is
+    # dispatch-bound and weather-bound).  See benchmarks/micro_runs.py.
+    import functools as _ft
+
+    import jax
+    from coherence_tpu.raster import tiled_scene as _tsm
+
+    @_ft.partial(jax.jit, static_argnames=("iters",))
+    def _chained(bg0, *, iters):
+        def body(i, fr):
+            return _tsm._render_tiles_atlas.__wrapped__(
+                starts, idxs, fr, view.ts.atlas(),
+                nty=view.ts.nty, ntx=view.ts.ntx, interpret=False,
+            )
+
+        return jax.lax.fori_loop(0, iters, body, bg0)
+
+    def _run_chained(iters):
+        t0 = time.time()
+        int(jnp.sum(_chained(view.background, iters=iters)[::128, ::128] & 0xFF))
+        return time.time() - t0
+
+    _run_chained(5)  # compile + program load, untimed
+    _run_chained(205)
+    kernel_ms = min(
+        (_run_chained(205) - _run_chained(5)) / 200.0 for _ in range(3)
+    ) * 1e3
+    full_gpix = view.pw * view.ph / (kernel_ms * 1e-3) / 1e9
+
     n_pieces = sum(len(v) for v in view.ts.pieces.values())
 
     # Zoom steps: scale the whole scene 2x about the frame centre and
@@ -429,6 +460,8 @@ def config5():
             "plain_dirty_fps": round(fps_plain, 1),
             "fullframe_fps": round(full_fps, 1),
             "fullframe_mpix_per_s": round(W * H * full_fps / 1e6),
+            "fullframe_kernel_ms": round(kernel_ms, 3),
+            "fullframe_kernel_gpix_per_s": round(full_gpix, 1),
             "zoom_step_s": round(zoom_s, 2),
             "zoom_first_step_s": round(zoom_first_s, 2),
             "build_s": round(build_s, 1),
