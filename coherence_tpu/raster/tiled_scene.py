@@ -1221,10 +1221,42 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     idxs = jnp.asarray(np.stack(all_idxs))  # (n_dev, max_entries)
     band_h = band_ty * TILE_H
 
+    # Each band composites with the gather-free atlas row kernel (the
+    # full-frame fast path — one DMA per listed piece); deep scenes keep
+    # the terminating per-piece kernel, mirroring render_full's heuristic.
+    deep = max_entries > 8 * band_ty * ts.ntx
+
     def band_render(starts_l, idxs_l, bg_l, atlas_l):
         atlas = atlas_l[0]
-        grid = (band_ty * ts.ntx,)
         ntx = ts.ntx
+        if not deep:
+            return pl.pallas_call(
+                functools.partial(_kernel_atlas_row, ntx=ntx),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(band_ty,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (TILE_H, ntx * TILE_W),
+                            lambda ty, starts, idxs: (ty, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(memory_space=pl.ANY),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (TILE_H, ntx * TILE_W),
+                        lambda ty, starts, idxs: (ty, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    scratch_shapes=[
+                        pltpu.VMEM((_PP_AHEAD, TILE_H, TILE_W), jnp.uint32),
+                        pltpu.SemaphoreType.DMA((_PP_AHEAD,)),
+                    ],
+                ),
+                out_shape=jax.ShapeDtypeStruct((band_h, ts.width), jnp.uint32),
+                interpret=interpret,
+            )(starts_l[0], idxs_l[0], bg_l, atlas)
+        grid = (band_ty * ts.ntx,)
         return pl.pallas_call(
             _kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
