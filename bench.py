@@ -530,6 +530,30 @@ def main():
     fps, mpix_s = timed_loop(frame)
     fps_plain, _ = timed_loop(frame_plain)
 
+    # Device-rate playback: the same fused animated-with-filter frame,
+    # scanned device-side (FilteredDisplay.play_animated) — what the loop
+    # above runs WITHOUT paying a tunnel dispatch per frame.  Slope-timed
+    # between two scan lengths so dispatch + sync cost cancels.
+    def play(n):
+        deltas = [(7, 3), (-7, -3)] * (n // 2)
+        disp.play_animated(blob_key, deltas)
+        return force_done()
+
+    t1, t2 = 40, 440
+    play(t1)  # compile + program load, untimed
+    play(t2)
+    device_ms = None
+    for _ in range(3):
+        t0 = time.time()
+        play(t1)
+        a = time.time() - t0
+        t0 = time.time()
+        play(t2)
+        b = time.time() - t0
+        d = (b - a) / (t2 - t1) * 1e3
+        device_ms = d if device_ms is None else min(device_ms, d)
+    device_fps = 1e3 / max(1e-6, device_ms)
+
     result = {
         "metric": "lion_1080p_blurfilter_sprite_fps",
         "value": round(fps, 2),
@@ -538,6 +562,8 @@ def main():
         "extra": {
             "plain_sprite_fps": round(fps_plain, 2),
             "dirty_mpix_per_s": round(mpix_s, 1),
+            "device_frame_ms": round(device_ms, 4),
+            "device_fps": round(device_fps),
             "build_s": round(build_time - BACKEND_INIT_S, 1),
             "backend_init_s": round(BACKEND_INIT_S, 1),
             "blur_radius": BLUR_RADIUS,

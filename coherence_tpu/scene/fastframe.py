@@ -1046,6 +1046,59 @@ def _animated_blur_frame_kernel(
     return atlas, content, display
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2),
+    static_argnames=(
+        "n_slots", "hb", "wb", "weights", "total", "interpret", "capture_every",
+    ),
+)
+def _play_animated_kernel(
+    atlas, content, display, rgba, base, bg, f_alpha,
+    oys_t, oxs_t, coords_t, spans_t, idxs_t, win_t, dbox_t,
+    *, n_slots, hb, wb, weights, total, interpret=False, capture_every=0,
+):
+    """Render a WHOLE animation device-side: `lax.scan` of the fused
+    animated-with-filter frame over per-step host-staged scalars (shatter
+    offsets, dirty-tile lists, blur-window geometry), carrying
+    (atlas, content, display).  One dispatch for T frames — playback at
+    device rate instead of tunnel-dispatch rate (each host dispatch costs
+    ~0.4-2 ms on this transport; the fused frame itself is tens of us).
+    With capture_every=k, emits every k-th display plane as packed RGBA
+    uint8 ((T//k, H, W, 4) — 2 MB/frame at 1080p); 0 captures nothing.
+    No reference analogue (engine.ml steps one event at a time); this is
+    the TPU-native offline-playback/export mode."""
+
+    def one(carry, xs):
+        atlas, content, display = carry
+        oys, oxs, coords, spans, idxs, win, d_box = xs
+        atlas, content, display = _animated_blur_frame_kernel.__wrapped__(
+            atlas, content, display, rgba, oys, oxs, base, coords, spans,
+            idxs, bg, f_alpha, win[0], win[1], win[2], win[3], win[4], win[5],
+            d_box, n_slots=n_slots, hb=hb, wb=wb, weights=weights,
+            total=total, interpret=interpret,
+        )
+        return (atlas, content, display), None
+
+    xs = (oys_t, oxs_t, coords_t, spans_t, idxs_t, win_t, dbox_t)
+    if not capture_every:
+        carry, _ = jax.lax.scan(one, (atlas, content, display), xs)
+        return carry, None
+
+    k = capture_every
+    n_chunks = oys_t.shape[0] // k
+    xs_chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_chunks, k) + a.shape[1:]), xs
+    )
+
+    def chunk(carry, xs_c):
+        carry, _ = jax.lax.scan(one, carry, xs_c)
+        return carry, carry[2].astype(jnp.uint8)
+
+    carry, frames = jax.lax.scan(chunk, (atlas, content, display), xs_chunked)
+    return carry, frames
+
+
 def prewarm_animated(view: "DeviceView", kernel, key, dx: int, dy: int) -> None:
     """Load the animated loop's XLA programs before the loop runs, using
     throwaway zero buffers with exactly the shapes and statics the live
@@ -1319,6 +1372,130 @@ class FilteredDisplay:
         view.frame = content
         view.dirty.clear()
         self.rgba = display
+
+    def play_animated(self, key, deltas, capture_every: int = 0):
+        """Render a whole animation of per-step (dx, dy) moves of `key` in
+        ONE device dispatch (`lax.scan` of the fused animated-with-filter
+        frame; see _play_animated_kernel).  Semantically identical to
+        calling step_animated per delta; this path exists because each
+        host dispatch costs ~0.4-2 ms on the remote transport while the
+        fused frame itself is tens of us — offline playback and export
+        should run at device rate.  Returns the captured
+        (len(deltas)//capture_every, H, W, 4) uint8 planes when
+        capture_every > 0 (it must divide len(deltas)), else None.
+
+        Falls back to sequential step_animated when the scan cannot be
+        staged uniformly: pending non-animated dirt, a mesh, an
+        unreserved key, a step leaving the reserved capacity, or blur
+        windows straddling bucket sizes."""
+        view = self.view
+        ts = view.ts
+        spr = view.sprites.get(key)
+        if capture_every and len(deltas) % capture_every:
+            raise ValueError("capture_every must divide len(deltas)")
+
+        def fallback():
+            frames = []
+            for i, (dx, dy) in enumerate(deltas):
+                self.step_animated(key, dx, dy)
+                if capture_every and (i + 1) % capture_every == 0:
+                    frames.append(np.asarray(self.rgba, np.uint8))
+            return np.stack(frames) if capture_every else None
+
+        if (
+            spr is None
+            or key not in ts._reserved
+            or view.mesh is not None
+            or view.dirty
+            or not deltas
+        ):
+            return fallback()
+
+        from ..raster.framepath import blur_window
+
+        # Host-stage every step; all shapes/statics must be uniform.
+        prev = spr
+        prev_entries = list(ts.pieces.get(key, ()))
+        steps = []
+        statics = None
+        for dx, dy in deltas:
+            moved = translate_sprite(dx, dy, prev)
+            try:
+                got = ts._inplace_args(key, moved)
+            except ValueError:  # step outgrows the reserved capacity
+                got = None
+            if got is None:
+                return fallback()
+            oys, oxs, base, entries = got
+            dirty_box = region.box_union(prev.box, moved.box)
+            win = blur_window(
+                dirty_box, self.box, self.kernel.radius, view.height, view.width
+            )
+            if win is None:
+                return fallback()
+            d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
+            if statics is None:
+                statics = (base, hb, wb)
+            elif statics != (base, hb, wb):
+                return fallback()
+            dirty_tiles = self._window_tiles(oy, ox, ry0, rx0, h, w)
+            dirty_tiles |= {t for t, _ in prev_entries}
+            dirty_tiles |= {t for t, _ in entries}
+            args = ts._dirty_args(
+                view.order, dirty_tiles, pieces_override={key: entries}
+            )
+            if args is None:
+                return fallback()
+            coords, spans, idxs, n_slots = args
+            steps.append(
+                (oys, oxs, coords, spans, idxs,
+                 np.asarray([oy, ox, ry0, rx0, h, w], np.int32), d_box, n_slots)
+            )
+            prev, prev_entries = moved, entries
+
+        base, hb, wb = statics
+        # Re-pad every step to the widest slot/entry buckets (padding
+        # slots idempotently duplicate the last dirty tile; padding
+        # entries are never read past spans).
+        ns = max(s[-1] for s in steps)
+        ni = max(s[4].shape[0] for s in steps)
+
+        def repad(coords, spans, idxs):
+            if coords.shape[0] < 2 * ns:
+                c = np.empty(2 * ns, np.int32)
+                s = np.empty(2 * ns, np.int32)
+                c[: coords.shape[0]] = coords
+                s[: spans.shape[0]] = spans
+                c[coords.shape[0] :: 2] = coords[-2]
+                c[coords.shape[0] + 1 :: 2] = coords[-1]
+                s[spans.shape[0] :: 2] = spans[-2]
+                s[spans.shape[0] + 1 :: 2] = spans[-1]
+                coords, spans = c, s
+            if idxs.shape[0] < ni:
+                idxs = np.concatenate(
+                    [idxs, np.zeros(ni - idxs.shape[0], np.int32)]
+                )
+            return coords, spans, idxs
+
+        stacked = []
+        for oys, oxs, coords, spans, idxs, win6, d_box, _ in steps:
+            coords, spans, idxs = repad(coords, spans, idxs)
+            stacked.append((oys, oxs, coords, spans, idxs, win6, d_box))
+        cols = [np.stack(c) for c in zip(*stacked)]
+
+        (atlas, content, display), frames = _play_animated_kernel(
+            ts.atlas(), view.frame, self.rgba, spr.rgba, base,
+            view.background, self.f_alpha, *cols,
+            n_slots=ns, hb=hb, wb=wb, weights=tuple(self.kernel.values),
+            total=self.kernel.total, interpret=_tiled_interpret(),
+            capture_every=capture_every,
+        )
+        ts._data = atlas
+        ts.pieces[key] = prev_entries
+        view.sprites[key] = prev
+        view.frame = content
+        self.rgba = display
+        return frames
 
     def _step_animated_sharded(self, key, dx: int, dy: int):
         """The animated-with-filter frame under a mesh: banded reserved-slot

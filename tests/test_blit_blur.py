@@ -299,3 +299,71 @@ def test_blit_blur_dirty_crossing_filter_edge():
     cache.clear()
     want = _general_frame(kernel, _blob_at(*positions[-1]))
     assert (got == want).all()
+
+
+def test_play_animated_matches_sequential_steps():
+    """The one-dispatch scanned playback (_play_animated_kernel) must be
+    pixel-identical to calling step_animated per delta — display plane,
+    content frame, and subsequent stepping behaviour — and its captured
+    planes must equal the sequential displays at the capture points."""
+    from coherence_tpu.scene.fastframe import DeviceView, FilteredDisplay
+
+    kernel = rconvolve.mkgaussian(RADIUS)
+    f_alpha = _f_alpha(kernel)
+    deltas = [(7, 3), (7, 3), (-7, -3), (7, 3)]
+
+    views = []
+    for _ in range(2):
+        view = DeviceView(W, H)
+        view.set_scene(_statics())
+        blob_obj = _blob_at(40, 50)
+        view.add_object(blob_obj, index=0)
+        view.make_animated(blob_obj.idset)
+        disp = FilteredDisplay(view, f_alpha, kernel)
+        disp.full_refresh()
+        views.append((view, disp, blob_obj.idset))
+
+    (v1, d1, k1), (v2, d2, k2) = views
+    seq_caps = []
+    for i, (dx, dy) in enumerate(deltas):
+        d1.step_animated(k1, dx, dy)
+        if (i + 1) % 2 == 0:
+            seq_caps.append(np.asarray(d1.rgba, np.uint8))
+    frames = d2.play_animated(k2, deltas, capture_every=2)
+
+    assert (np.asarray(d1.rgba) == np.asarray(d2.rgba)).all()
+    assert (np.asarray(v1.frame) == np.asarray(v2.frame)).all()
+    assert frames is not None and frames.shape[0] == 2
+    assert (np.asarray(frames) == np.stack(seq_caps)).all()
+    # The scanned path must leave consistent host state: one more fused
+    # step on each must still agree.
+    d1.step_animated(k1, 5, 2)
+    d2.step_animated(k2, 5, 2)
+    assert (np.asarray(d1.rgba) == np.asarray(d2.rgba)).all()
+
+
+def test_play_animated_fallback_paths():
+    """Pending non-animated dirt or an unreserved key must route through
+    the sequential fallback and still produce identical pixels."""
+    from coherence_tpu.scene.fastframe import DeviceView, FilteredDisplay
+
+    kernel = rconvolve.mkgaussian(RADIUS)
+    f_alpha = _f_alpha(kernel)
+    deltas = [(7, 3), (-7, -3)]
+
+    views = []
+    for _ in range(2):
+        view = DeviceView(W, H)
+        view.set_scene(_statics())
+        blob_obj = _blob_at(40, 50)
+        view.add_object(blob_obj, index=0)  # NOT make_animated -> unreserved
+        disp = FilteredDisplay(view, f_alpha, kernel)
+        disp.full_refresh()
+        views.append((view, disp, blob_obj.idset))
+
+    (v1, d1, k1), (v2, d2, k2) = views
+    for dx, dy in deltas:
+        d1.step_animated(k1, dx, dy)
+    got = d2.play_animated(k2, deltas)
+    assert got is None
+    assert (np.asarray(d1.rgba) == np.asarray(d2.rgba)).all()
