@@ -242,6 +242,13 @@ def build():
     def _pre_unpack():
         _ff._unpack_crop_kernel(jnp.zeros((_ph, _pw), jnp.uint32), h=H, w=W)
 
+    def _pre_paste():
+        # add_rastered pastes one dispatch per block; its per-(cap, chunk)
+        # programs load here instead of inside the timed scene build.
+        from coherence_tpu.raster.tiled_scene import warmup_paste_programs
+
+        warmup_paste_programs(ATLAS_CAP)
+
     # The initial content render (full_refresh: every tile dirty) uses the
     # dirty kernel at predictable buckets — a SMALL program whose load is a
     # fraction of the run-contiguous full-frame pair's (program-load
@@ -360,6 +367,7 @@ def build():
             _pre_initial_render,
             _pre_animated_loads,
             tile_raster.warmup,
+            _pre_paste,
             _pre_blur_rect,
             _pre_unpack,
             _pre_misc,

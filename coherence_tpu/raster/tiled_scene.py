@@ -75,17 +75,32 @@ def _paste_block_kernel(atlas, block, base):
     return jax.lax.dynamic_update_slice(atlas, block, (base, 0, 0))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _paste_blocks_kernel(atlas, base, *blocks):
-    """Write several pre-built piece blocks contiguously into the (donated)
-    atlas starting at slot `base` — ONE program per (cap, block-shape
-    tuple), and with the fixed-chunk build those block shapes are
-    scene-independent, so a whole scene ingest is one dispatch."""
-    off = 0
-    for blk in blocks:
-        atlas = jax.lax.dynamic_update_slice(atlas, blk, (base + off, 0, 0))
-        off += blk.shape[0]
-    return atlas
+def warmup_paste_programs(cap: int, block_ns=(8, 16, 32, 64, 128, 256)) -> None:
+    """Load the per-block paste programs for a `cap`-slot atlas, one thread
+    per block shape so the loads overlap (CLAUDE.md program-load
+    economics).  add_rastered pastes one dispatch PER BLOCK exactly so its
+    program set is {(cap, n) : n a fixed chunk or pow2 bucket} — closed and
+    scene-independent — instead of one program per (cap, block-shape TUPLE)
+    whose key changes with the scene's chunk mix (a first-visit zoom scale
+    then paid a fresh ~0.5 s program load inside the interactive step)."""
+    import threading
+
+    def one(n):
+        _paste_block_kernel(
+            jnp.zeros((cap, TILE_H, TILE_W), jnp.uint32),
+            jnp.zeros((n, TILE_H, TILE_W), jnp.uint32),
+            0,
+        )
+
+    threads = [
+        threading.Thread(target=one, args=(n,), daemon=True)
+        for n in dict.fromkeys(block_ns)
+        if n <= cap
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("newcap",))
@@ -817,7 +832,17 @@ class TiledScene:
             total += int(blk.shape[0])
         if total:
             self._ensure(total)  # grow at most once for the whole ingest
-            self._data = _paste_blocks_kernel(self._data, off, *blocks)
+            # One paste dispatch per block (donated chain): the program set
+            # is {(cap, block_n)} — block_n a fixed chunk or pow2 bucket —
+            # so it is closed and warmup_paste_programs can preload it.  A
+            # variadic all-blocks paste keyed on the block-shape TUPLE
+            # minted a fresh program whenever the scene's chunk mix
+            # changed (e.g. the first visit of a zoom scale).  Dispatches
+            # are ~0.4 ms each; the loads were ~0.5 s.
+            data = self._data
+            for blk, b in zip(blocks, base):
+                data = _paste_block_kernel(data, blk, b)
+            self._data = data
             self._n_pieces += total
         for key, pieces in registry.items():
             self.pieces[key] = [

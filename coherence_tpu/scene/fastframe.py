@@ -93,6 +93,12 @@ def pretrace_view_programs(width: int, height: int, atlas_cap: int,
         interpret=False,
     )
     _copy_atlas_kernel.trace(S((atlas_cap, TILE_H, TILE_W), np.uint32))
+    for n in (8, 16, 32, 64, 128, 256):
+        _tsm._paste_block_kernel.trace(
+            S((atlas_cap, TILE_H, TILE_W), np.uint32),
+            S((n, TILE_H, TILE_W), np.uint32),
+            0,
+        )
     if blur_radius is not None:
         from ..raster.convolve import mkgaussian
 
@@ -578,6 +584,45 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
             _SCENE_BUILD_CACHE.popitem(last=False)
 
 
+def prewarm_brush_zoom(keyed_objs, nty: int, ntx: int, tmats_list=None) -> None:
+    """Load the brush-tile kernel programs a ZOOM STEP would mint, before
+    the user zooms.
+
+    The brush program key (raster/brush_tiles._brush_group_kernel's static
+    args) depends on the brush's padded-size bucket and the stroke's tile
+    footprint bucket — both change with scale, so the first visit of a zoom
+    scale minted fresh brush programs whose ~1-2 s load (or an XLA compile
+    on a cache-cold machine) landed INSIDE the interactive step:
+    build_tiled_scene overlaps the brush flush with the tile flush, but the
+    load tail exceeded that window (measured 1.2 s of the 2.6 s first-visit
+    4K zoom).  This stages the scene's brush strokes under each transform
+    in `tmats_list` (default: 2x in and 0.5x out about the grid centre —
+    the engine zoom tool's click steps, engine.ml:1083-1090) into scratch
+    builders and flushes them, discarding the pieces: the flush dispatches
+    exactly the programs the real zoom will use (strokes that land
+    off-grid stage empty, like the real build).  Call from an idle/side
+    thread after a scene build."""
+    from .. import transform as tr
+    from ..raster.brush_tiles import BrushTileBuild
+
+    if tmats_list is None:
+        w, h = ntx * TILE_W / 2.0, nty * TILE_H / 2.0
+        tmats_list = [
+            [tr.Translate(w, h), tr.Scale((0.0, 0.0), s, s), tr.Translate(-w, -h)]
+            for s in (2.0, 0.5)
+        ]
+    brushy = [(k, o) for k, o in keyed_objs if _brush_extract(o) is not None]
+    if not brushy:
+        return
+    for tmats in tmats_list:
+        bb = BrushTileBuild(nty, ntx)
+        for key, o in brushy:
+            bext = _brush_extract(R.transform_renderobject_many(list(tmats), o))
+            if bext is not None:
+                bb.add_stroke(key, *bext)
+        bb.flush()
+
+
 def tiled_sprite_of_object(o: R.Obj, width: int, height: int):
     """One object's Sprite assembled from tile-kernel pieces — the cheap
     path when the tile-class programs are already compiled (e.g. the scene
@@ -841,6 +886,32 @@ class DeviceView:
         self.sprites = {}
         self.dirty = set(range(self.ts.nty * self.ts.ntx))
         self.set_scene(scene, tiled=tiled, staged=staged)
+
+    def prefetch_scene(self, scene: List[R.Obj]) -> None:
+        """Speculatively build `scene` into the scene-build cache — e.g.
+        the 2x-zoomed scene the user is likely to visit next — from an
+        idle/side thread.  A later reset_scene(scene', tiled=True) whose
+        staged CONTENT matches (the digest is content-addressed, so the
+        zoom tool re-deriving the same transform hits even with brand-new
+        object ids) then restores in one atlas copy (~0.15 s at 4K)
+        instead of a full stage+upload+build (~1-2.5 s first visit).
+
+        The live view is untouched: the build runs into a scratch
+        TiledScene preallocated to the live atlas capacity (the cache
+        restore requires matching snapshot/atlas shapes).  Scenes with
+        scalar-fallback objects are not digestible and are skipped after
+        the host staging pass (no device work)."""
+        if _SCENE_BUILD_CACHE_MAX <= 0:
+            return
+        keyed = [(o.idset, o) for o in scene]
+        ts = TiledScene(self.pw, self.ph)
+        if self.ts._data is not None:
+            ts._ensure(int(self.ts._data.shape[0]))
+        staged = stage_tiled_scene(ts.nty, ts.ntx, ts.width, ts.height, keyed)
+        digest = staged[5]
+        if digest is None or digest in _SCENE_BUILD_CACHE:
+            return
+        build_tiled_scene(ts, keyed, staged=staged)
 
     def add_object(self, o: R.Obj, index: Optional[int] = None):
         self._install(o, full_sprite_of_object(o), index)

@@ -118,3 +118,57 @@ def test_transformed_stroke():
     )
     got, want = _render_both([o])
     assert (got == want).all()
+
+
+def test_prewarm_brush_zoom_covers_scaled_groups(monkeypatch):
+    """prewarm_brush_zoom must dispatch the SAME brush programs (static
+    shape keys) a real staging of the 2x/0.5x-scaled scene would use, so a
+    first-visit zoom never loads a brush program inside the step."""
+    from coherence_tpu.raster import brush_tiles
+    from coherence_tpu.raster.brush_tiles import BrushTileBuild
+    from coherence_tpu.scene.fastframe import prewarm_brush_zoom
+
+    keys = []
+    real = brush_tiles._brush_group_kernel
+
+    def recording(*args, **kw):
+        keys.append(tuple(sorted(kw.items())))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(brush_tiles, "_brush_group_kernel", recording)
+
+    objs = [
+        _stroke(300.0, 100.0, 50.0, radius=4.0, opacity=0.8),
+        _stroke(120.0, 180.0, 45.0, radius=9.0, opacity=0.4, colour=C.black),
+    ]
+    keyed = [(o.idset, o) for o in objs]
+    nty, ntx = H // 64, W // 128
+    prewarm_brush_zoom(keyed, nty, ntx)
+    prewarmed = set(keys)
+    assert prewarmed, "prewarm dispatched nothing"
+
+    # Real staging of the zoomed scenes (the engine zoom tool's +-2x about
+    # the frame centre) must need no program key beyond the prewarmed set.
+    keys.clear()
+    for s in (2.0, 0.5):
+        tmats = [
+            tr.Translate(W / 2.0, H / 2.0),
+            tr.Scale((0.0, 0.0), s, s),
+            tr.Translate(-W / 2.0, -H / 2.0),
+        ]
+        bb = BrushTileBuild(nty, ntx)
+        for key, o in keyed:
+            o2 = R.transform_renderobject_many(tmats, o)
+            from coherence_tpu.scene.fastframe import _brush_extract
+
+            bext = _brush_extract(o2)
+            assert bext is not None
+            assert bb.add_stroke(key, *bext)
+        bb.flush()
+    assert set(keys) <= prewarmed
+
+
+def test_warmup_paste_programs_runs():
+    from coherence_tpu.raster.tiled_scene import warmup_paste_programs
+
+    warmup_paste_programs(8, block_ns=(8, 16))

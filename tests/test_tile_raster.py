@@ -387,3 +387,52 @@ def test_scene_build_cache_restores_identical_content():
     dv4.set_scene(other, tiled=True)
     dv4.render(full=True)
     assert not (dv4.read() == ref).all()
+
+
+def test_prefetch_scene_makes_reset_a_cache_hit():
+    """DeviceView.prefetch_scene builds a speculative scene into the
+    scene-build cache without touching the live view; a later reset_scene
+    whose staged content matches (fresh object ids) must restore without
+    running any flush, pixel-identical to a from-scratch build."""
+    from coherence_tpu.raster import tile_raster as TR
+    from coherence_tpu.scene import fastframe as FF
+
+    FF._SCENE_BUILD_CACHE_MAX = 2  # the autouse fixture disables + restores
+
+    def scene_a():
+        return [_poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson)]
+
+    def scene_b():
+        return [
+            _poly([(30.0, 200.0), (600.0, 220.0), (300.0, 40.0)], C.wheat),
+            _poly([(5.0, 5.0), (120.0, 10.0), (60.0, 90.0)], C.steelblue,
+                  alpha=140),
+        ]
+
+    # Independent ground truth for scene B.
+    dv_ref = FF.DeviceView(W, H)
+    dv_ref.set_scene(scene_b(), tiled=True)
+    dv_ref.render(full=True)
+    ref = dv_ref.read()
+    FF.scene_build_cache_clear()  # drop ground-truth's own entry
+
+    dv = FF.DeviceView(W, H)
+    dv.set_scene(scene_a(), tiled=True)
+    dv.render(full=True)
+    live_before = dv.read()
+    dv.prefetch_scene(scene_b())  # new ids, same content as scene_b()
+    # The live view is untouched by the prefetch.
+    assert (dv.read() == live_before).all()
+
+    orig_flush = TR.TileBuild.flush
+
+    def boom(self, combined=None):
+        raise AssertionError("cache hit expected: flush must not run")
+
+    TR.TileBuild.flush = boom
+    try:
+        dv.reset_scene(scene_b(), tiled=True)
+    finally:
+        TR.TileBuild.flush = orig_flush
+    dv.render(full=True)
+    assert (dv.read() == ref).all()
