@@ -288,6 +288,16 @@ def config5():
     _cache_cfg()
     import jax.numpy as jnp
 
+    # Load (or on a cache-cold machine, compile) the per-block paste
+    # programs on a side thread DURING the build: add_rastered pastes one
+    # dispatch per block, and paying their program latency serially inside
+    # set_scene put tens of seconds on build_s.
+    from coherence_tpu.raster.tiled_scene import warmup_paste_programs
+
+    threading.Thread(
+        target=warmup_paste_programs, args=(ATLAS_CAP,), daemon=True
+    ).start()
+
     st_th.join()
     t0 = time.time()
     view = DeviceView(W, H, atlas_cap=ATLAS_CAP)
@@ -325,20 +335,16 @@ def config5():
     int(jnp.sum(disp.rgba[::128, ::128, 3]))
     build_s = time.time() - t0
 
-    # Close the tile/paste/brush program sets ahead of the zoom section:
-    # the loads ride the fps loops below instead of the first zoom step
-    # (rest-chunk batches, the per-block pastes of the new chunk mix, and
-    # the brush programs the 2x/0.5x scales mint).
+    # Close the tile/brush program sets ahead of the zoom section: the
+    # loads ride the fps loops below instead of the first zoom step
+    # (rest-chunk batches and the brush programs the 2x/0.5x scales
+    # mint; the paste set was closed during the build above).
     from coherence_tpu.raster.tile_raster import warmup_chunk_programs
-    from coherence_tpu.raster.tiled_scene import warmup_paste_programs
     from coherence_tpu.scene.fastframe import prewarm_brush_zoom
 
     def _close_program_sets():
         ths = [
             threading.Thread(target=warmup_chunk_programs, daemon=True),
-            threading.Thread(
-                target=warmup_paste_programs, args=(ATLAS_CAP,), daemon=True
-            ),
             threading.Thread(
                 target=prewarm_brush_zoom,
                 args=([(o.idset, o) for o in objs], view.ph // TILE_H, view.pw // TILE_W),

@@ -829,6 +829,10 @@ class DeviceView:
         self.frame = _background_kernel(bgvec, h=self.ph, w=self.pw)
         self.order: List[object] = []  # idsets front-to-back
         self.sprites: Dict[object, object] = {}
+        # key -> source R.Obj: tiled builds materialize no Sprite, so
+        # edits that need the geometry (translate of a tiled object)
+        # re-rasterize from here.
+        self.objs: Dict[object, R.Obj] = {}
         self.dirty: Set[int] = set(range(self.ts.nty * self.ts.ntx))
         self.mesh = None
         self._interpret = False
@@ -858,16 +862,18 @@ class DeviceView:
 
         tiled=True uses the tile-normalized rasterizer (a handful of XLA
         programs for the whole scene — the fast cold start); it does not
-        materialize per-object Sprites, so translate_object on such objects
-        re-rasterizes via replace_object instead of shifting a cached
-        raster.  staged: a stage_tiled_scene result for `scene`, if the
-        host sweep already ran (overlapped with backend bring-up)."""
+        materialize per-object Sprites, so the first translate_object on
+        such an object re-rasterizes from the retained geometry (further
+        moves then shift the materialized Sprite).  staged: a
+        stage_tiled_scene result for `scene`, if the host sweep already
+        ran (overlapped with backend bring-up)."""
         self.order = []
         if tiled:
             keyed = [(o.idset, o) for o in scene]
             build_tiled_scene(self.ts, keyed, staged=staged)
             for o in scene:
                 self.sprites[o.idset] = None
+                self.objs[o.idset] = o
                 self.order.append(o.idset)
                 self.dirty |= self._tiles_of(o.idset)
             return
@@ -918,6 +924,7 @@ class DeviceView:
 
     def _install(self, o: R.Obj, spr, index: Optional[int]):
         key = o.idset
+        self.objs[key] = o
         if spr is not None:
             self.ts.add_object(key, spr)
             self.sprites[key] = spr
@@ -951,6 +958,28 @@ class DeviceView:
         old_tiles = self._tiles_of(key)
         spr = self.sprites.get(key)
         if spr is None:
+            # Tiled builds materialize no Sprite: re-rasterize from the
+            # retained geometry with the translate composed in (the tile
+            # programs are already loaded, so this is one cheap dispatch;
+            # afterwards the materialized Sprite makes further moves plain
+            # box shifts).  Also covers an offscreen-culled object moving
+            # back onto the grid.
+            o = self.objs.get(key)
+            if o is None:
+                return
+            # translate_renderobject mints NEW idsets (idset == content is
+            # the render-cache invariant; the alias it registers lets the
+            # scalar path reuse the stored raster translated).  The VIEW
+            # key stays `key` — sprites/pieces/order are keyed by it.
+            o2 = R.translate_renderobject(dx, dy, o)
+            self.objs[key] = o2
+            spr2 = tiled_sprite_of_object(o2, self.pw, self.ph)
+            self.sprites[key] = spr2
+            if spr2 is not None and not region.is_null_sprite(spr2):
+                self.ts.add_object(key, spr2)
+            else:
+                self.ts.pieces[key] = []
+            self.dirty |= old_tiles | self._tiles_of(key)
             return
         moved = translate_sprite(dx, dy, spr)
         self.sprites[key] = moved
@@ -965,6 +994,7 @@ class DeviceView:
         old_tiles = self._tiles_of(key)
         spr = full_sprite_of_object(o)
         self.sprites[o.idset] = spr
+        self.objs[o.idset] = o
         if spr is not None:
             self.ts.add_object(o.idset, spr)
         else:
@@ -972,6 +1002,7 @@ class DeviceView:
         self.order = [o.idset if k == key else k for k in self.order]
         if key != o.idset:
             self.sprites.pop(key, None)
+            self.objs.pop(key, None)
         self.dirty |= old_tiles | self._tiles_of(o.idset)
 
     def restack(self, new_order: List[object]):

@@ -165,3 +165,104 @@ def test_deviceview_fuzz_matches_general_renderer():
         cache.clear()
         expect = general_render(scene, w, h)
         assert np.array_equal(got, expect), f"seed {seed}"
+
+
+def test_translate_tiled_object_rerasterizes():
+    """translate_object on a TILED-built object (no materialized Sprite)
+    must re-rasterize from the retained geometry — pixel-equal to a fresh
+    view with the translated object — and a second translate (now with a
+    materialized Sprite) must keep matching.  Previously this silently
+    no-opped."""
+    import coherence_tpu.transform as tr
+
+    w, h = 256, 128
+    base = circle_obj(100, 64, 40, C.green)
+    blob = circle_obj(50, 40, 15, C.crimson, 170)
+    dv = DeviceView(w, h)
+    dv.set_scene([blob, base], tiled=True)
+    dv.render(full=True)
+    before = dv.read()
+    dv.translate_object(blob.idset, 30, 20)
+    dv.render()
+    got1 = dv.read()
+    assert not np.array_equal(got1, before), "translate was a no-op"
+    dv.translate_object(blob.idset, 10, -5)
+    dv.render()
+    got2 = dv.read()
+
+    def moved(o, dx, dy):
+        return R.Obj(
+            o.idset, o.geometry,
+            tuple(tr.compose(tr.Translate(float(dx), float(dy)),
+                             list(o.transform))),
+            o.compop,
+        )
+
+    cache.clear()
+    dv2 = DeviceView(w, h)
+    dv2.set_scene([moved(blob, 30, 20), base], tiled=True)
+    dv2.render(full=True)
+    assert np.array_equal(got1, dv2.read())
+    cache.clear()
+    dv3 = DeviceView(w, h)
+    dv3.set_scene([moved(blob, 40, 15), base], tiled=True)
+    dv3.render(full=True)
+    assert np.array_equal(got2, dv3.read())
+
+
+def test_translate_tiled_group_object():
+    """A tiled-built GROUP object translates by moving its leaves (group
+    Objs carry no transform of their own)."""
+    import coherence_tpu.transform as tr
+
+    w, h = 256, 128
+    grp = R.Obj(
+        ident.new_ids(),
+        R.Group((circle_obj(40, 40, 20, C.blue, 200),
+                 circle_obj(70, 60, 18, C.red))),
+        (),
+        R.OVER,
+    )
+    dv = DeviceView(w, h)
+    dv.set_scene([grp], tiled=True)
+    dv.render(full=True)
+    dv.translate_object(grp.idset, 25, 10)
+    dv.render()
+    got = dv.read()
+    cache.clear()
+    moved = R.Obj(
+        grp.idset,
+        R.Group(tuple(
+            R.Obj(c.idset, c.geometry,
+                  tuple(tr.compose(tr.Translate(25.0, 10.0), list(c.transform))),
+                  c.compop)
+            for c in grp.geometry.objects
+        )),
+        (),
+        R.OVER,
+    )
+    dv2 = DeviceView(w, h)
+    dv2.set_scene([moved], tiled=True)
+    dv2.render(full=True)
+    assert np.array_equal(got, dv2.read())
+
+
+def test_translate_tiled_offscreen_object_comes_onscreen():
+    """An offscreen-culled tiled object translated back onto the grid must
+    appear (the cull leaves no pieces and no Sprite)."""
+    w, h = 256, 128
+    off = circle_obj(-500, 64, 20, C.blue)
+    base = circle_obj(100, 64, 40, C.green)
+    dv = DeviceView(w, h)
+    dv.set_scene([off, base], tiled=True)
+    dv.render(full=True)
+    before = dv.read()
+    dv.translate_object(off.idset, 550, 0)  # now at x=50, on screen
+    dv.render()
+    got = dv.read()
+    assert not np.array_equal(got, before)
+    cache.clear()
+    dv2 = DeviceView(w, h)
+    dv2.set_scene([circle_obj(50, 64, 20, C.blue), base], tiled=True)
+    dv2.render(full=True)
+    assert np.array_equal(got, dv2.read())
