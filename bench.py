@@ -544,7 +544,10 @@ def main():
     # between two scan lengths so dispatch + sync cost cancels.
     def play(n):
         deltas = [(7, 3), (-7, -3)] * (n // 2)
-        disp.play_animated(blob_key, deltas)
+        # require_scan: if any precondition quietly degrades to per-delta
+        # step_animated, this metric would time tunnel dispatch as device
+        # rate — fail loudly instead.
+        disp.play_animated(blob_key, deltas, require_scan=True)
         return force_done()
 
     t1, t2 = 40, 440

@@ -348,6 +348,7 @@ def config5():
             threading.Thread(
                 target=prewarm_brush_zoom,
                 args=([(o.idset, o) for o in objs], view.ph // TILE_H, view.pw // TILE_W),
+                kwargs=dict(width=W, height=H),
                 daemon=True,
             ),
         ]

@@ -387,12 +387,22 @@ def scene_build_cache_clear() -> None:
 
 
 def _scene_digest_update(h, tag: bytes, *parts) -> None:
+    # Every variable-length piece is length-framed (and arrays carry their
+    # dtype+shape) so distinct part sequences can never concatenate to the
+    # same byte stream — the digest is a content ADDRESS; an alias would
+    # silently restore the wrong scene's atlas snapshot.
+    h.update(len(tag).to_bytes(4, "big"))
     h.update(tag)
     for p in parts:
         if isinstance(p, np.ndarray):
-            h.update(np.ascontiguousarray(p).tobytes())
+            head = repr((p.dtype.str, p.shape)).encode()
+            h.update(len(head).to_bytes(4, "big"))
+            h.update(head)
+            b = np.ascontiguousarray(p).tobytes()
         else:
-            h.update(repr(p).encode())
+            b = repr(p).encode()
+        h.update(len(b).to_bytes(8, "big"))
+        h.update(b)
 
 
 def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
@@ -416,7 +426,7 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
     (build_tiled_scene)."""
     import hashlib
 
-    from ..raster.brush_tiles import BrushTileBuild, points_of_brushstroke
+    from ..raster.brush_tiles import BrushTileBuild
     from ..raster.tile_raster import TileBuild
 
     W, H = width, height
@@ -442,10 +452,13 @@ def stage_tiled_scene(nty: int, ntx: int, width: int, height: int, keyed_objs,
                 continue
             bext = _brush_extract(o)
             if bext is not None and bb.add_stroke(key, *bext):
+                # Hash the brushstroke STRUCTURE (frozen dataclasses with
+                # exact float reprs) — it fully determines the staged
+                # stamps, and repr is O(segments) where re-walking
+                # points_of_brushstroke would repeat add_stroke's dominant
+                # per-stroke cost.
                 brushstroke, fill4 = bext
-                (opacity, kind), _path = brushstroke
-                pts = np.asarray(points_of_brushstroke(brushstroke), np.float64)
-                _scene_digest_update(h, b"brush", pts, opacity, kind, fill4)
+                _scene_digest_update(h, b"brush", brushstroke, fill4)
                 continue
             fallback.append((key, o))
             digestible = False
@@ -549,7 +562,10 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
     bres: dict = {}
 
     def _brush_flush():
-        bres["b"] = bb.flush()
+        try:
+            bres["b"] = bb.flush()
+        except BaseException as e:  # re-raised on the main thread below
+            bres["err"] = e
 
     bth = _threading.Thread(target=_brush_flush, daemon=True)
     bth.start()
@@ -558,6 +574,8 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
     ts.add_rastered(registry, blocks)
     _tick("paste into atlas")
     bth.join()
+    if "err" in bres:
+        raise bres["err"]
     bblocks, bregistry = bres["b"]
     ts.add_rastered(bregistry, bblocks)
     _tick("brush flush+paste")
@@ -584,7 +602,8 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
             _SCENE_BUILD_CACHE.popitem(last=False)
 
 
-def prewarm_brush_zoom(keyed_objs, nty: int, ntx: int, tmats_list=None) -> None:
+def prewarm_brush_zoom(keyed_objs, nty: int, ntx: int, tmats_list=None,
+                       width: int = None, height: int = None) -> None:
     """Load the brush-tile kernel programs a ZOOM STEP would mint, before
     the user zooms.
 
@@ -606,7 +625,14 @@ def prewarm_brush_zoom(keyed_objs, nty: int, ntx: int, tmats_list=None) -> None:
     from ..raster.brush_tiles import BrushTileBuild
 
     if tmats_list is None:
-        w, h = ntx * TILE_W / 2.0, nty * TILE_H / 2.0
+        # Scale about the LOGICAL frame centre when the caller gives it —
+        # the engine zoom tool uses W/2, H/2 of the frame, and at non
+        # tile-multiple sizes (4K: H=2160 pads to 2176) the padded-grid
+        # centre is off by half the padding, enough to shift strokes near
+        # a tile boundary into a different footprint bucket (i.e. a brush
+        # program this prewarm would then NOT have loaded).
+        w = (width if width is not None else ntx * TILE_W) / 2.0
+        h = (height if height is not None else nty * TILE_H) / 2.0
         tmats_list = [
             [tr.Translate(w, h), tr.Scale((0.0, 0.0), s, s), tr.Translate(-w, -h)]
             for s in (2.0, 0.5)
@@ -1475,7 +1501,8 @@ class FilteredDisplay:
         view.dirty.clear()
         self.rgba = display
 
-    def play_animated(self, key, deltas, capture_every: int = 0):
+    def play_animated(self, key, deltas, capture_every: int = 0,
+                      require_scan: bool = False):
         """Render a whole animation of per-step (dx, dy) moves of `key` in
         ONE device dispatch (`lax.scan` of the fused animated-with-filter
         frame; see _play_animated_kernel).  Semantically identical to
@@ -1489,14 +1516,19 @@ class FilteredDisplay:
         Falls back to sequential step_animated when the scan cannot be
         staged uniformly: pending non-animated dirt, a mesh, an
         unreserved key, a step leaving the reserved capacity, or blur
-        windows straddling bucket sizes."""
+        windows straddling bucket sizes.  require_scan=True raises
+        RuntimeError (with the reason) instead of falling back — callers
+        that MEASURE the scanned path (bench.py's device-rate metric)
+        must not silently time the sequential one."""
         view = self.view
         ts = view.ts
         spr = view.sprites.get(key)
         if capture_every and len(deltas) % capture_every:
             raise ValueError("capture_every must divide len(deltas)")
 
-        def fallback():
+        def fallback(reason):
+            if require_scan:
+                raise RuntimeError(f"play_animated scan unavailable: {reason}")
             frames = []
             for i, (dx, dy) in enumerate(deltas):
                 self.step_animated(key, dx, dy)
@@ -1511,7 +1543,7 @@ class FilteredDisplay:
             or view.dirty
             or not deltas
         ):
-            return fallback()
+            return fallback("unreserved key, mesh, pending dirt, or no deltas")
 
         from ..raster.framepath import blur_window
 
@@ -1527,19 +1559,19 @@ class FilteredDisplay:
             except ValueError:  # step outgrows the reserved capacity
                 got = None
             if got is None:
-                return fallback()
+                return fallback("step leaves the reserved slot capacity")
             oys, oxs, base, entries = got
             dirty_box = region.box_union(prev.box, moved.box)
             win = blur_window(
                 dirty_box, self.box, self.kernel.radius, view.height, view.width
             )
             if win is None:
-                return fallback()
+                return fallback("empty blur window")
             d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = win
             if statics is None:
                 statics = (base, hb, wb)
             elif statics != (base, hb, wb):
-                return fallback()
+                return fallback("blur windows straddle bucket sizes")
             dirty_tiles = self._window_tiles(oy, ox, ry0, rx0, h, w)
             dirty_tiles |= {t for t, _ in prev_entries}
             dirty_tiles |= {t for t, _ in entries}
@@ -1547,7 +1579,7 @@ class FilteredDisplay:
                 view.order, dirty_tiles, pieces_override={key: entries}
             )
             if args is None:
-                return fallback()
+                return fallback("dirty args unavailable for a step")
             coords, spans, idxs, n_slots = args
             steps.append(
                 (oys, oxs, coords, spans, idxs,

@@ -367,3 +367,10 @@ def test_play_animated_fallback_paths():
     got = d2.play_animated(k2, deltas)
     assert got is None
     assert (np.asarray(d1.rgba) == np.asarray(d2.rgba)).all()
+
+    # require_scan: measurement callers (bench.py device-rate metric) must
+    # get a loud error instead of silently timing the sequential path.
+    import pytest
+
+    with pytest.raises(RuntimeError, match="scan unavailable"):
+        d2.play_animated(k2, deltas, require_scan=True)

@@ -168,6 +168,70 @@ def test_prewarm_brush_zoom_covers_scaled_groups(monkeypatch):
     assert set(keys) <= prewarmed
 
 
+def test_prewarm_brush_zoom_nontile_frame_centre(monkeypatch):
+    """At a frame size that pads to a larger tile grid (the 4K case:
+    H=2160 -> 2176) the zoom tool still scales about the LOGICAL frame
+    centre; prewarm_brush_zoom(width=, height=) must cover the programs
+    that staging mints, not the padded-grid-centre ones."""
+    from coherence_tpu.raster import brush_tiles
+    from coherence_tpu.raster.brush_tiles import BrushTileBuild
+    from coherence_tpu.scene.fastframe import _brush_extract, prewarm_brush_zoom
+
+    lw, lh = 500, 200  # logical frame; pads to 512 x 256 (4 x 4 tiles)
+    nty, ntx = H // 64, W // 128
+
+    keys = []
+    real = brush_tiles._brush_group_kernel
+
+    def recording(*args, **kw):
+        keys.append(tuple(sorted(kw.items())))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(brush_tiles, "_brush_group_kernel", recording)
+
+    objs = [
+        # Near a tile boundary so a centre shifted by half the padding can
+        # change the stroke's tile-footprint bucket.
+        _stroke(260.0, 130.0, 50.0, radius=4.0, opacity=0.8),
+        _stroke(120.0, 64.0, 45.0, radius=9.0, opacity=0.4, colour=C.black),
+    ]
+    keyed = [(o.idset, o) for o in objs]
+    prewarm_brush_zoom(keyed, nty, ntx, width=lw, height=lh)
+    prewarmed = set(keys)
+    assert prewarmed, "prewarm dispatched nothing"
+
+    keys.clear()
+    for s in (2.0, 0.5):
+        tmats = [
+            tr.Translate(lw / 2.0, lh / 2.0),
+            tr.Scale((0.0, 0.0), s, s),
+            tr.Translate(-lw / 2.0, -lh / 2.0),
+        ]
+        bb = BrushTileBuild(nty, ntx)
+        for key, o in keyed:
+            o2 = R.transform_renderobject_many(tmats, o)
+            bext = _brush_extract(o2)
+            assert bext is not None
+            assert bb.add_stroke(key, *bext)
+        bb.flush()
+    assert set(keys) <= prewarmed
+
+
+def test_build_tiled_scene_brush_flush_error_propagates(monkeypatch):
+    """An exception on the side-thread brush flush must surface as itself
+    on the calling thread, not as a bare KeyError('b')."""
+    from coherence_tpu.raster.brush_tiles import BrushTileBuild
+
+    def boom(self):
+        raise RuntimeError("synthetic brush flush failure")
+
+    monkeypatch.setattr(BrushTileBuild, "flush", boom)
+    objs = [_stroke(128.0, 64.0, 40.0)]
+    ts = TiledScene(W, H)
+    with pytest.raises(RuntimeError, match="synthetic brush flush"):
+        build_tiled_scene(ts, [(o.idset, o) for o in objs])
+
+
 def test_warmup_paste_programs_runs():
     from coherence_tpu.raster.tiled_scene import warmup_paste_programs
 
