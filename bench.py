@@ -551,19 +551,25 @@ def main():
         return force_done()
 
     t1, t2 = 40, 440
-    play(t1)  # compile + program load, untimed
-    play(t2)
-    device_ms = None
-    for _ in range(3):
-        t0 = time.time()
-        play(t1)
-        a = time.time() - t0
-        t0 = time.time()
+    device_ms = device_fps = None
+    try:
+        play(t1)  # compile + program load, untimed
         play(t2)
-        b = time.time() - t0
-        d = (b - a) / (t2 - t1) * 1e3
-        device_ms = d if device_ms is None else min(device_ms, d)
-    device_fps = 1e3 / max(1e-6, device_ms)
+        for _ in range(3):
+            t0 = time.time()
+            play(t1)
+            a = time.time() - t0
+            t0 = time.time()
+            play(t2)
+            b = time.time() - t0
+            d = (b - a) / (t2 - t1) * 1e3
+            device_ms = d if device_ms is None else min(device_ms, d)
+        device_fps = 1e3 / max(1e-6, device_ms)
+    except RuntimeError as e:
+        # Scan preconditions failed: report the headline without a bogus
+        # device-rate number rather than dying (or silently timing the
+        # sequential fallback, which is what require_scan prevents).
+        print(f"# device-rate playback skipped: {e}", flush=True)
 
     result = {
         "metric": "lion_1080p_blurfilter_sprite_fps",
@@ -573,8 +579,8 @@ def main():
         "extra": {
             "plain_sprite_fps": round(fps_plain, 2),
             "dirty_mpix_per_s": round(mpix_s, 1),
-            "device_frame_ms": round(device_ms, 4),
-            "device_fps": round(device_fps),
+            "device_frame_ms": None if device_ms is None else round(device_ms, 4),
+            "device_fps": None if device_fps is None else round(device_fps),
             "build_s": round(build_time - BACKEND_INIT_S, 1),
             "backend_init_s": round(BACKEND_INIT_S, 1),
             "blur_radius": BLUR_RADIUS,
