@@ -685,6 +685,13 @@ class TiledScene:
         # across edits within a capacity bucket — no recompiles/reloads.
         self._data: Optional[jnp.ndarray] = None
         self._n_pieces = 0
+        # Free pool: sorted disjoint coalesced (start, len) runs of slots
+        # below _n_pieces whose objects were replaced/removed.  Recycled by
+        # later allocations (every ingest kernel fully overwrites each
+        # allocated slot before its entry is installed, so stale content is
+        # never visible); without it, dragging a non-animated object or
+        # repeatedly editing a scene grows the atlas without bound.
+        self._free_runs: List[Tuple[int, int]] = []
         # object id -> list of (tile_index, atlas_entry), with reverse index
         self.pieces: PieceMap = PieceMap()
         # animated objects: key -> (slot base, capacity)
@@ -704,6 +711,7 @@ class TiledScene:
         if self._data is not None:
             self._data = jnp.zeros(self._data.shape, jnp.uint32)
         self._n_pieces = 0
+        self._free_runs = []
         self.pieces = PieceMap()
         self._reserved = {}
         self._order_cache = None
@@ -729,6 +737,85 @@ class TiledScene:
                 cap *= 2
             self._data = _grow_atlas_kernel(self._data, newcap=cap)
 
+    def _alloc(self, k: int) -> int:
+        """Allocate `k` contiguous atlas slots: best-fit from the free pool
+        (exact fits are common — a drag replaces an object with an
+        identical piece count), else append beyond _n_pieces.  The caller
+        MUST fully overwrite slots [base, base+k) before installing
+        entries that reference them."""
+        best = None
+        for i, (start, ln) in enumerate(self._free_runs):
+            if ln >= k and (best is None or ln < self._free_runs[best][1]):
+                best = i
+                if ln == k:
+                    break
+        if best is not None:
+            start, ln = self._free_runs[best]
+            if ln == k:
+                self._free_runs.pop(best)
+            else:
+                self._free_runs[best] = (start + k, ln - k)
+            return start
+        self._ensure(k)
+        base = self._n_pieces
+        self._n_pieces += k
+        return base
+
+    def _free_entries(self, entries) -> None:
+        """Return entries' atlas slots to the free pool (coalesced runs).
+        _n_pieces never shrinks — slots >= _n_pieces must stay ZERO (the
+        spare-capacity invariant reserve_slots and _grow rely on), and
+        freed slots may hold stale content."""
+        slots = sorted(e for _, e in entries)
+        if not slots:
+            return
+        runs = []
+        s0 = prev = slots[0]
+        for s in slots[1:]:
+            if s == prev + 1:
+                prev = s
+            else:
+                runs.append((s0, prev - s0 + 1))
+                s0 = prev = s
+        runs.append((s0, prev - s0 + 1))
+        merged = sorted(self._free_runs + runs)
+        out: List[Tuple[int, int]] = []
+        for start, ln in merged:
+            if out and start <= out[-1][0] + out[-1][1]:
+                pe = out[-1][0] + out[-1][1]
+                assert start == pe, "double-free of atlas slots"
+                out[-1] = (out[-1][0], start + ln - out[-1][0])
+            else:
+                out.append((start, ln))
+        self._free_runs = out
+
+    def _free_object(self, key) -> None:
+        """Free `key`'s current slots ahead of replacement: the whole
+        reserved run for an animated object, else its piece entries."""
+        res = self._reserved.get(key)
+        if res is not None:
+            base, cap = res
+            del self._reserved[key]
+            self._free_entries([(0, base + j) for j in range(cap)])
+            self.pieces.pop(key, None)
+        else:
+            old = self.pieces.pop(key, None)
+            if old:
+                self._free_entries(old)
+
+    def remove_object(self, key) -> None:
+        """Delete an object from the scene: its slots (and any reserved
+        run) return to the free pool for reuse by later adds.  The caller
+        is responsible for dirtying its tiles and dropping it from the
+        compositing order."""
+        self._free_object(key)
+
+    def set_empty(self, key) -> None:
+        """Install an empty piece list for `key`, freeing any slots its
+        previous pieces held (offscreen-translated objects)."""
+        self._free_object(key)
+        self.pieces[key] = []
+
     def _order_pos(self, order) -> Dict[object, int]:
         cached = self._order_cache
         if cached is not None and cached[0] is order and cached[1] == len(order):
@@ -751,21 +838,26 @@ class TiledScene:
             for ty in range(ty_lo, ty_hi + 1)
             for tx in range(tx_lo, tx_hi + 1)
         ]
+        # Replacing a non-reserved key: recycle its old slots (freeing
+        # FIRST gives the usual same-piece-count drag an exact-fit reuse).
+        if key not in self._reserved:
+            old = self.pieces.get(key)
+            if old:
+                self._free_entries(old)
+                self.pieces[key] = []
         if not coords:
             self.pieces[key] = []
             return
         # piece[r, c] = packed[(ty*TH + r) - (y0-1), (tx*TW + c) - (x0-1)]
         oys = np.asarray([ty * TILE_H - (y0 - 1) for ty, _ in coords], np.int32)
         oxs = np.asarray([tx * TILE_W - (x0 - 1) for _, tx in coords], np.int32)
-        self._ensure(len(coords))
-        base = self._n_pieces
+        base = self._alloc(len(coords))
         # ONE fused dispatch (pack + shatter + paste) — the same program the
         # animated in-place update uses, so it is usually already loaded.
         self._data = _shatter_into_kernel(self._data, spr.rgba, oys, oxs, base)
         entries = []
         for j, (ty, tx) in enumerate(coords):
             entries.append((ty * self.ntx + tx, base + j))
-        self._n_pieces += len(coords)
         self.pieces[key] = entries
 
     def add_boxes(self, items) -> None:
@@ -779,8 +871,10 @@ class TiledScene:
         ingests in a single kernel instead of ~4000 round trips."""
         metas: List[List[int]] = []
         regs: List[Tuple[object, List[Tuple[int, int]]]] = []
-        base = self._n_pieces
         for key, box, rgba in items:
+            if key not in self._reserved and self.pieces.get(key):
+                self._free_entries(self.pieces[key])
+                self.pieces[key] = []
             x0, y0, x1, y1 = box
             tx_lo = max(0, (x0 - 1) // TILE_W)
             tx_hi = min(self.ntx - 1, (x1 - 1) // TILE_W)
@@ -789,7 +883,7 @@ class TiledScene:
             entries = []
             for ty in range(ty_lo, ty_hi + 1):
                 for tx in range(tx_lo, tx_hi + 1):
-                    entries.append((ty * self.ntx + tx, base + len(metas)))
+                    entries.append((ty * self.ntx + tx, len(metas)))
                     metas.append(
                         [
                             (x0 - 1) - tx * TILE_W,
@@ -812,26 +906,31 @@ class TiledScene:
             nb *= 2
         meta = np.zeros((nb, 8), dtype=np.int32)
         meta[:n] = np.asarray(metas, dtype=np.int32)
-        self._ensure(nb)
-        # padding rows (w == h == 0) write zero pieces into their slots,
-        # preserving the spare-capacity zero invariant.
+        base = self._alloc(nb)
+        # padding rows (w == h == 0) write zero pieces into their slots —
+        # full-slot writes, so a recycled run is safe here too.
         self._data = _box_pieces_into_kernel(self._data, meta, base)
-        self._n_pieces += nb
         for key, entries in regs:
-            self.pieces[key] = entries
+            self.pieces[key] = [(tile, base + e) for tile, e in entries]
 
     def add_rastered(self, registry, blocks) -> None:
         """Ingest pieces produced by the tile-normalized batched rasterizer
         (raster/tile_raster): `blocks` is a list of (n, TILE_H, TILE_W) u32
         device arrays, `registry` maps key -> [(tile, block_id, slot)]."""
+        for key in registry:
+            if key not in self._reserved and self.pieces.get(key):
+                self._free_entries(self.pieces[key])
+                self.pieces[key] = []
+        sizes = [int(blk.shape[0]) for blk in blocks]
+        total = sum(sizes)
+        # ONE contiguous run for all blocks (exact-fit reuse when a scene
+        # content of the same piece count was just replaced).
+        off = self._alloc(total) if total else 0
         base = []
-        off = self._n_pieces
-        total = 0
-        for blk in blocks:
-            base.append(off + total)
-            total += int(blk.shape[0])
+        for sz in sizes:
+            base.append(off)
+            off += sz
         if total:
-            self._ensure(total)  # grow at most once for the whole ingest
             # One paste dispatch per block (donated chain): the program set
             # is {(cap, block_n)} — block_n a fixed chunk or pow2 bucket —
             # so it is closed and warmup_paste_programs can preload it.  A
@@ -843,7 +942,6 @@ class TiledScene:
             for blk, b in zip(blocks, base):
                 data = _paste_block_kernel(data, blk, b)
             self._data = data
-            self._n_pieces += total
         for key, pieces in registry.items():
             self.pieces[key] = [
                 (tile, base[b] + slot) for tile, b, slot in pieces
@@ -854,6 +952,9 @@ class TiledScene:
         pieces update in place every frame (update_object_inplace) instead
         of appending a fresh block per move — the atlas stays fixed-size
         and no per-frame concatenation/upload happens."""
+        # Append-only (never _alloc from the free pool): reserved slots
+        # must start ZERO — nothing writes them until the first in-place
+        # update — and recycled slots hold stale content.
         base = self._n_pieces
         self._ensure(cap)  # reserved slots start zero (spare-capacity invariant)
         self._n_pieces += cap

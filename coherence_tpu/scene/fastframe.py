@@ -543,6 +543,7 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
             _SCENE_BUILD_CACHE.move_to_end(digest)
             ts._data = _copy_atlas_kernel(snap_data)
             ts._n_pieces = snap_n
+            ts._free_runs = []
             for (key, _o), entries in zip(keyed_objs, snap_entries):
                 ts.pieces[key] = entries
             _tick("scene-build cache restore (atlas copy + piece lists)")
@@ -1004,7 +1005,7 @@ class DeviceView:
             if spr2 is not None and not region.is_null_sprite(spr2):
                 self.ts.add_object(key, spr2)
             else:
-                self.ts.pieces[key] = []
+                self.ts.set_empty(key)  # frees the old pieces' slots
             self.dirty |= old_tiles | self._tiles_of(key)
             return
         moved = translate_sprite(dx, dy, spr)
@@ -1029,7 +1030,20 @@ class DeviceView:
         if key != o.idset:
             self.sprites.pop(key, None)
             self.objs.pop(key, None)
+            # The old key's pieces are no longer in the order: free their
+            # atlas slots (they leaked before).
+            self.ts.remove_object(key)
         self.dirty |= old_tiles | self._tiles_of(o.idset)
+
+    def remove_object(self, key) -> None:
+        """Delete an object from the scene: its tiles go dirty and its
+        atlas slots (the whole reserved run for an animated object) return
+        to the free pool — the atlas never grows from delete/re-add churn."""
+        self.dirty |= self._tiles_of(key)
+        self.ts.remove_object(key)
+        self.order = [k for k in self.order if k != key]
+        self.sprites.pop(key, None)
+        self.objs.pop(key, None)
 
     def restack(self, new_order: List[object]):
         """Depth changes: tiles where relative order changed go dirty."""

@@ -747,3 +747,112 @@ def test_render_full_deep_stack_pipeline():
     a = np.asarray(ts.render(bg, starts, idxs))
     b = np.asarray(ts.render_full(bg, starts, idxs))
     assert (a == b).all()
+
+
+def _mk_sprite(x0, y0, w, h, col=None, alpha=200):
+    col = C.dissolve(C.steelblue, delta=alpha) if col is None else col
+    return region.fillshape(
+        shape_of_box((x0, y0, x0 + w - 1, y0 + h - 1)), rfills.plain(col)
+    )
+
+
+def test_slot_recycling_bounds_atlas_under_translate_churn():
+    """A non-animated object replaced (translated) many times must recycle
+    its atlas slots: capacity stays bounded and the final frame equals a
+    fresh single-build of the same end state."""
+    W, H = TILE_W * 3, TILE_H * 3
+    ts = TS.TiledScene(W, H)
+    ts.add_object("bg", _mk_sprite(1, 1, W, H, col=C.darkolivegreen, alpha=255))
+    spr = _mk_sprite(10, 10, 90, 50)
+    ts.add_object("mover", spr)
+    cap0 = int(ts.atlas().shape[0])
+    for step in range(40):
+        dx = 3 if step % 2 == 0 else -2
+        spr = region.translate_sprite(dx, 1, spr)
+        ts.add_object("mover", spr)
+    assert int(ts.atlas().shape[0]) == cap0, "atlas grew under churn"
+    fresh = TS.TiledScene(W, H)
+    fresh.add_object("bg", _mk_sprite(1, 1, W, H, col=C.darkolivegreen, alpha=255))
+    fresh.add_object("mover", spr)
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    order = ["mover", "bg"]
+    a = np.asarray(ts.render(bg, *ts.build_lists(order)))
+    b = np.asarray(fresh.render(bg, *fresh.build_lists(order)))
+    assert np.array_equal(a, b)
+
+
+def test_remove_object_frees_slots_and_matches_rebuild():
+    """remove_object returns slots to the pool; a subsequent add reuses
+    them (no growth) and rendering matches a scene never containing the
+    removed object."""
+    W, H = TILE_W * 3, TILE_H * 3
+    ts = TS.TiledScene(W, H)
+    ts.add_object("a", _mk_sprite(5, 5, 60, 40))
+    ts.add_object("victim", _mk_sprite(70, 30, 120, 80, col=C.crimson, alpha=255))
+    ts.add_object("b", _mk_sprite(200, 100, 50, 50, col=C.gold, alpha=255))
+    cap0 = int(ts.atlas().shape[0])
+    n0 = ts._n_pieces
+    ts.remove_object("victim")
+    assert "victim" not in ts.pieces
+    assert sum(ln for _, ln in ts._free_runs) > 0
+    # Re-add an object of the same footprint: exact-fit reuse, no append.
+    ts.add_object("victim2", _mk_sprite(70, 30, 120, 80, col=C.teal, alpha=255))
+    assert ts._n_pieces == n0
+    assert int(ts.atlas().shape[0]) == cap0
+
+    fresh = TS.TiledScene(W, H)
+    fresh.add_object("a", _mk_sprite(5, 5, 60, 40))
+    fresh.add_object("victim2", _mk_sprite(70, 30, 120, 80, col=C.teal, alpha=255))
+    fresh.add_object("b", _mk_sprite(200, 100, 50, 50, col=C.gold, alpha=255))
+    bg = pack_rgba(jnp.asarray(np.full((H, W, 4), 255), jnp.int32))
+    order = ["a", "victim2", "b"]
+    a = np.asarray(ts.render(bg, *ts.build_lists(order)))
+    b = np.asarray(fresh.render(bg, *fresh.build_lists(order)))
+    assert np.array_equal(a, b)
+
+
+def test_remove_reserved_object_frees_run():
+    W, H = TILE_W * 2, TILE_H * 2
+    ts = TS.TiledScene(W, H)
+    ts.reserve_slots("anim", 6)
+    ts.update_object_inplace("anim", _mk_sprite(20, 20, 30, 30))
+    assert ts.pieces["anim"]
+    ts.remove_object("anim")
+    assert "anim" not in ts._reserved
+    assert sum(ln for _, ln in ts._free_runs) >= 6
+
+
+def test_free_alloc_run_bookkeeping_fuzz():
+    """Pure host fuzz of the run allocator: allocations never overlap live
+    allocations, the free list stays sorted/disjoint/coalesced, and
+    double-free asserts."""
+    rng = np.random.default_rng(7)
+    ts = TS.TiledScene(TILE_W, TILE_H)
+    ts._ensure(0)
+    live = {}  # tag -> (base, k)
+    for step in range(300):
+        if live and rng.random() < 0.45:
+            tag = list(live)[int(rng.integers(0, len(live)))]
+            base, k = live.pop(tag)
+            ts._free_entries([(0, base + j) for j in range(k)])
+        else:
+            k = int(rng.integers(1, 9))
+            base = ts._alloc(k)
+            span = set(range(base, base + k))
+            for b2, k2 in live.values():
+                assert not span & set(range(b2, b2 + k2)), "overlapping alloc"
+            live[f"t{step}"] = (base, k)
+        # free-list invariants
+        prev_end = -1
+        for start, ln in ts._free_runs:
+            assert ln > 0 and start > prev_end, "unsorted/overlapping free runs"
+            assert start + ln <= ts._n_pieces
+            prev_end = start + ln  # abutting runs must have coalesced
+        for start, ln in ts._free_runs:
+            for b2, k2 in live.values():
+                assert not (set(range(start, start + ln)) & set(range(b2, b2 + k2)))
+    # double-free detection
+    base = ts._alloc(3)
+    ts._free_entries([(0, base + j) for j in range(3)])
+    with pytest.raises(AssertionError):
+        ts._free_entries([(0, base)])
