@@ -100,6 +100,9 @@ class ImageAttributes:
     image_transform: "Matrix"
     image_transparency: float = 1.0
     image_softmask: object = None  # resolved /SMask value from ExtGState
+    # BEYOND REFERENCE (mli stops at the three above): the nonstroke colour
+    # current at the Do op, painted through stencil masks (/ImageMask).
+    image_fill: object = None  # (colourspace, components) or None
 
 
 @dataclass
@@ -109,6 +112,9 @@ class Image:
     attributes: ImageAttributes
     objnum: int
     name: str = ""
+    # BEYOND REFERENCE: the resolved Stream when the XObject resource was
+    # embedded directly rather than by indirect reference (objnum -1).
+    stream: object = None
 
 
 @dataclass
@@ -118,6 +124,8 @@ class GraphicInlineImage:
     dict: dict
     data: bytes
     transform: "Matrix" = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    # BEYOND REFERENCE: nonstroke colour at BI time, for /ImageMask paint.
+    fill: object = None  # (colourspace, components) or None
 
 
 @dataclass
@@ -1105,9 +1113,10 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         objnum = raw_ref.num if isinstance(raw_ref, Ref) else -1
                         sinks[-1].append(
                             Image(
-                                ImageAttributes(gs.ctm, gs.ca, gs.softmask),
+                                ImageAttributes(gs.ctm, gs.ca, gs.softmask, gs.fill),
                                 objnum,
                                 name.v,
+                                xo if objnum < 0 else None,
                             )
                         )
             elif op == "BI":
@@ -1153,7 +1162,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     else:
                         data = tail
                         lex.p = len(lex.d)
-                sinks[-1].append(GraphicInlineImage(d, bytes(data), gs.ctm))
+                sinks[-1].append(
+                    GraphicInlineImage(d, bytes(data), gs.ctm, gs.fill)
+                )
             elif op == "BT":
                 in_text = True
                 text_ops = []
@@ -1233,15 +1244,17 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                             ctr.matmul(tmat, a.image_transform),
                             a.image_transparency,
                             a.image_softmask,
+                            a.image_fill,
                         ),
                         el.objnum,
                         el.name,
+                        el.stream,
                     )
                 )
             elif isinstance(el, GraphicInlineImage):
                 out.append(
                     GraphicInlineImage(
-                        el.dict, el.data, ctr.matmul(tmat, el.transform)
+                        el.dict, el.data, ctr.matmul(tmat, el.transform), el.fill
                     )
                 )
             elif isinstance(el, GShading):

@@ -393,3 +393,58 @@ class TextureFill(Fill):
 
 def texture(tex, bbox, xstep, ystep, matrix) -> TextureFill:
     return TextureFill(tex, bbox, xstep, ystep, matrix)
+
+
+class ImageFill(Fill):
+    """One-shot image fill for PDF image XObjects.  BEYOND REFERENCE:
+    ``fill.ml`` has no image kind and the reference drops Image elements at
+    scene conversion (render.ml:1524-1565); scene/pdfscene decodes them
+    (io/pdfimages) and paints through this fill.
+
+    ``tex`` is a premultiplied int64 (th, tw, 4) plane, row 0 = the image's
+    TOP sample row.  ``matrix`` maps image space — the unit square, (0, 0)
+    at the bottom-left per PDF 8.9.5.2 — to the fill's target space, and
+    composes under ``transform`` exactly like TextureFill's.  Sampling is
+    nearest-texel; outside the unit square is transparent (the clip path /
+    placement quad normally bounds the fill exactly)."""
+
+    kind = FANCY
+
+    def __init__(self, tex, matrix):
+        self.tex = np.ascontiguousarray(np.asarray(tex, dtype=np.int64))
+        self.matrix = tuple(float(v) for v in matrix)
+
+    def image(self, box, H, W):
+        th, tw = self.tex.shape[:2]
+        xs, ys = _grid(box, H, W)
+        a, b, c, d, e, f = tr.invert_matrix(self.matrix)
+        u = a * xs + c * ys + e
+        v = b * xs + d * ys + f
+        inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+        iu = np.clip((u * tw).astype(np.int64), 0, tw - 1)
+        iv = np.clip((v * th).astype(np.int64), 0, th - 1)
+        out = self.tex[th - 1 - iv, iu]  # v grows upward; row 0 is the top
+        return np.where(inside[..., None], out, 0).astype(np.int32)
+
+    def single(self, x, y):
+        img = self.image((x, y, x, y), 1, 1)[0, 0]
+        return C.colour_of_rgba(*(int(v) for v in img))
+
+    def transform(self, t):
+        m = tr.matmul(tr.matrix_of_transform(t), self.matrix)
+        return ImageFill(self.tex, m)
+
+    def changecolour(self, f):
+        th, tw = self.tex.shape[:2]
+        flat = self.tex.reshape(-1, 4)
+        keys = (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
+        uniq, inverse = np.unique(keys, return_inverse=True)
+        lut = np.empty((len(uniq), 4), dtype=np.int64)
+        for i, k in enumerate(uniq):
+            rgba = (int(k >> 24) & 255, int(k >> 16) & 255, int(k >> 8) & 255, int(k) & 255)
+            lut[i] = C.rgba_of_colour(f(C.colour_of_rgba(*rgba)))
+        return ImageFill(lut[inverse].reshape(th, tw, 4), self.matrix)
+
+
+def image_fill(tex, matrix) -> ImageFill:
+    return ImageFill(tex, matrix)

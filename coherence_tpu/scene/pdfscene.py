@@ -192,6 +192,89 @@ def _packed_of_cs_vals(colourspace, vals) -> int:
     return C.colour_of_rgba_float(r, g, b, 1.0)
 
 
+def _rgb_triple_of_cs_vals(colourspace, vals):
+    """(r, g, b) floats from (colourspace, components)."""
+    if colourspace == PG.DEVICE_RGB and len(vals) == 3:
+        return tuple(float(v) for v in vals)
+    if colourspace == PG.DEVICE_CMYK and len(vals) == 4:
+        return rgb_of_cmyk(*vals)
+    if colourspace == PG.DEVICE_GRAY and len(vals) == 1:
+        g = float(vals[0])
+        return (g, g, g)
+    return (0.0, 0.0, 0.0)
+
+
+def _quad_path(corners):
+    """Closed even-odd path over 4 (x, y) corners."""
+    return gshapes.Path(
+        gshapes.EVEN_ODD,
+        (
+            gshapes.Subpath(
+                False,
+                True,
+                tuple(
+                    gshapes.Straight(corners[i], corners[(i + 1) % 4])
+                    for i in range(4)
+                ),
+            ),
+        ),
+    )
+
+
+def image_object_of_element(pdf, el):
+    """Render-scene object painting a PDF image element, or None.
+
+    BEYOND REFERENCE: the reference's scene_of_graphic drops Image /
+    GraphicInlineImage elements (render.ml:1524-1565 consumes paths and
+    clips only); here the samples decode (io/pdfimages) and paint through
+    an ImageFill over the ctm-transformed unit square (PDF 8.9.5.2 image
+    space).  Stencil masks paint the nonstroke colour captured at the Do/BI
+    op; undecodable exotica fall back to the same gray placeholder the
+    unsupported shading kinds use."""
+    from ..io import pdfimages as PI
+
+    got = PI.image_stream_of_element(pdf, el)
+    if got is None:
+        return None
+    d, raw = got
+    if isinstance(el, PG.Image):
+        m = el.attributes.image_transform
+        transparency = el.attributes.image_transparency
+        fill_cv = el.attributes.image_fill
+    else:
+        m = el.transform
+        transparency = 1.0
+        fill_cv = el.fill
+    a, b, c_, d_, e, f_ = (float(v) for v in m)
+    if abs(a * d_ - b * c_) < 1e-12:
+        return None  # degenerate placement
+    quad = _quad_path(
+        [
+            (a * x + c_ * y + e, b * x + d_ * y + f_)
+            for x, y in ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
+        ]
+    )
+    mask_fill = _rgb_triple_of_cs_vals(*fill_cv) if fill_cv else None
+    try:
+        tex = PI.rgba_of_image(pdf, d, raw, mask_fill=mask_fill)
+    except Exception:
+        return R.Obj(
+            ident.new_ids(),
+            R.Basic(rfills.plain(C.gray), R.PathShape(quad)),
+            (),
+            R.OVER,
+        )
+    t = int(float(transparency) * 255.0)
+    if t < 255:
+        tex = rfills._dissolve_np(tex, np.int64(t))
+    return R.Obj(
+        ident.new_ids(),
+        R.Basic(rfills.image_fill(tex, m), R.PathShape(quad)),
+        (),
+        R.OVER,
+    )
+
+
 def cap_of_pdfcap(c: int) -> str:
     return {0: gshapes.ButtCap, 1: gshapes.RoundCap, 2: gshapes.ProjectingCap}[c]
 
@@ -248,6 +331,10 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                 out.extend(convert(el.elements, el.path))
             elif isinstance(el, (PG.MCSection, PG.MCSectionProperties)):
                 out.extend(convert(el.elements, clip_path))
+            elif isinstance(el, (PG.Image, PG.GraphicInlineImage)):
+                o = image_object_of_element(pdf, el)
+                if o is not None:
+                    out.append(o)
             elif isinstance(el, PG.GShading):
                 # `sh` paints the shading through the active clip (or its
                 # /BBox).  The reference's scene_of_graphic drops these
@@ -263,22 +350,11 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     # sh.matrix = that same ctm).
                     x0, y0, x1, y1 = (float(v) for v in el.shading.bbox)
                     a, b, c_, d_, e, f_ = el.transform
-                    quad = [
-                        (a * x + c_ * y + e, b * x + d_ * y + f_)
-                        for x, y in ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
-                    ]
-                    geom_path = gshapes.Path(
-                        gshapes.EVEN_ODD,
-                        (
-                            gshapes.Subpath(
-                                False,
-                                True,
-                                tuple(
-                                    gshapes.Straight(quad[i], quad[(i + 1) % 4])
-                                    for i in range(4)
-                                ),
-                            ),
-                        ),
+                    geom_path = _quad_path(
+                        [
+                            (a * x + c_ * y + e, b * x + d_ * y + f_)
+                            for x, y in ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+                        ]
                     )
                 if fill is not None and geom_path is not None:
                     out.append(
