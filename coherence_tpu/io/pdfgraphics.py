@@ -82,6 +82,10 @@ class TextAttributes:
     """text_attributes (pdfgraphics.mli:101-102): the render mode in force."""
 
     textmode: int = 0
+    # BEYOND REFERENCE (the mli stops at textmode): nonstroke/stroke colour
+    # in force at the op, so scene/pdftext can paint glyph outlines.
+    fill: object = None  # (colourspace, components) or None
+    stroke: object = None
 
 
 @dataclass
@@ -91,6 +95,9 @@ class TextBlock:
 
     blocks: list  # [(TextAttributes, (opname, [operands...])), ...]
     transform: "Matrix" = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    # BEYOND REFERENCE: the resource dict in scope at BT, so scene/pdftext
+    # can resolve /Font programs when painting the run.
+    resources: object = None
 
 
 @dataclass
@@ -1172,7 +1179,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 stack.clear()
             elif op == "ET":
                 if in_text and text_ops:
-                    sinks[-1].append(TextBlock(text_ops, text_tf))
+                    sinks[-1].append(TextBlock(text_ops, text_tf, resources))
                 in_text = False
             elif op in _TEXT_OPS:
                 operands = list(stack)
@@ -1181,7 +1188,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     gs.textmode = int(operands[-1])
                 if in_text:
                     text_ops.append(
-                        (TextAttributes(gs.textmode), (op, operands))
+                        (TextAttributes(gs.textmode, gs.fill, gs.stroke), (op, operands))
                     )
             elif op in ("BMC", "BDC"):
                 # Marked-content section: wrap elements until the matching
@@ -1235,7 +1242,9 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
             elif isinstance(el, Clip):
                 out.append(Clip(gpath.transform_path(list(t), el.path), walk(el.elements)))
             elif isinstance(el, TextBlock):
-                out.append(TextBlock(el.blocks, ctr.matmul(tmat, el.transform)))
+                out.append(
+                    TextBlock(el.blocks, ctr.matmul(tmat, el.transform), el.resources)
+                )
             elif isinstance(el, Image):
                 a = el.attributes
                 out.append(

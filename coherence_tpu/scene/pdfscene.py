@@ -335,6 +335,15 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                 o = image_object_of_element(pdf, el)
                 if o is not None:
                     out.append(o)
+            elif isinstance(el, PG.TextBlock):
+                # BEYOND REFERENCE: text paints via glyph outlines
+                # (scene/pdftext.py); the reference drops TextBlocks here.
+                from . import pdftext
+
+                try:
+                    out.extend(pdftext.text_objects_of_block(pdf, el))
+                except Exception:
+                    pass  # unreadable font program: skip the run
             elif isinstance(el, PG.GShading):
                 # `sh` paints the shading through the active clip (or its
                 # /BBox).  The reference's scene_of_graphic drops these

@@ -1,0 +1,325 @@
+"""PDF text rendering: TextBlock runs -> glyph-outline scene objects.
+
+BEYOND REFERENCE: the reference captures BT..ET runs into its graphic tree
+(pdfgraphics.mli:134, TextBlock here) but ``Render.scene_of_graphic``
+consumes paths and clips only (render.ml:1524-1565) — its text demos ship
+pre-outlined paths.  Here text paints for real: embedded TrueType programs
+(FontFile2 / CIDFontType2) parse into renderer Paths (io/truetype.py) and
+every show operator becomes a nonzero-winding filled object through the
+exact AA rasterizer; non-embedded and CFF faces fall back to installed
+DejaVu equivalents of the standard-14 names.
+
+Layout follows PDF 9.4: the text/line matrix pair (Tm/Td/TD/T*/TL), spacing
+parameters (Tc/Tw/Tz/Ts), per-code widths from /Widths (simple fonts) or
+/W + /DW (Type0/Identity-H), and TJ kern adjustments.  Render modes: fill
+modes paint with the nonstroke colour captured at the op, stroke-only
+paints with the stroke colour (outline-stroking approximated by a fill),
+mode 3/7 shows nothing but still advances.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from .. import ident
+from .. import transform as tr
+from ..geometry.path import NONZERO, Path, Subpath
+from ..io import pdf as P
+from ..io import pdfgraphics as PG
+from ..io import truetype as TT
+from . import render as R
+
+__all__ = ["text_objects_of_block"]
+
+
+# Latin-1 covers the printable range of both StandardEncoding and
+# WinAnsiEncoding except a handful of punctuation; map the differences.
+_WINANSI_FIXUPS = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C,
+    0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014, 0x98: 0x02DC,
+    0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153, 0x9F: 0x0178,
+}
+
+
+def _unicode_of_code(code: int) -> int:
+    return _WINANSI_FIXUPS.get(code, code)
+
+
+class _LoadedFont:
+    """A PDF font resource resolved to outlines + widths."""
+
+    def __init__(self):
+        self.ttf: Optional[TT.TrueTypeFont] = None
+        self.two_byte = False  # Type0 Identity-H: 2-byte codes
+        self.widths: Dict[int, float] = {}  # code -> text-space width (/1000)
+        self.default_width: Optional[float] = None
+        self.cid_to_gid: Optional[bytes] = None  # CIDToGIDMap stream data
+
+    def codes_of_bytes(self, s: bytes) -> List[int]:
+        if not self.two_byte:
+            return list(s)
+        return [
+            (s[i] << 8) | (s[i + 1] if i + 1 < len(s) else 0)
+            for i in range(0, len(s), 2)
+        ]
+
+    def gid_of_code(self, code: int) -> int:
+        if self.ttf is None:
+            return 0
+        if self.two_byte:
+            if self.cid_to_gid is not None:
+                o = 2 * code
+                if o + 1 < len(self.cid_to_gid):
+                    return (self.cid_to_gid[o] << 8) | self.cid_to_gid[o + 1]
+                return 0
+            return code  # Identity CIDToGIDMap
+        return self.ttf.gid_of_unicode(_unicode_of_code(code))
+
+    def width_of_code(self, code: int) -> float:
+        """Text-space width (glyph units / 1000 convention)."""
+        w = self.widths.get(code)
+        if w is not None:
+            return w
+        if self.default_width is not None:
+            return self.default_width
+        if self.ttf is not None:
+            return self.ttf.advance(self.gid_of_code(code)) / self.ttf.units_per_em
+        return 0.5
+
+
+def _font_file(pdf, descriptor) -> Optional[TT.TrueTypeFont]:
+    if not isinstance(descriptor, dict):
+        return None
+    for key in ("FontFile2", "FontFile3", "FontFile"):
+        ff = pdf.resolve(descriptor.get(key)) if pdf else descriptor.get(key)
+        if isinstance(ff, P.Stream):
+            try:
+                return TT.TrueTypeFont(ff.decode())
+            except Exception:  # CFF outlines, truncated tables, bad codecs
+                return None
+    return None
+
+
+_FALLBACK_CACHE: Dict[str, Optional[TT.TrueTypeFont]] = {}
+
+
+def _fallback(base_font) -> Optional[TT.TrueTypeFont]:
+    name = base_font.v if isinstance(base_font, P.Name) else str(base_font or "")
+    p = TT.fallback_font_path(name or "Helvetica")
+    if p is None:
+        return None
+    if p not in _FALLBACK_CACHE:
+        try:
+            with open(p, "rb") as fh:
+                _FALLBACK_CACHE[p] = TT.TrueTypeFont(fh.read())
+        except Exception:
+            _FALLBACK_CACHE[p] = None
+    return _FALLBACK_CACHE[p]
+
+
+def _load_font(pdf, fd: dict) -> _LoadedFont:
+    res = pdf.resolve if pdf is not None else (lambda o: o)
+    lf = _LoadedFont()
+    subtype = res(fd.get("Subtype"))
+    subtype = subtype.v if isinstance(subtype, P.Name) else ""
+    if subtype == "Type0":
+        lf.two_byte = True  # Identity-H/V is the overwhelmingly common case
+        desc = res(fd.get("DescendantFonts"))
+        child = res(desc[0]) if isinstance(desc, list) and desc else {}
+        if isinstance(child, dict):
+            lf.ttf = _font_file(pdf, res(child.get("FontDescriptor")))
+            c2g = res(child.get("CIDToGIDMap"))
+            if isinstance(c2g, P.Stream):
+                lf.cid_to_gid = c2g.decode()
+            dw = res(child.get("DW", 1000))
+            lf.default_width = float(dw) / 1000.0
+            w = res(child.get("W"))
+            if isinstance(w, list):
+                i = 0
+                while i < len(w):
+                    c = int(res(w[i]))
+                    nxt = res(w[i + 1]) if i + 1 < len(w) else None
+                    if isinstance(nxt, list):
+                        for j, wv in enumerate(nxt):
+                            lf.widths[c + j] = float(res(wv)) / 1000.0
+                        i += 2
+                    elif nxt is not None and i + 2 < len(w):
+                        c2 = int(nxt)
+                        wv = float(res(w[i + 2])) / 1000.0
+                        for cc in range(c, c2 + 1):
+                            lf.widths[cc] = wv
+                        i += 3
+                    else:
+                        break
+        if lf.ttf is None:
+            lf.ttf = _fallback(res(fd.get("BaseFont")))
+            # Fallback faces index by unicode, not CID: treat 2-byte codes
+            # as unicode code points (right for Identity + ToUnicode-free
+            # latin text; wrong glyphs beat no glyphs).
+            lf.cid_to_gid = None
+            if lf.ttf is not None:
+                lf.gid_of_code = lambda code: lf.ttf.gid_of_unicode(code)  # type: ignore
+        return lf
+    # Simple font (Type1 / TrueType / MMType1).
+    lf.ttf = _font_file(pdf, res(fd.get("FontDescriptor")))
+    if lf.ttf is None:
+        lf.ttf = _fallback(res(fd.get("BaseFont")))
+    fc = res(fd.get("FirstChar"))
+    widths = res(fd.get("Widths"))
+    if isinstance(widths, list) and isinstance(fc, int):
+        for i, w in enumerate(widths):
+            lf.widths[fc + i] = float(res(w)) / 1000.0
+    return lf
+
+
+def _get_font(pdf, resources, name: str) -> Optional[_LoadedFont]:
+    res = pdf.resolve if pdf is not None else (lambda o: o)
+    fonts = res(resources.get("Font", {})) if isinstance(resources, dict) else {}
+    fd = res(fonts.get(name)) if isinstance(fonts, dict) else None
+    if not isinstance(fd, dict):
+        lf = _LoadedFont()
+        lf.ttf = _fallback(None)
+        return lf
+    cache = getattr(pdf, "_font_cache", None) if pdf is not None else None
+    if cache is None and pdf is not None:
+        cache = pdf._font_cache = {}
+    key = id(fd)
+    if cache is not None and key in cache:
+        return cache[key]
+    lf = _load_font(pdf, fd)
+    if cache is not None:
+        cache[key] = lf
+    return lf
+
+
+def _glyph_path(lf: _LoadedFont, code: int, trm) -> Optional[Path]:
+    gid = lf.gid_of_code(code)
+    if not gid or lf.ttf is None:
+        return None
+    loops = lf.ttf.glyph_segments(gid)
+    if not loops:
+        return None
+    upem = float(lf.ttf.units_per_em)
+    a, b, c, d, e, f = trm
+
+    def xf(p):
+        x, y = p[0] / upem, p[1] / upem
+        return (a * x + c * y + e, b * x + d * y + f)
+
+    from ..geometry.path import Bezier, Straight
+
+    subpaths = []
+    for loop in loops:
+        segs = []
+        for s in loop:
+            if isinstance(s, Straight):
+                segs.append(Straight(xf(s.a), xf(s.b)))
+            else:
+                segs.append(Bezier(xf(s.p1), xf(s.p2), xf(s.p3), xf(s.p4)))
+        subpaths.append(Subpath(False, True, tuple(segs)))
+    return Path(NONZERO, tuple(subpaths))
+
+
+def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
+    """Scene objects painting a TextBlock's show operators."""
+    from . import pdfscene
+
+    res = pdf.resolve if pdf is not None else (lambda o: o)
+    resources = res(el.resources) if el.resources is not None else {}
+    ctm = tuple(float(v) for v in el.transform)
+    tm = lm = tr.IDENTITY_MATRIX
+    font: Optional[_LoadedFont] = None
+    size = 0.0
+    tc = tw = 0.0
+    th = 1.0  # Tz / 100
+    rise = 0.0
+    tl = 0.0
+    out: List[R.Obj] = []
+
+    def show(s: bytes, attrs: PG.TextAttributes):
+        nonlocal tm
+        if font is None:
+            return
+        mode = attrs.textmode % 4  # clip variants 4-7 paint like 0-3
+        colour = attrs.fill if mode in (0, 2) else attrs.stroke
+        subpaths = []
+        for code in font.codes_of_bytes(s):
+            w0 = font.width_of_code(code)
+            if mode != 3 and size != 0.0:
+                # glyph space -> text space -> user space (PDF 9.4.4).
+                params = (size * th, 0.0, 0.0, size, 0.0, rise)
+                trm = tr.matmul(ctm, tr.matmul(tm, params))
+                gp = _glyph_path(font, code, trm)
+                if gp is not None:
+                    subpaths.extend(gp.subpaths)
+            pad = tw if (code == 32 and not font.two_byte) else 0.0
+            tx = (w0 * size + tc + pad) * th
+            tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
+        if subpaths and colour is not None and mode != 3:
+            cs, vals = colour
+            fill = pdfscene.fill_of_pdf_colour(vals, 1.0, cs)
+            out.append(
+                R.Obj(
+                    ident.new_ids(),
+                    R.Basic(fill, R.PathShape(Path(NONZERO, tuple(subpaths)))),
+                    (),
+                    R.OVER,
+                )
+            )
+
+    def next_line(tx: float, ty: float):
+        nonlocal tm, lm
+        lm = tr.matmul(lm, (1.0, 0.0, 0.0, 1.0, tx, ty))
+        tm = lm
+
+    for attrs, (op, operands) in el.blocks:
+        try:
+            if op == "Tf" and len(operands) >= 2:
+                name = operands[-2]
+                size = float(res(operands[-1]))
+                font = _get_font(
+                    pdf, resources, name.v if isinstance(name, P.Name) else str(name)
+                )
+            elif op == "Tm" and len(operands) >= 6:
+                tm = lm = tuple(float(res(v)) for v in operands[-6:])
+            elif op == "Td" and len(operands) >= 2:
+                next_line(float(res(operands[-2])), float(res(operands[-1])))
+            elif op == "TD" and len(operands) >= 2:
+                tl = -float(res(operands[-1]))
+                next_line(float(res(operands[-2])), float(res(operands[-1])))
+            elif op == "T*":
+                next_line(0.0, -tl)
+            elif op == "TL" and operands:
+                tl = float(res(operands[-1]))
+            elif op == "Tc" and operands:
+                tc = float(res(operands[-1]))
+            elif op == "Tw" and operands:
+                tw = float(res(operands[-1]))
+            elif op == "Tz" and operands:
+                th = float(res(operands[-1])) / 100.0
+            elif op == "Ts" and operands:
+                rise = float(res(operands[-1]))
+            elif op == "Tj" and operands and isinstance(operands[-1], bytes):
+                show(operands[-1], attrs)
+            elif op == "'" and operands and isinstance(operands[-1], bytes):
+                next_line(0.0, -tl)
+                show(operands[-1], attrs)
+            elif op == '"' and len(operands) >= 3:
+                tw = float(res(operands[-3]))
+                tc = float(res(operands[-2]))
+                next_line(0.0, -tl)
+                if isinstance(operands[-1], bytes):
+                    show(operands[-1], attrs)
+            elif op == "TJ" and operands and isinstance(operands[-1], list):
+                for item in operands[-1]:
+                    item = res(item)
+                    if isinstance(item, bytes):
+                        show(item, attrs)
+                    elif isinstance(item, (int, float)):
+                        tx = -float(item) / 1000.0 * size * th
+                        tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
+        except Exception:
+            continue  # malformed operator: skip, keep the rest of the run
+    return out

@@ -1,0 +1,221 @@
+"""PDF text paints for real — BEYOND REFERENCE: the reference captures
+BT..ET runs (pdfgraphics.mli:134) but scene_of_graphic drops them
+(render.ml:1524-1565); here glyph outlines from embedded TrueType programs
+(io/truetype.py) — or installed DejaVu fallbacks for non-embedded faces —
+render through the exact AA rasterizer (scene/pdftext.py)."""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from coherence_tpu.io import pdfgraphics as PG
+from coherence_tpu.io import truetype as TT
+from coherence_tpu.io.pdf import Name, Stream, mkpage
+from coherence_tpu.raster import region
+from coherence_tpu.scene import cache, pdfscene, render as R
+
+DEJAVU = TT.fallback_font_path("Helvetica")
+needs_font = pytest.mark.skipif(DEJAVU is None, reason="no DejaVu installed")
+
+
+@pytest.fixture(autouse=True)
+def clear_cache():
+    cache.clear()
+    yield
+    cache.clear()
+
+
+def _page(pdf):
+    pages = pdf.resolve(pdf.resolve(pdf.trailer["Root"])["Pages"])
+    return pdf.resolve(pages["Kids"][0])
+
+
+def _render(pdf, box):
+    g = PG.graphic_of_page(pdf, _page(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    spr = R.render_simple_scene(scene, region.shape_of_box(box))
+    return scene, spr
+
+
+def _mask_of(spr, box):
+    x0, y0, x1, y1 = box
+    out = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+    if spr is None:
+        return out
+    sx0, sy0, sx1, sy1 = spr.box
+    m = np.asarray(spr.mask)
+    for yy in range(max(y0, sy0), min(y1, sy1) + 1):
+        for xx in range(max(x0, sx0), min(x1, sx1) + 1):
+            out[yy - y0, xx - x0] = m[yy - sy0, xx - sx0]
+    return out
+
+
+# --- truetype parser ----------------------------------------------------------
+
+
+@needs_font
+def test_truetype_parses_glyphs_and_metrics():
+    f = TT.TrueTypeFont(open(DEJAVU, "rb").read())
+    assert f.units_per_em == 2048 and f.num_glyphs > 1000
+    gid = f.gid_of_unicode(ord("A"))
+    assert gid > 0
+    loops = f.glyph_segments(gid)
+    assert len(loops) == 2  # outer triangle + counter
+    assert f.advance(gid) > 0
+    # Composite glyph (é) resolves its components.
+    ge = f.gid_of_unicode(ord("é"))
+    assert ge > 0 and len(f.glyph_segments(ge)) >= 3
+    # Space has no outline but a real advance.
+    sp = f.gid_of_unicode(32)
+    assert f.glyph_segments(sp) == [] and f.advance(sp) > 0
+
+
+@needs_font
+def test_truetype_quadratics_become_exact_cubics():
+    from coherence_tpu.geometry.path import Bezier
+
+    f = TT.TrueTypeFont(open(DEJAVU, "rb").read())
+    loops = f.glyph_segments(f.gid_of_unicode(ord("o")))
+    beziers = [s for loop in loops for s in loop if isinstance(s, Bezier)]
+    assert beziers, "round glyph should contain curves"
+    for b in beziers[:8]:
+        # Control points sit at exact 1/3 blends only if derived from a
+        # quadratic: reconstruct q from c1 and from c2; they must agree.
+        q1 = tuple(b.p1[i] + 1.5 * (b.p2[i] - b.p1[i]) for i in range(2))
+        q2 = tuple(b.p4[i] + 1.5 * (b.p3[i] - b.p4[i]) for i in range(2))
+        assert abs(q1[0] - q2[0]) < 1e-6 and abs(q1[1] - q2[1]) < 1e-6
+
+
+# --- layout + rendering -------------------------------------------------------
+
+
+@needs_font
+def test_fallback_text_renders_and_advances():
+    content = b"BT /F1 48 Tf 10 30 Td 1 0 0 rg (Hi) Tj ET"
+    resources = {"Font": {"F1": {"Type": Name("Font"), "Subtype": Name("Type1"),
+                                 "BaseFont": Name("Helvetica")}}}
+    pdf = mkpage(content, mediabox=(0, 0, 200, 100), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 200, 100))
+    assert len(scene) == 1 and spr is not None
+    r4 = np.asarray(spr.rgba)
+    m = np.asarray(spr.mask)
+    assert int(m.sum()) > 300
+    assert int(((r4[..., 0] > 200) & m).sum()) > 300  # painted red
+    # Ascenders of a 48pt line from baseline y=30 stay under y=80.
+    assert spr.box[1] >= 25 and spr.box[3] <= 80
+    # 'H' and 'i' are disjoint: a vertical gap column exists inside the box.
+    cols = _mask_of(spr, (spr.box[0], spr.box[1], spr.box[2], spr.box[3]))
+    empty_cols = (~cols.any(axis=0)).sum()
+    assert empty_cols >= 1
+
+
+@needs_font
+def test_embedded_truetype_simple_font_with_widths():
+    data = open(DEJAVU, "rb").read()
+    ff = Stream({"Filter": Name("FlateDecode"), "Length1": len(data)},
+                zlib.compress(data))
+    fd = {
+        "Type": Name("Font"), "Subtype": Name("TrueType"),
+        "BaseFont": Name("AAAAAA+DejaVuSans"),
+        "FirstChar": 65, "Widths": [500, 500],  # A, B narrow on purpose
+        "FontDescriptor": {"Type": Name("FontDescriptor"), "FontFile2": ff},
+    }
+    content = b"BT /F1 40 Tf 10 30 Td (AB) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 200, 100),
+                 resources={"Font": {"F1": fd}})
+    scene, spr = _render(pdf, (1, 1, 200, 100))
+    assert spr is not None
+    # /Widths 500/1000 * 40pt = 20pt advance: B starts at x=30.  DejaVu's
+    # own 'A' advance would be ~27pt; assert the /Widths one took effect by
+    # checking the total extent stays under 10 + 20 + width('B' glyph).
+    assert spr.box[0] >= 10 and spr.box[2] <= 62, spr.box
+
+
+@needs_font
+def test_type0_identity_h_renders():
+    data = open(DEJAVU, "rb").read()
+    f = TT.TrueTypeFont(data)
+    gA = f.gid_of_unicode(ord("A"))
+    ff = Stream({"Filter": Name("FlateDecode"), "Length1": len(data)},
+                zlib.compress(data))
+    font = {
+        "Type": Name("Font"), "Subtype": Name("Type0"),
+        "BaseFont": Name("DejaVuSans"), "Encoding": Name("Identity-H"),
+        "DescendantFonts": [{
+            "Type": Name("Font"), "Subtype": Name("CIDFontType2"),
+            "BaseFont": Name("DejaVuSans"), "DW": 1000,
+            "W": [gA, [700]],
+            "CIDSystemInfo": {"Registry": b"Adobe", "Ordering": b"Identity"},
+            "FontDescriptor": {"Type": Name("FontDescriptor"), "FontFile2": ff},
+        }],
+    }
+    code = bytes([gA >> 8, gA & 255])
+    content = b"BT /F1 50 Tf 20 20 Td <" + code.hex().encode() + b"> Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 120, 100),
+                 resources={"Font": {"F1": font}})
+    scene, spr = _render(pdf, (1, 1, 120, 100))
+    assert spr is not None and len(scene) == 1
+    m = np.asarray(spr.mask)
+    assert int(m.sum()) > 200  # the A painted
+    # Interior counter of 'A' is a hole (nonzero winding worked): the
+    # mid-height row has >= 2 runs.
+    midrow = m[m.shape[0] // 3]
+    runs = np.diff(midrow.astype(int)).clip(0).sum()
+    assert runs >= 2, "expected two strokes of the A at 1/3 height"
+
+
+@needs_font
+def test_tj_kerning_and_multiline():
+    resources = {"Font": {"F1": {"Type": Name("Font"), "Subtype": Name("Type1"),
+                                 "BaseFont": Name("Helvetica")}}}
+    # Two lines via TL/T*; TJ applies a -2000/1000*size shift between (x)(x).
+    content = (b"BT /F1 20 Tf 14 TL 10 60 Td"
+               b" [(x) -2000 (x)] TJ T* (x) Tj ET")
+    pdf = mkpage(content, mediabox=(0, 0, 200, 100), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 200, 100))
+    assert spr is not None
+    m = _mask_of(spr, (1, 1, 200, 100))
+    ys, xs = np.nonzero(m)
+    # Kern of -2000 moves the second x right by 40pt beyond the first's
+    # ~11pt advance: two clusters around x~12 and x~62.
+    first = xs[xs < 40]
+    second = xs[(xs > 45) & (xs < 90)]
+    assert len(first) and len(second), (xs.min(), xs.max())
+    # Second line 14pt below the first (T* with TL=14).
+    rows = np.unique(ys)
+    assert rows.max() - rows.min() <= 40
+    top_line = m[:, :40].any(axis=1)
+    both = np.nonzero(top_line)[0]
+    assert both.size and both.max() - both.min() >= 15  # two baselines
+
+
+@needs_font
+def test_text_render_mode_3_invisible_but_advances():
+    resources = {"Font": {"F1": {"Type": Name("Font"), "Subtype": Name("Type1"),
+                                 "BaseFont": Name("Helvetica")}}}
+    content = b"BT /F1 30 Tf 10 40 Td 3 Tr (A) Tj 0 Tr (B) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 120, 100), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 120, 100))
+    assert spr is not None and len(scene) == 1  # only the B painted
+    # The B begins after the invisible A's advance (~20pt at 30pt size).
+    assert spr.box[0] >= 26, spr.box
+
+
+@needs_font
+def test_cff_fontfile3_falls_back_not_crashes():
+    fd = {
+        "Type": Name("Font"), "Subtype": Name("Type1"),
+        "BaseFont": Name("Times-Roman"),
+        "FontDescriptor": {
+            "Type": Name("FontDescriptor"),
+            # Garbage CFF program: parser must reject, layout must fall back.
+            "FontFile3": Stream({"Subtype": Name("Type1C")}, b"\x01\x00\x04\x01"),
+        },
+    }
+    content = b"BT /F1 24 Tf 10 30 Td (ok) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 100, 60),
+                 resources={"Font": {"F1": fd}})
+    scene, spr = _render(pdf, (1, 1, 100, 60))
+    assert spr is not None and int(np.asarray(spr.mask).sum()) > 50
