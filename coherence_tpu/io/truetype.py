@@ -54,8 +54,6 @@ class TrueTypeFont:
     def __init__(self, data: bytes):
         self.data = data
         tag = data[:4]
-        if tag == b"OTTO":
-            raise ValueError("CFF-flavoured OpenType (no glyf table)")
         if tag == b"ttcf":
             # Font collection: use the first face.
             off = _u32(data, 12)
@@ -63,14 +61,14 @@ class TrueTypeFont:
             base = off
         else:
             base = 0
-        if tag not in (b"\x00\x01\x00\x00", b"true"):
-            raise ValueError("not a TrueType font")
+        if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+            raise ValueError("not a TrueType/OpenType font")
         n = _u16(data, base + 4)
         self.tables: Dict[bytes, Tuple[int, int]] = {}
         for i in range(n):
             o = base + 12 + 16 * i
             self.tables[data[o : o + 4]] = (_u32(data, o + 8), _u32(data, o + 12))
-        for need in (b"head", b"maxp", b"loca", b"glyf"):
+        for need in (b"head", b"maxp"):
             if need not in self.tables:
                 raise ValueError(f"missing {need.decode()} table")
         head, _ = self.tables[b"head"]
@@ -78,15 +76,25 @@ class TrueTypeFont:
         self.loca_long = _i16(data, head + 50) == 1
         maxp, _ = self.tables[b"maxp"]
         self.num_glyphs = _u16(data, maxp + 4)
-        loca, _ = self.tables[b"loca"]
-        if self.loca_long:
-            self.loca = [
-                _u32(data, loca + 4 * i) for i in range(self.num_glyphs + 1)
-            ]
+        self.cff = None  # CFF-flavoured OpenType: outlines come from 'CFF '
+        if b"glyf" in self.tables and b"loca" in self.tables:
+            loca, _ = self.tables[b"loca"]
+            if self.loca_long:
+                self.loca = [
+                    _u32(data, loca + 4 * i) for i in range(self.num_glyphs + 1)
+                ]
+            else:
+                self.loca = [
+                    _u16(data, loca + 2 * i) * 2
+                    for i in range(self.num_glyphs + 1)
+                ]
+        elif b"CFF " in self.tables:
+            from .cff import CFFFont
+
+            off, ln = self.tables[b"CFF "]
+            self.cff = CFFFont(data[off : off + ln])
         else:
-            self.loca = [
-                _u16(data, loca + 2 * i) * 2 for i in range(self.num_glyphs + 1)
-            ]
+            raise ValueError("no glyf or CFF outlines")
         self._advances = self._parse_hmtx()
         self._cmap = None  # lazy
         self._glyph_cache: Dict[int, List[List[Tuple]]] = {}
@@ -208,7 +216,7 @@ class TrueTypeFont:
         units (composites resolved)."""
         if gid in self._glyph_cache:
             return self._glyph_cache[gid]
-        if not (0 <= gid < self.num_glyphs) or _depth > 6:
+        if self.cff is not None or not (0 <= gid < self.num_glyphs) or _depth > 6:
             return []
         start, end = self.loca[gid], self.loca[gid + 1]
         if end <= start:
@@ -319,6 +327,8 @@ class TrueTypeFont:
     def glyph_segments(self, gid: int):
         """List of closed segment loops (renderer Straight/Bezier objects)
         in font units — one loop per contour, nonzero winding."""
+        if self.cff is not None:
+            return self.cff.glyph_segments(gid)
         from ..geometry.path import Bezier, Straight
 
         loops = []

@@ -96,8 +96,18 @@ def _font_file(pdf, descriptor) -> Optional[TT.TrueTypeFont]:
         ff = pdf.resolve(descriptor.get(key)) if pdf else descriptor.get(key)
         if isinstance(ff, P.Stream):
             try:
-                return TT.TrueTypeFont(ff.decode())
-            except Exception:  # CFF outlines, truncated tables, bad codecs
+                data = ff.decode()
+            except Exception:
+                return None
+            try:
+                return TT.TrueTypeFont(data)
+            except Exception:
+                pass
+            try:  # bare CFF (FontFile3 Type1C / CIDFontType0C)
+                from ..io.cff import CFFFont
+
+                return CFFFont(data)
+            except Exception:
                 return None
     return None
 
@@ -161,6 +171,14 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
             lf.cid_to_gid = None
             if lf.ttf is not None:
                 lf.gid_of_code = lambda code: lf.ttf.gid_of_unicode(code)  # type: ignore
+        else:
+            cid_cff = getattr(lf.ttf, "is_cid", False) or getattr(
+                getattr(lf.ttf, "cff", None), "is_cid", False
+            )
+            if cid_cff and lf.cid_to_gid is None:
+                # CID-keyed CFF: the charset maps CID -> gid.
+                cf = lf.ttf if getattr(lf.ttf, "is_cid", False) else lf.ttf.cff
+                lf.gid_of_code = cf.gid_of_cid  # type: ignore
         return lf
     # Simple font (Type1 / TrueType / MMType1).
     lf.ttf = _font_file(pdf, res(fd.get("FontDescriptor")))

@@ -219,3 +219,129 @@ def test_cff_fontfile3_falls_back_not_crashes():
                  resources={"Font": {"F1": fd}})
     scene, spr = _render(pdf, (1, 1, 100, 60))
     assert spr is not None and int(np.asarray(spr.mask).sum()) > 50
+
+
+# --- CFF / Type2 charstrings ---------------------------------------------------
+
+OTF = "/opt/venv/lib/python3.12/site-packages/pygame/tests/fixtures/fonts/PyGameMono.otf"
+needs_otf = pytest.mark.skipif(not os.path.exists(OTF), reason="no OTF fixture")
+
+
+@needs_otf
+def test_otto_cff_outlines_parse():
+    from coherence_tpu.io.truetype import TrueTypeFont
+
+    f = TrueTypeFont(open(OTF, "rb").read())
+    assert f.cff is not None and f.units_per_em == 1000
+    gB = f.gid_of_unicode(ord("B"))
+    loops = f.glyph_segments(gB)
+    assert len(loops) == 3  # B outline + two counters
+    assert f.advance(gB) == 1000  # mono face
+    # charset name lookup on the bare CFF
+    assert f.cff.gid_of_name("A") == f.gid_of_unicode(ord("A"))
+
+
+@needs_otf
+def test_embedded_bare_cff_fontfile3_renders():
+    """FontFile3 carrying bare CFF: outlines come from the Type2
+    interpreter, code->gid via the charset glyph names."""
+    from coherence_tpu.io.truetype import TrueTypeFont
+
+    data = open(OTF, "rb").read()
+    f = TrueTypeFont(data)
+    off, ln = f.tables[b"CFF "]
+    cff_bytes = data[off : off + ln]
+    ff = Stream({"Subtype": Name("Type1C"), "Filter": Name("FlateDecode")},
+                zlib.compress(cff_bytes))
+    fd = {
+        "Type": Name("Font"), "Subtype": Name("Type1"),
+        "BaseFont": Name("PyGameMono"),
+        "FontDescriptor": {"Type": Name("FontDescriptor"), "FontFile3": ff},
+    }
+    content = b"BT /F1 40 Tf 10 30 Td (AB) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 200, 100),
+                 resources={"Font": {"F1": fd}})
+    scene, spr = _render(pdf, (1, 1, 200, 100))
+    assert spr is not None and len(scene) == 1
+    m = np.asarray(spr.mask)
+    assert int(m.sum()) > 400
+    # Mono advances: 'B' starts 40pt after 'A' at size 40 (width 1000/1000);
+    # the AA softness bleeds ~1px beyond the pen origin.
+    assert spr.box[0] >= 8 and spr.box[2] >= 60, spr.box
+
+
+def test_type2_charstring_interpreter_handcrafted():
+    """A crafted charstring: width + rmoveto/hlineto box with a hintmask —
+    checks width extraction, alternating linetos, and hintmask skipping."""
+    from coherence_tpu.io.cff import CFFFont, _bias
+    import struct as _s
+
+    def num(v):
+        assert -107 <= v <= 107
+        return bytes([v + 139])
+
+    # charstring: width 550, box via rmoveto + alternating h/vlineto,
+    # endchar (contour auto-closes).
+    cs = (
+        b"\x1c" + _s.pack(">h", 550)       # width
+        + num(100) + num(100) + b"\x15"    # rmoveto
+        + num(80) + b"\x06"                # hlineto (x += 80)
+        + num(60) + b"\x07"                # vlineto (y += 60)
+        + b"\x1c" + _s.pack(">h", -80) + b"\x06"  # hlineto back
+        + b"\x0e"                          # endchar
+    )
+    font = _mk_min_cff([b"\x0e", cs])      # gid 0 = .notdef, gid 1 = box
+    f = CFFFont(font)
+    assert f.num_glyphs == 2
+    loops = f.glyph_segments(1)
+    assert len(loops) == 1
+    from coherence_tpu.geometry.path import Straight
+
+    segs = loops[0]
+    assert all(isinstance(s, Straight) for s in segs)
+    pts = [s.a for s in segs] + [segs[-1].b]
+    assert (100.0, 100.0) in pts and (180.0, 100.0) in pts
+    assert (180.0, 160.0) in pts and (100.0, 160.0) in pts
+    assert f.advance(1) == 550.0
+
+
+def _mk_min_cff(charstrings):
+    """Minimal single-font CFF container around the given charstrings."""
+    import struct as _s
+
+    def index(items):
+        if not items:
+            return b"\x00\x00"
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        osz = 1 if offs[-1] < 256 else 2
+        fmt = ">B" if osz == 1 else ">H"
+        out = _s.pack(">HB", len(items), osz)
+        for o in offs:
+            out += _s.pack(fmt, o)
+        return out + b"".join(items)
+
+    header = b"\x01\x00\x04\x01"
+    name_idx = index([b"Mini"])
+    string_idx = index([])
+    gsubr_idx = index([])
+    private = b""  # empty private dict
+    # Top DICT needs CharStrings (op 17) and Private (op 18) offsets; build
+    # with placeholders then patch (two passes with fixed 5-byte ints).
+    def int5(v):
+        return b"\x1d" + _s.pack(">i", v)
+
+    for _ in range(2):
+        top = int5(0) + b"\x11"  # CharStrings placeholder
+        top = int5(len(private)) + int5(0) + b"\x12" + top  # Private
+        top_idx = index([top])
+        base = len(header) + len(name_idx) + len(top_idx) + len(string_idx) + len(gsubr_idx)
+        priv_off = base
+        cs_off = base + len(private)
+        top = int5(len(private)) + int5(priv_off) + b"\x12" + int5(cs_off) + b"\x11"
+        top_idx = index([top])
+        base2 = len(header) + len(name_idx) + len(top_idx) + len(string_idx) + len(gsubr_idx)
+        if base2 == base:
+            break
+    return header + name_idx + top_idx + string_idx + gsubr_idx + private + index(charstrings)
