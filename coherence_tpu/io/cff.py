@@ -180,6 +180,7 @@ class CFFFont:
         if self.is_cid:
             self._parse_cid(top)
         self._charset = self._parse_charset(top)
+        self._cid_to_gid: Optional[Dict[int, int]] = None
         self._name_to_gid: Optional[Dict[str, int]] = None
         self._cache: Dict[int, list] = {}
         self._width_cache: Dict[int, float] = {}
@@ -228,8 +229,12 @@ class CFFFont:
         """gid -> SID (name id) or CID."""
         n = self.num_glyphs
         off = top.get(15)
-        if off is None or int(off[0]) in (0, 1, 2):
+        if off is None or int(off[0]) == 0:
             return list(range(n))  # ISOAdobe order: SID == gid for latin
+        if int(off[0]) in (1, 2):
+            # Expert/ExpertSubset predefined charsets: not latin; mapping
+            # names here would resolve WRONG glyphs, so expose none.
+            return [0] * n
         o = int(off[0])
         fmt = self.data[o]
         out = [0]
@@ -273,10 +278,14 @@ class CFFFont:
     def gid_of_cid(self, cid: int) -> int:
         if not self.is_cid:
             return cid if cid < self.num_glyphs else 0
-        try:
-            return self._charset.index(cid)
-        except ValueError:
-            return 0
+        if self._cid_to_gid is None:
+            # One pass (first gid wins); list.index per show code would be
+            # O(num_glyphs) per character on CJK faces.
+            m: Dict[int, int] = {}
+            for gid, c in enumerate(self._charset):
+                m.setdefault(c, gid)
+            self._cid_to_gid = m
+        return self._cid_to_gid.get(cid, 0)
 
     def gid_of_unicode(self, cp: int) -> int:
         name = _UNI_TO_NAME.get(cp)
@@ -537,7 +546,7 @@ class CFFFont:
                         if abs(dx) > abs(dy):
                             x = x5 + s[10]; y = sy
                         else:
-                            x = sx + dx; y = y5 + s[10]
+                            x = sx; y = y5 + s[10]  # snap back to start x
                         curveto(x4, y4, x5, y5, x, y)
                     stack.clear()
                 else:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from .. import transform as ctr
 from ..geometry import path as gpath
@@ -83,9 +83,12 @@ class TextAttributes:
 
     textmode: int = 0
     # BEYOND REFERENCE (the mli stops at textmode): nonstroke/stroke colour
-    # in force at the op, so scene/pdftext can paint glyph outlines.
+    # and constant alpha in force at the op, so scene/pdftext can paint
+    # glyph outlines with the right colour and transparency.
     fill: object = None  # (colourspace, components) or None
     stroke: object = None
+    fill_alpha: float = 1.0
+    stroke_alpha: float = 1.0
 
 
 @dataclass
@@ -566,6 +569,8 @@ _TEXT_OPS = frozenset(
     ["Tc", "Tw", "Tz", "TL", "Tf", "Tr", "Ts", "Td", "TD", "Tm",
      "T*", "Tj", "TJ", "'", '"', "d0", "d1"]
 )
+# The graphics-state-resident subset: persists across BT..ET blocks.
+_STICKY_TEXT_OPS = frozenset(["Tc", "Tw", "Tz", "TL", "Tf", "Ts", "Tr"])
 
 
 def _inline_image_bytes(d: dict) -> Optional[int]:
@@ -803,6 +808,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
     pending_clip: Optional[gpath.Path] = None
     in_text = False
     text_ops: List[object] = []
+    # Sticky text-state parameters (PDF 9.3.1): legal outside BT..ET and
+    # persistent across blocks; replayed at each BT (latest setting wins).
+    text_state: Dict[str, list] = {}
     text_tf: Matrix = _ID
     stack: List[object] = []  # operand stack
     gstack: List[_GState] = []
@@ -1169,12 +1177,44 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     else:
                         data = tail
                         lex.p = len(lex.d)
+                cs = d.get("CS", d.get("ColorSpace"))
+                if isinstance(cs, Name) and cs.v not in (
+                    "G", "RGB", "CMYK", "I",
+                    "DeviceGray", "DeviceRGB", "DeviceCMYK", "Indexed",
+                ):
+                    # Named colourspace from the page resources (legal and
+                    # required for inline Indexed/ICC): inline the resolved
+                    # object so downstream decoding needs no resources.
+                    csd = (
+                        pdf.resolve(resources.get("ColorSpace", {}))
+                        if isinstance(resources, dict)
+                        else {}
+                    )
+                    got = (
+                        pdf.resolve(csd.get(cs.v))
+                        if isinstance(csd, dict)
+                        else None
+                    )
+                    if got is not None:
+                        d["CS" if "CS" in d else "ColorSpace"] = got
                 sinks[-1].append(
                     GraphicInlineImage(d, bytes(data), gs.ctm, gs.fill)
                 )
             elif op == "BT":
                 in_text = True
-                text_ops = []
+                # Sticky text-state parameters (PDF 9.3.1 lives in the
+                # graphics state): set at page-description level or in a
+                # previous BT..ET block, they stay in force — seed the new
+                # block with them so pdftext's per-block replay sees them.
+                text_ops = [
+                    (
+                        TextAttributes(
+                            gs.textmode, gs.fill, gs.stroke, gs.ca, gs.CA
+                        ),
+                        (sop, sops),
+                    )
+                    for sop, sops in text_state.items()
+                ]
                 text_tf = gs.ctm
                 stack.clear()
             elif op == "ET":
@@ -1186,9 +1226,16 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 stack.clear()
                 if op == "Tr" and operands and isinstance(operands[-1], (int, float)):
                     gs.textmode = int(operands[-1])
+                if op in _STICKY_TEXT_OPS:
+                    text_state[op] = operands
                 if in_text:
                     text_ops.append(
-                        (TextAttributes(gs.textmode, gs.fill, gs.stroke), (op, operands))
+                        (
+                            TextAttributes(
+                                gs.textmode, gs.fill, gs.stroke, gs.ca, gs.CA
+                            ),
+                            (op, operands),
+                        )
                     )
             elif op in ("BMC", "BDC"):
                 # Marked-content section: wrap elements until the matching

@@ -97,6 +97,7 @@ class TrueTypeFont:
             raise ValueError("no glyf or CFF outlines")
         self._advances = self._parse_hmtx()
         self._cmap = None  # lazy
+        self._post_names: Optional[Dict[str, int]] = None  # lazy
         self._glyph_cache: Dict[int, List[List[Tuple]]] = {}
 
     # --- metrics -------------------------------------------------------------
@@ -191,23 +192,59 @@ class TrueTypeFont:
                     table[first + i] = gid
         elif fmt == 12:
             n_groups = _u32(d, off + 12)
+            budget = 0x110000  # total unicode space; bounds malformed groups
             for g in range(n_groups):
                 o = off + 16 + 12 * g
                 s, e, gid0 = _u32(d, o), _u32(d, o + 4), _u32(d, o + 8)
-                for c in range(s, min(e, s + 0xFFFF) + 1):
+                e = min(e, s + budget - 1)
+                for c in range(s, e + 1):
                     table[c] = gid0 + (c - s)
+                budget -= e - s + 1
+                if budget <= 0:
+                    break
         return table
 
     def gid_of_unicode(self, cp: int) -> int:
         if self._cmap is None:
             self._cmap = self._load_cmap()
-            # Symbol cmaps (3,0) shift the F0xx private area over ASCII.
-            if self._cmap and cp not in self._cmap:
-                pass
         gid = self._cmap.get(cp, 0)
         if gid == 0 and 0x20 <= cp < 0x100:
-            gid = self._cmap.get(0xF000 + cp, 0)  # symbol-encoded faces
+            # Symbol cmaps (3,0) shift the F0xx private area over ASCII.
+            gid = self._cmap.get(0xF000 + cp, 0)
         return gid
+
+    def gid_of_name(self, name: str) -> int:
+        """Glyph-name lookup via the 'post' table (format 2), for PDF
+        /Encoding /Differences on simple fonts; 0 when absent."""
+        if self._post_names is None:
+            self._post_names = self._load_post_names()
+        return self._post_names.get(name, 0)
+
+    def _load_post_names(self) -> Dict[str, int]:
+        out: Dict[str, int] = {}
+        if b"post" not in self.tables:
+            return out
+        off, ln = self.tables[b"post"]
+        d = self.data
+        if _u32(d, off) != 0x00020000:
+            return out  # formats 1/3 carry no custom names
+        n = _u16(d, off + 32)
+        idx = [_u16(d, off + 34 + 2 * i) for i in range(min(n, self.num_glyphs))]
+        names: List[str] = []
+        p = off + 34 + 2 * n
+        end = off + ln
+        while p < end and len(names) < n:
+            sl = d[p]
+            names.append(d[p + 1 : p + 1 + sl].decode("latin1"))
+            p += 1 + sl
+        for gid, i in enumerate(idx):
+            if i >= 258:
+                k = i - 258
+                if k < len(names) and names[k] not in out:
+                    out[names[k]] = gid
+            elif i < len(_MAC_GLYPH_NAMES):
+                out.setdefault(_MAC_GLYPH_NAMES[i], gid)
+        return out
 
     # --- outlines ------------------------------------------------------------
 
@@ -383,6 +420,38 @@ def _insert_implied(contour):
         if not on and not non:
             out.append(((x + nx) / 2.0, (y + ny) / 2.0, True))
     return out
+
+
+# Standard Macintosh glyph order ('post' format 2 indices 0-257).
+_MAC_GLYPH_NAMES = (
+    ".notdef .null nonmarkingreturn space exclam quotedbl numbersign dollar "
+    "percent ampersand quotesingle parenleft parenright asterisk plus comma "
+    "hyphen period slash zero one two three four five six seven eight nine "
+    "colon semicolon less equal greater question at A B C D E F G H I J K L "
+    "M N O P Q R S T U V W X Y Z bracketleft backslash bracketright "
+    "asciicircum underscore grave a b c d e f g h i j k l m n o p q r s t u "
+    "v w x y z braceleft bar braceright asciitilde Adieresis Aring Ccedilla "
+    "Eacute Ntilde Odieresis Udieresis aacute agrave acircumflex adieresis "
+    "atilde aring ccedilla eacute egrave ecircumflex edieresis iacute igrave "
+    "icircumflex idieresis ntilde oacute ograve ocircumflex odieresis otilde "
+    "uacute ugrave ucircumflex udieresis dagger degree cent sterling section "
+    "bullet paragraph germandbls registered copyright trademark acute "
+    "dieresis notequal AE Oslash infinity plusminus lessequal greaterequal "
+    "yen mu partialdiff summation product pi integral ordfeminine "
+    "ordmasculine Omega ae oslash questiondown exclamdown logicalnot radical "
+    "florin approxequal Delta guillemotleft guillemotright ellipsis "
+    "nonbreakingspace Agrave Atilde Otilde OE oe endash emdash quotedblleft "
+    "quotedblright quoteleft quoteright divide lozenge ydieresis Ydieresis "
+    "fraction currency guilsinglleft guilsinglright fi fl daggerdbl "
+    "periodcentered quotesinglbase quotedblbase perthousand Acircumflex "
+    "Ecircumflex Aacute Edieresis Egrave Iacute Icircumflex Idieresis Igrave "
+    "Oacute Ocircumflex apple Ograve Uacute Ucircumflex Ugrave dotlessi "
+    "circumflex tilde macron breve dotaccent ring cedilla hungarumlaut "
+    "ogonek caron Lslash lslash Scaron scaron Zcaron zcaron brokenbar Eth "
+    "eth Yacute yacute Thorn thorn minus multiply onesuperior twosuperior "
+    "threesuperior onehalf onequarter threequarters franc Gbreve gbreve "
+    "Idotaccent Scedilla scedilla Cacute cacute Ccaron ccaron dcroat"
+).split()
 
 
 _FALLBACKS = {

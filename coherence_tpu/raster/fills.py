@@ -329,6 +329,20 @@ def radial2(c0, r0p, c1, r1p, ext_s, ext_e, cs, ce) -> RadialFill2:
     return RadialFill2(c0, r0p, c1, r1p, ext_s, ext_e, cs, ce)
 
 
+def _changecolour_tex(tex: np.ndarray, f) -> np.ndarray:
+    """Map a packed-colour function over a premultiplied RGBA texel plane
+    (shared by TextureFill/ImageFill): per distinct texel, not per pixel."""
+    th, tw = tex.shape[:2]
+    flat = tex.reshape(-1, 4)
+    keys = (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    lut = np.empty((len(uniq), 4), dtype=np.int64)
+    for i, k in enumerate(uniq):
+        rgba = (int(k >> 24) & 255, int(k >> 16) & 255, int(k >> 8) & 255, int(k) & 255)
+        lut[i] = C.rgba_of_colour(f(C.colour_of_rgba(*rgba)))
+    return lut[inverse].reshape(th, tw, 4)
+
+
 class TextureFill(Fill):
     """Repeating texture fill for PDF tiling patterns.  BEYOND REFERENCE:
     ``fill.ml`` has no texture kind (the reference's tiling patterns are the
@@ -378,16 +392,9 @@ class TextureFill(Fill):
         return TextureFill(self.tex, self.bbox, self.xstep, self.ystep, m)
 
     def changecolour(self, f):
-        th, tw = self.tex.shape[:2]
-        flat = self.tex.reshape(-1, 4)
-        keys = (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
-        uniq, inverse = np.unique(keys, return_inverse=True)
-        lut = np.empty((len(uniq), 4), dtype=np.int64)
-        for i, k in enumerate(uniq):
-            rgba = (int(k >> 24) & 255, int(k >> 16) & 255, int(k >> 8) & 255, int(k) & 255)
-            lut[i] = C.rgba_of_colour(f(C.colour_of_rgba(*rgba)))
         return TextureFill(
-            lut[inverse].reshape(th, tw, 4), self.bbox, self.xstep, self.ystep, self.matrix
+            _changecolour_tex(self.tex, f),
+            self.bbox, self.xstep, self.ystep, self.matrix,
         )
 
 
@@ -435,15 +442,7 @@ class ImageFill(Fill):
         return ImageFill(self.tex, m)
 
     def changecolour(self, f):
-        th, tw = self.tex.shape[:2]
-        flat = self.tex.reshape(-1, 4)
-        keys = (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
-        uniq, inverse = np.unique(keys, return_inverse=True)
-        lut = np.empty((len(uniq), 4), dtype=np.int64)
-        for i, k in enumerate(uniq):
-            rgba = (int(k >> 24) & 255, int(k >> 16) & 255, int(k >> 8) & 255, int(k) & 255)
-            lut[i] = C.rgba_of_colour(f(C.colour_of_rgba(*rgba)))
-        return ImageFill(lut[inverse].reshape(th, tw, 4), self.matrix)
+        return ImageFill(_changecolour_tex(self.tex, f), self.matrix)
 
 
 def image_fill(tex, matrix) -> ImageFill:

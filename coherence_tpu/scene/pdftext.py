@@ -47,6 +47,29 @@ def _unicode_of_code(code: int) -> int:
     return _WINANSI_FIXUPS.get(code, code)
 
 
+def _unicode_of_glyph_name(name: str) -> int:
+    """Best-effort glyph-name -> unicode: uniXXXX/uXXXX forms, single-char
+    names, and the standard latin names (inverted from io/cff's table)."""
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return int(name[3:7], 16)
+        except ValueError:
+            return 0
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return int(name[1:], 16)
+        except ValueError:
+            pass
+    if len(name) == 1:
+        return ord(name)
+    from ..io.cff import _UNI_TO_NAME
+
+    for cp, nm in _UNI_TO_NAME.items():
+        if nm == name:
+            return cp
+    return 0
+
+
 class _LoadedFont:
     """A PDF font resource resolved to outlines + widths."""
 
@@ -56,6 +79,7 @@ class _LoadedFont:
         self.widths: Dict[int, float] = {}  # code -> text-space width (/1000)
         self.default_width: Optional[float] = None
         self.cid_to_gid: Optional[bytes] = None  # CIDToGIDMap stream data
+        self.differences: Dict[int, str] = {}  # /Encoding /Differences
 
     def codes_of_bytes(self, s: bytes) -> List[int]:
         if not self.two_byte:
@@ -75,6 +99,15 @@ class _LoadedFont:
                     return (self.cid_to_gid[o] << 8) | self.cid_to_gid[o + 1]
                 return 0
             return code  # Identity CIDToGIDMap
+        name = self.differences.get(code)
+        if name is not None:
+            by_name = getattr(self.ttf, "gid_of_name", None)
+            if by_name is not None:
+                gid = by_name(name)
+                if gid:
+                    return gid
+            cp = _unicode_of_glyph_name(name)
+            return self.ttf.gid_of_unicode(cp) if cp else 0
         return self.ttf.gid_of_unicode(_unicode_of_code(code))
 
     def width_of_code(self, code: int) -> float:
@@ -184,6 +217,18 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
     lf.ttf = _font_file(pdf, res(fd.get("FontDescriptor")))
     if lf.ttf is None:
         lf.ttf = _fallback(res(fd.get("BaseFont")))
+    enc = res(fd.get("Encoding"))
+    if isinstance(enc, dict):
+        diffs = res(enc.get("Differences"))
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                item = res(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, P.Name):
+                    lf.differences[code] = item.v
+                    code += 1
     fc = res(fd.get("FirstChar"))
     widths = res(fd.get("Widths"))
     if isinstance(widths, list) and isinstance(fc, int):
@@ -277,7 +322,8 @@ def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
             tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
         if subpaths and colour is not None and mode != 3:
             cs, vals = colour
-            fill = pdfscene.fill_of_pdf_colour(vals, 1.0, cs)
+            alpha = attrs.fill_alpha if mode in (0, 2) else attrs.stroke_alpha
+            fill = pdfscene.fill_of_pdf_colour(vals, float(alpha), cs)
             out.append(
                 R.Obj(
                     ident.new_ids(),

@@ -345,3 +345,125 @@ def _mk_min_cff(charstrings):
         if base2 == base:
             break
     return header + name_idx + top_idx + string_idx + gsubr_idx + private + index(charstrings)
+
+
+# --- review-fix regressions ----------------------------------------------------
+
+
+@needs_font
+def test_page_level_tf_and_sticky_state_across_blocks():
+    """Text-state ops are legal OUTSIDE BT..ET and persist across blocks
+    (PDF 9.3.1): /F1 set at page level must reach the first block, and the
+    second block inherits it too."""
+    resources = {"Font": {"F1": {"Type": Name("Font"), "Subtype": Name("Type1"),
+                                 "BaseFont": Name("Helvetica")}}}
+    content = (b"/F1 30 Tf "
+               b"BT 10 60 Td (A) Tj ET "
+               b"BT 10 20 Td (B) Tj ET")
+    pdf = mkpage(content, mediabox=(0, 0, 100, 100), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 100, 100))
+    assert len(scene) == 2 and spr is not None
+    m = _mask_of(spr, (1, 1, 100, 100))
+    rows = np.nonzero(m.any(axis=1))[0]
+    assert rows.max() - rows.min() > 30  # both lines painted
+
+
+@needs_font
+def test_encoding_differences_remaps_codes():
+    """/Encoding /Differences: code 65 shows 'zero', not 'A'."""
+    resources = {"Font": {"F1": {
+        "Type": Name("Font"), "Subtype": Name("Type1"),
+        "BaseFont": Name("Helvetica"),
+        "Encoding": {"Type": Name("Encoding"),
+                     "Differences": [65, Name("zero")]},
+    }}}
+    content = b"BT /F1 40 Tf 10 30 Td (A) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 100, 100), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 100, 100))
+    assert spr is not None
+    # Same show without Differences paints the 'A'; with them it must be
+    # the 'zero' glyph — different mask.
+    plain = {"Font": {"F1": {"Type": Name("Font"), "Subtype": Name("Type1"),
+                             "BaseFont": Name("Helvetica")}}}
+    pdf2 = mkpage(content, mediabox=(0, 0, 100, 100), resources=plain)
+    _, spr2 = _render(pdf2, (1, 1, 100, 100))
+    assert spr2 is not None
+    zero_m = _mask_of(spr, (1, 1, 100, 100))
+    a_m = _mask_of(spr2, (1, 1, 100, 100))
+    assert zero_m.any() and a_m.any()
+    assert (zero_m != a_m).any(), "Differences had no effect"
+    # And it really is the zero: render '0' directly and compare exactly.
+    pdf3 = mkpage(b"BT /F1 40 Tf 10 30 Td (0) Tj ET",
+                  mediabox=(0, 0, 100, 100), resources=plain)
+    _, spr3 = _render(pdf3, (1, 1, 100, 100))
+    assert (zero_m == _mask_of(spr3, (1, 1, 100, 100))).all()
+
+
+@needs_font
+def test_text_fill_alpha_from_extgstate():
+    """/ca from ExtGState makes text translucent (like the image path)."""
+    resources = {
+        "Font": {"F1": {"Type": Name("Font"), "Subtype": Name("Type1"),
+                        "BaseFont": Name("Helvetica")}},
+        "ExtGState": {"GS0": {"Type": Name("ExtGState"), "ca": 0.25}},
+    }
+    content = b"/GS0 gs BT /F1 60 Tf 10 25 Td 1 0 0 rg (H) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 100, 100), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 100, 100))
+    assert spr is not None
+    r4 = np.asarray(spr.rgba)
+    m = np.asarray(spr.mask)
+    amax = int(r4[..., 3][m].max())
+    assert amax <= 70, f"alpha {amax}: /ca 0.25 not applied"
+
+
+def test_flex1_vertical_endpoint_snaps_to_start_x():
+    """Type2 flex1 with |dy| > |dx| ends at the pre-flex x (spec), not at
+    x5 — a drifted endpoint would slash the glyph on contour close."""
+    from coherence_tpu.io.cff import CFFFont
+    import struct as _s
+
+    def num(v):
+        assert -107 <= v <= 107
+        return bytes([v + 139])
+
+    # rmoveto to (0,0); flex1 args: dx1..dy5 sum to dx=10 (< dy=100), d6=5.
+    cs = (
+        num(0) + num(0) + b"\x15"  # rmoveto
+        + num(2) + num(20) + num(2) + num(20) + num(2) + num(20)
+        + num(2) + num(20) + num(2) + num(20) + num(5)
+        + b"\x0c\x25"              # flex1
+        + b"\x0e"                  # endchar
+    )
+    f = CFFFont(_mk_min_cff([b"\x0e", cs]))
+    loops = f.glyph_segments(1)
+    assert loops, "flex1 contour missing"
+    last = loops[0][-1]
+    # The final segment ends where the contour closes; the flex1 endpoint
+    # must be x == 0 (start x), y == 100 + 5.
+    from coherence_tpu.geometry.path import Bezier
+
+    bez = [s for s in loops[0] if isinstance(s, Bezier)]
+    assert bez, "flex1 must emit curves"
+    end = bez[-1].p4
+    assert end[0] == 0.0 and end[1] == 105.0, end
+
+
+def test_inline_image_named_colourspace_resolves():
+    """BI /CS /Cs1 referencing the page /ColorSpace dict: the Indexed
+    array is inlined at capture so decoding sees real indexed samples."""
+    lookup = bytes([255, 0, 0, 0, 0, 255])  # 0=red 1=blue
+    resources = {
+        "ColorSpace": {"Cs1": [Name("Indexed"), Name("DeviceRGB"), 1, lookup]}
+    }
+    content = (b"q 16 0 0 16 0 0 cm BI /W 2 /H 1 /BPC 8 /CS /Cs1 "
+               b"ID \x00\x01 EI Q")
+    pdf = mkpage(content, mediabox=(0, 0, 16, 16), resources=resources)
+    scene, spr = _render(pdf, (1, 1, 16, 16))
+    assert spr is not None
+    x0, y0, _, _ = spr.box
+    r4 = np.asarray(spr.rgba)
+    left = r4[8 - y0, 4 - x0]
+    right = r4[8 - y0, 12 - x0]
+    assert tuple(left) == (255, 0, 0, 255), left
+    assert tuple(right) == (0, 0, 255, 255), right
