@@ -47,6 +47,9 @@ class PathAttributes:
     path_joinstyle: int = 0
     path_mitrelimit: float = 10.0
     path_transparency: Transparency = field(default_factory=Transparency)
+    # path_dash (pdfgraphics.mli:93): dash array + phase, ctm-scaled like
+    # path_linewidth.  (()., 0.0) = solid.
+    path_dash: Tuple[tuple, float] = ((), 0.0)
 
 
 @dataclass
@@ -557,6 +560,7 @@ class _GState:
     cap: int = 0
     join: int = 0
     mitre: float = 10.0
+    dash: Tuple[tuple, float] = ((), 0.0)  # d operator (user-space units)
     ca: float = 1.0  # fill alpha
     CA: float = 1.0  # stroke alpha
     textmode: int = 0  # Tr render mode (text_attributes)
@@ -890,6 +894,10 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 path_joinstyle=gs.join,
                 path_mitrelimit=gs.mitre,
                 path_transparency=Transparency(gs.ca, gs.CA),
+                path_dash=(
+                    tuple(v * _scale_of(gs.ctm) for v in gs.dash[0]),
+                    gs.dash[1] * _scale_of(gs.ctm),
+                ),
             )
             sinks[-1].append(GPath(p, attrs))
 
@@ -1086,6 +1094,14 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     sinks[-1].append(GShading(None, shading, gs.ctm, name=name.v))
             elif op == "w":
                 gs.linewidth = num(stack.pop())
+            elif op == "d":
+                phase = num(stack.pop())
+                arr = stack.pop() if stack else []
+                if isinstance(arr, list):
+                    gs.dash = (
+                        tuple(num(v) for v in arr if isinstance(v, (int, float))),
+                        phase,
+                    )
             elif op == "J":
                 gs.cap = int(stack.pop())
             elif op == "j":
@@ -1527,6 +1543,9 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                 if a.path_line is not None:
                     ops.append(f"{_fmt(a.path_linewidth)} w")
                     ops.append(f"{a.path_capstyle} J {a.path_joinstyle} j")
+                    if a.path_dash[0]:
+                        arr = " ".join(_fmt(v) for v in a.path_dash[0])
+                        ops.append(f"[{arr}] {_fmt(a.path_dash[1])} d")
                 if a.path_fill is not None:
                     cs, vals = a.path_fill
                     if isinstance(vals, ShadingPattern):

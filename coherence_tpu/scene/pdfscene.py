@@ -13,6 +13,7 @@ import numpy as np
 from .. import colour as C
 from .. import ident
 from .. import transform as tr
+from ..geometry import dash as gdash
 from ..geometry import shapes as gshapes
 from ..io import pdfgraphics as PG
 from ..raster import fills as rfills
@@ -299,6 +300,14 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     fill = fill_of_pdf_colour(
                         vals, a.path_transparency.line_transparency, cs
                     )
+                    stroke_path = el.path
+                    if a.path_dash[0]:
+                        # Dash BEFORE stroking so each dash gets caps
+                        # (BEYOND REFERENCE: pdfgraphics.mli:93 captures
+                        # the dash but the reference strokes solid).
+                        stroke_path = gdash.dash_path(
+                            el.path, a.path_dash[0], a.path_dash[1]
+                        )
                     spec = gshapes.StrokeSpec(
                         startcap=cap_of_pdfcap(a.path_capstyle),
                         join=join_of_pdfjoin(a.path_joinstyle),
@@ -309,7 +318,7 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     out.append(
                         R.Obj(
                             ident.new_ids(),
-                            R.Basic(fill, R.StrokedPathShape(el.path, spec)),
+                            R.Basic(fill, R.StrokedPathShape(stroke_path, spec)),
                             (),
                             R.OVER,
                         )
