@@ -19,6 +19,8 @@ mode 3/7 shows nothing but still advances.
 
 from __future__ import annotations
 
+import re
+from dataclasses import replace
 from typing import Dict, List, Optional, Tuple
 
 from .. import ident
@@ -80,6 +82,11 @@ class _LoadedFont:
         self.default_width: Optional[float] = None
         self.cid_to_gid: Optional[bytes] = None  # CIDToGIDMap stream data
         self.differences: Dict[int, str] = {}  # /Encoding /Differences
+        # Type 3 fonts (PDF 9.6.4): glyphs are content streams.
+        self.type3 = False
+        self.fontmatrix = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+        self.charprocs: Dict[str, object] = {}  # glyph name -> Stream
+        self.t3_resources: dict = {}
 
     def codes_of_bytes(self, s: bytes) -> List[int]:
         if not self.two_byte:
@@ -213,6 +220,43 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
                 cf = lf.ttf if getattr(lf.ttf, "is_cid", False) else lf.ttf.cff
                 lf.gid_of_code = cf.gid_of_cid  # type: ignore
         return lf
+    if subtype == "Type3":
+        # BEYOND REFERENCE: Type 3 glyphs are content streams (PDF 9.6.4)
+        # interpreted through the same _process machinery as pages; the
+        # reference captures TextBlocks but never rasterizes any font.
+        lf.type3 = True
+        fm = res(fd.get("FontMatrix"))
+        if isinstance(fm, list) and len(fm) == 6:
+            lf.fontmatrix = tuple(float(res(v)) for v in fm)
+        cp = res(fd.get("CharProcs"))
+        if isinstance(cp, dict):
+            for k, v in cp.items():
+                proc = res(v)
+                if isinstance(proc, P.Stream):
+                    lf.charprocs[k] = proc
+        t3res = res(fd.get("Resources"))
+        lf.t3_resources = t3res if isinstance(t3res, dict) else {}
+        enc = res(fd.get("Encoding"))
+        if isinstance(enc, dict):
+            diffs = res(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = res(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, P.Name):
+                        lf.differences[code] = item.v
+                        code += 1
+        # /Widths are in GLYPH space: advance = x of (w, 0) under the
+        # FontMatrix linear part.
+        fc = res(fd.get("FirstChar"))
+        widths = res(fd.get("Widths"))
+        if isinstance(widths, list) and isinstance(fc, int):
+            for i, w in enumerate(widths):
+                lf.widths[fc + i] = float(res(w)) * lf.fontmatrix[0]
+        lf.default_width = 0.0
+        return lf
     # Simple font (Type1 / TrueType / MMType1).
     lf.ttf = _font_file(pdf, res(fd.get("FontDescriptor")))
     if lf.ttf is None:
@@ -285,6 +329,66 @@ def _glyph_path(lf: _LoadedFont, code: int, trm) -> Optional[Path]:
     return Path(NONZERO, tuple(subpaths))
 
 
+# A d1 prelude (wx wy llx lly urx ury d1) marks a stencil glyph: colour
+# operators inside are ignored and the glyph paints with the text colour
+# (PDF 9.6.4).  d0 glyphs keep their own colours.
+_D1_RE = re.compile(rb"^\s*(?:[-+0-9.eE]+\s+){6}d1(?:\s|$)")
+
+
+def _stencil_elements(elements, colour):
+    """Rewrite every painted colour to the show-time text colour."""
+    out = []
+    for el in elements:
+        if isinstance(el, PG.GPath):
+            a = el.attributes
+            out.append(
+                PG.GPath(
+                    el.path,
+                    replace(
+                        a,
+                        path_fill=colour if a.path_fill is not None else None,
+                        path_line=colour if a.path_line is not None else None,
+                    ),
+                )
+            )
+        elif isinstance(el, PG.Clip):
+            out.append(PG.Clip(el.path, _stencil_elements(el.elements, colour)))
+        elif isinstance(el, PG.MCSection):
+            out.append(PG.MCSection(el.name, _stencil_elements(el.elements, colour)))
+        else:
+            out.append(el)
+    return out
+
+
+def _type3_glyph_objects(pdf, lf: _LoadedFont, proc, trm, colour, attrs) -> list:
+    """Scene objects for one Type 3 glyph: interpret its CharProc content
+    stream with ctm = trm . FontMatrix through the page machinery."""
+    try:
+        content = proc.decode()
+    except Exception:
+        return []
+    gs = PG._GState(ctm=tuple(tr.matmul(trm, lf.fontmatrix)))
+    gs.ca = float(attrs.fill_alpha)
+    gs.CA = float(attrs.stroke_alpha)
+    if colour is not None:
+        gs.fill = colour
+        gs.stroke = colour
+    try:
+        elements = PG._process(pdf, content, lf.t3_resources, gs)
+    except Exception:
+        return []
+    if colour is not None and _D1_RE.match(content):
+        elements = _stencil_elements(elements, colour)
+    from . import pdfscene
+
+    try:
+        return pdfscene.scene_of_graphic(
+            pdf, PG.Graphic(elements, lf.t3_resources)
+        )
+    except Exception:
+        return []
+
+
 def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
     """Scene objects painting a TextBlock's show operators."""
     from . import pdfscene
@@ -307,6 +411,21 @@ def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
             return
         mode = attrs.textmode % 4  # clip variants 4-7 paint like 0-3
         colour = attrs.fill if mode in (0, 2) else attrs.stroke
+        if font.type3:
+            for code in font.codes_of_bytes(s):
+                if mode != 3 and size != 0.0:
+                    name = font.differences.get(code)
+                    proc = font.charprocs.get(name) if name is not None else None
+                    if proc is not None:
+                        params = (size * th, 0.0, 0.0, size, 0.0, rise)
+                        trm = tr.matmul(ctm, tr.matmul(tm, params))
+                        out.extend(
+                            _type3_glyph_objects(pdf, font, proc, trm, colour, attrs)
+                        )
+                pad = tw if (code == 32 and not font.two_byte) else 0.0
+                tx = (font.width_of_code(code) * size + tc + pad) * th
+                tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
+            return
         subpaths = []
         for code in font.codes_of_bytes(s):
             w0 = font.width_of_code(code)
