@@ -115,6 +115,13 @@ class _LoadedFont:
                     return gid
             cp = _unicode_of_glyph_name(name)
             return self.ttf.gid_of_unicode(cp) if cp else 0
+        by_code = getattr(self.ttf, "gid_of_builtin_code", None)
+        if by_code is not None:
+            # Type 1 faces carry their own /Encoding (PDF 9.6.6.2: the
+            # builtin encoding applies when no /Differences override).
+            gid = by_code(code)
+            if gid:
+                return gid
         return self.ttf.gid_of_unicode(_unicode_of_code(code))
 
     def width_of_code(self, code: int) -> float:
@@ -147,6 +154,12 @@ def _font_file(pdf, descriptor) -> Optional[TT.TrueTypeFont]:
                 from ..io.cff import CFFFont
 
                 return CFFFont(data)
+            except Exception:
+                pass
+            try:  # classic Type 1 (FontFile: PFB/PFA eexec programs)
+                from ..io.type1 import Type1Font
+
+                return Type1Font(data)
             except Exception:
                 return None
     return None
