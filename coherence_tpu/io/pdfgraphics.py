@@ -473,6 +473,21 @@ class RadialShadingK:
 
 
 @dataclass
+class MeshShadingK:
+    """Mesh shadings (PDF shading types 4-7) reduced to Gouraud triangles.
+
+    BEYOND REFERENCE: camlpdf parses these stream types but the reference
+    drops every shading at render time.  Vertices are in the shading's
+    target space; each triangle is (p0, p1, p2, c0, c1, c2) with colours as
+    component tuples in the shading's colourspace (already mapped through
+    /Function when present).  Coons/tensor patches (types 6/7) arrive
+    pre-subdivided on a surface grid."""
+
+    shading_type: int
+    triangles: tuple
+
+
+@dataclass
 class Shading:
     """shading (pdfgraphics.mli:62-69)."""
 
@@ -684,6 +699,247 @@ def _matrix_entry(pdf: Pdf, dd: dict, key: str = "Matrix") -> Matrix:
     return _ID
 
 
+class _BitReader:
+    """MSB-first bit stream over mesh shading data (PDF 8.7.4.5.5)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # bit offset
+
+    def eof(self, nbits: int = 1) -> bool:
+        return self.pos + nbits > len(self.d) * 8
+
+    def read(self, n: int) -> int:
+        if self.eof(n):
+            raise EOFError
+        v = 0
+        p = self.pos
+        left = n
+        while left:
+            byte = self.d[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, left)
+            shift = avail - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            p += take
+            left -= take
+        self.pos = p
+        return v
+
+
+def _bezier1(c0, c1, c2, c3, t):
+    s = 1.0 - t
+    return (
+        s * s * s * c0 + 3 * s * s * t * c1 + 3 * s * t * t * c2 + t * t * t * c3
+    )
+
+
+def _surf_point(P, u, v):
+    """Bicubic tensor point: rows indexed by u, columns by v."""
+    row = [
+        _bezier1(P[i][0][k], P[i][1][k], P[i][2][k], P[i][3][k], v)
+        for i in range(4)
+        for k in (0, 1)
+    ]
+    # row = [x0,y0,x1,y1,x2,y2,x3,y3] along u
+    return (
+        _bezier1(row[0], row[2], row[4], row[6], u),
+        _bezier1(row[1], row[3], row[5], row[7], u),
+    )
+
+
+def _coons_internal(P):
+    """Fill P[1][1], P[1][2], P[2][1], P[2][2] from the boundary (PDF
+    8.7.4.5.7 Coons-to-tensor formulas)."""
+
+    def pt(f):
+        return (f(0), f(1))
+
+    def mix(coef):
+        def f(k):
+            return sum(c * P[i][j][k] for c, i, j in coef) / 9.0
+
+        return pt(f)
+
+    P[1][1] = mix([(-4, 0, 0), (6, 0, 1), (6, 1, 0), (-2, 0, 3), (-2, 3, 0),
+                   (3, 3, 1), (3, 1, 3), (-1, 3, 3)])
+    P[1][2] = mix([(-4, 0, 3), (6, 0, 2), (6, 1, 3), (-2, 0, 0), (-2, 3, 3),
+                   (3, 1, 0), (3, 3, 2), (-1, 3, 0)])
+    P[2][1] = mix([(-4, 3, 0), (6, 3, 1), (6, 2, 0), (-2, 3, 3), (-2, 0, 0),
+                   (3, 0, 1), (3, 2, 3), (-1, 0, 3)])
+    P[2][2] = mix([(-4, 3, 3), (6, 3, 2), (6, 2, 3), (-2, 3, 0), (-2, 0, 3),
+                   (3, 2, 0), (3, 0, 2), (-1, 0, 0)])
+
+
+_PATCH_GRID = 6  # (n+1)^2 surface samples per Coons/tensor patch
+
+
+def _patch_triangles(P, c00, c03, c33, c30, out):
+    """Subdivide a tensor patch into Gouraud triangles with bilinear
+    corner-colour interpolation (colour c_uv at grid corners: c00 at
+    (u=0,v=0)=P[0][0], c03 at P[0][3], c33 at P[3][3], c30 at P[3][0])."""
+    n = _PATCH_GRID
+    c00 = tuple(c00)
+    c03 = tuple(c03)
+    c33 = tuple(c33)
+    c30 = tuple(c30)
+    nc = len(c00)
+
+    def col(u, v):
+        return tuple(
+            (1 - u) * (1 - v) * c00[k]
+            + (1 - u) * v * c03[k]
+            + u * v * c33[k]
+            + u * (1 - v) * c30[k]
+            for k in range(nc)
+        )
+
+    grid = [
+        [(_surf_point(P, i / n, j / n), col(i / n, j / n)) for j in range(n + 1)]
+        for i in range(n + 1)
+    ]
+    for i in range(n):
+        for j in range(n):
+            (pa, ca), (pb, cb) = grid[i][j], grid[i][j + 1]
+            (pc, cc), (pd, cd) = grid[i + 1][j + 1], grid[i + 1][j]
+            out.append((pa, pb, pc, ca, cb, cc))
+            out.append((pa, pc, pd, ca, cc, cd))
+
+
+def _parse_mesh(pdf: Pdf, d: "Stream", dd: dict, st: int):
+    """Shading types 4-7 -> MeshShadingK (Gouraud triangles), or a
+    placeholder string when the stream is unreadable."""
+    try:
+        data = d.decode()
+        bpc = int(pdf.resolve(dd.get("BitsPerCoordinate")))
+        bpcomp = int(pdf.resolve(dd.get("BitsPerComponent")))
+        decode = [float(pdf.resolve(v)) for v in pdf.resolve(dd.get("Decode"))]
+        fn = pdf.resolve(dd.get("Function"))
+        funcs = None
+        if fn is not None:
+            fns = fn if isinstance(fn, list) else [fn]
+            funcs = tuple(parse_function(pdf, x) for x in fns)
+        ncomp = (len(decode) - 4) // 2
+
+        def map_colour(comps):
+            if funcs is None:
+                return tuple(comps)
+            t = comps[0]
+            out = []
+            for f in funcs:
+                v = eval_function(f, t)
+                out.extend(v if isinstance(v, (list, tuple)) else [v])
+            return tuple(out)
+
+        br = _BitReader(data)
+
+        def dec(raw, bits, lo, hi):
+            return lo + raw * (hi - lo) / float((1 << bits) - 1)
+
+        def vertex():
+            x = dec(br.read(bpc), bpc, decode[0], decode[1])
+            y = dec(br.read(bpc), bpc, decode[2], decode[3])
+            comps = [
+                dec(br.read(bpcomp), bpcomp, decode[4 + 2 * k], decode[5 + 2 * k])
+                for k in range(ncomp)
+            ]
+            return (x, y), map_colour(comps)
+
+        tris: list = []
+        if st == 4:
+            bpf = int(pdf.resolve(dd.get("BitsPerFlag", 8)))
+            va = vb = vc = None
+            while not br.eof(bpf + 2 * bpc + ncomp * bpcomp):
+                f = br.read(bpf)
+                v = vertex()
+                if f == 0:
+                    if br.eof(2 * (bpf + 2 * bpc + ncomp * bpcomp)):
+                        break
+                    br.read(bpf)
+                    v2 = vertex()
+                    br.read(bpf)
+                    v3 = vertex()
+                    va, vb, vc = v, v2, v3
+                elif f == 1 and vc is not None:
+                    va, vb, vc = vb, vc, v
+                elif f == 2 and vc is not None:
+                    va, vb, vc = va, vc, v
+                else:
+                    continue
+                tris.append((va[0], vb[0], vc[0], va[1], vb[1], vc[1]))
+        elif st == 5:
+            k = int(pdf.resolve(dd.get("VerticesPerRow", 2)))
+            rows = []
+            per_vertex = 2 * bpc + ncomp * bpcomp
+            while not br.eof(k * per_vertex):
+                rows.append([vertex() for _ in range(k)])
+            for r0, r1 in zip(rows, rows[1:]):
+                for i in range(k - 1):
+                    (pa, ca), (pb, cb) = r0[i], r0[i + 1]
+                    (pc, cc), (pd, cd) = r1[i], r1[i + 1]
+                    tris.append((pa, pb, pc, ca, cb, cc))
+                    tris.append((pb, pd, pc, cb, cd, cc))
+        elif st in (6, 7):
+            bpf = int(pdf.resolve(dd.get("BitsPerFlag", 8)))
+            npts_new = 12 if st == 6 else 16
+            npts_shared = npts_new - 4
+            prev_pts = prev_cols = None
+
+            def point():
+                x = dec(br.read(bpc), bpc, decode[0], decode[1])
+                y = dec(br.read(bpc), bpc, decode[2], decode[3])
+                return (x, y)
+
+            def colour():
+                return map_colour(
+                    [
+                        dec(
+                            br.read(bpcomp), bpcomp,
+                            decode[4 + 2 * k], decode[5 + 2 * k],
+                        )
+                        for k in range(ncomp)
+                    ]
+                )
+
+            while not br.eof(bpf + 2 * bpc):
+                f = br.read(bpf)
+                if f == 0:
+                    pts = [point() for _ in range(npts_new)]
+                    cols = [colour() for _ in range(4)]
+                else:
+                    if prev_pts is None:
+                        break
+                    # Shared edge (PDF Table 85): new p1-p4 + c1,c2 reuse
+                    # the previous patch's edge by flag.
+                    src = {
+                        1: (prev_pts[3:7], prev_cols[1:3]),
+                        2: (prev_pts[6:10], prev_cols[2:4]),
+                        3: (prev_pts[9:12] + [prev_pts[0]],
+                            [prev_cols[3], prev_cols[0]]),
+                    }.get(f)
+                    if src is None:
+                        break
+                    pts = list(src[0]) + [point() for _ in range(npts_shared)]
+                    cols = list(src[1]) + [colour(), colour()]
+                prev_pts, prev_cols = pts, cols
+                # Boundary points onto the 4x4 tensor grid.
+                P = [[None] * 4 for _ in range(4)]
+                (P[0][0], P[0][1], P[0][2], P[0][3]) = pts[0:4]
+                (P[1][3], P[2][3], P[3][3]) = pts[4:7]
+                (P[3][2], P[3][1], P[3][0]) = pts[7:10]
+                (P[2][0], P[1][0]) = pts[10:12]
+                if st == 7:
+                    (P[1][1], P[1][2], P[2][2], P[2][1]) = pts[12:16]
+                else:
+                    _coons_internal(P)
+                _patch_triangles(P, cols[0], cols[1], cols[2], cols[3], tris)
+        if not tris:
+            return f"ShadingType{st}"
+        return MeshShadingK(st, tuple(tris))
+    except Exception:
+        return f"ShadingType{st}"
+
+
 def read_shading(pdf: Pdf, matrix: Matrix, extgstate, sh) -> Shading:
     """read_shading (pdfgraphics.ml:668-700)."""
     d = pdf.resolve(sh)
@@ -728,13 +984,10 @@ def read_shading(pdf: Pdf, matrix: Matrix, extgstate, sh) -> Shading:
         kind = RadialShadingK(
             floats("Coords", 6), floats("Domain", 2, (0.0, 1.0)), funcs(), extend()
         )
+    elif st in (4, 5, 6, 7) and isinstance(d, Stream):
+        kind = _parse_mesh(pdf, d, dd, st)
     else:
-        kind = {
-            4: "FreeFormGouraudShading",
-            5: "LatticeFormGouraudShading",
-            6: "CoonsPatchMesh",
-            7: "TensorProductPatchMesh",
-        }.get(st, f"ShadingType{st}")
+        kind = f"ShadingType{st}"
     return Shading(cs, bg, bbox, aa, matrix, extgstate, kind)
 
 

@@ -72,6 +72,115 @@ def _colour_of_components(cs_obj, comps, transparency: float) -> int:
     return C.dissolve(C.colour_of_rgba_float(r, g, b, 1.0), delta=t)
 
 
+def _rgb_of_components(cs_obj, comps):
+    comps = [min(max(float(v), 0.0), 1.0) for v in comps]
+    name = cs_obj.v if hasattr(cs_obj, "v") else str(cs_obj)
+    if name == PG.DEVICE_RGB and len(comps) == 3:
+        return tuple(comps)
+    if name == PG.DEVICE_CMYK and len(comps) == 4:
+        return rgb_of_cmyk(*comps)
+    if len(comps) == 1:
+        return (comps[0],) * 3
+    if len(comps) == 3:
+        return tuple(comps)
+    return (0.5, 0.5, 0.5)
+
+
+_MESH_MAX_DIM = 2048  # texture cap per side for mesh rasters
+
+
+def mesh_extent(sh: PG.Shading):
+    """Target-space bbox of a mesh shading's transformed triangles."""
+    k = sh.kind
+    a, b, c_, d, e, f_ = sh.matrix
+    xs, ys = [], []
+    for t in k.triangles:
+        for (x, y) in t[:3]:
+            xs.append(a * x + c_ * y + e)
+            ys.append(b * x + d * y + f_)
+    if not xs:
+        return None
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def fill_of_mesh(sh: PG.Shading, transparency: float):
+    """Mesh shadings (types 4-7) as an ImageFill: Gouraud triangles
+    rasterized on the host at device resolution (the shading matrix is the
+    ctm at the sh op / the pattern matrix, so 1 texel ~= 1 device pixel).
+    BEYOND REFERENCE: the reference drops every shading at render time."""
+    k = sh.kind
+    if not isinstance(k, PG.MeshShadingK) or not k.triangles:
+        return None
+    a, b, c_, d, e, f_ = sh.matrix
+
+    def xf(p):
+        return (a * p[0] + c_ * p[1] + e, b * p[0] + d * p[1] + f_)
+
+    tris = [
+        (
+            xf(p0), xf(p1), xf(p2),
+            _rgb_of_components(sh.colourspace, c0),
+            _rgb_of_components(sh.colourspace, c1),
+            _rgb_of_components(sh.colourspace, c2),
+        )
+        for (p0, p1, p2, c0, c1, c2) in k.triangles
+    ]
+    x0 = min(min(p[0] for p in t[:3]) for t in tris) - 1.0
+    y0 = min(min(p[1] for p in t[:3]) for t in tris) - 1.0
+    x1 = max(max(p[0] for p in t[:3]) for t in tris) + 1.0
+    y1 = max(max(p[1] for p in t[:3]) for t in tris) + 1.0
+    w, h = x1 - x0, y1 - y0
+    if w <= 0 or h <= 0:
+        return None
+    scale = min(1.0, _MESH_MAX_DIM / max(w, h))
+    W = max(1, int(math.ceil(w * scale)))
+    H = max(1, int(math.ceil(h * scale)))
+    rgb = np.zeros((H, W, 3), dtype=np.float64)
+    cov = np.zeros((H, W), dtype=bool)
+    for (p0, p1, p2, c0, c1, c2) in tris:
+        # texel coords: column u = (x - x0)*scale, row r = (y1 - y)*scale
+        # (row 0 = TOP, matching ImageFill's texel orientation).
+        ax, ay = (p0[0] - x0) * scale, (y1 - p0[1]) * scale
+        bx, by = (p1[0] - x0) * scale, (y1 - p1[1]) * scale
+        cx, cy = (p2[0] - x0) * scale, (y1 - p2[1]) * scale
+        denom = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if abs(denom) < 1e-12:
+            continue
+        lo_u = max(0, int(math.floor(min(ax, bx, cx))))
+        hi_u = min(W, int(math.ceil(max(ax, bx, cx))) + 1)
+        lo_r = max(0, int(math.floor(min(ay, by, cy))))
+        hi_r = min(H, int(math.ceil(max(ay, by, cy))) + 1)
+        if lo_u >= hi_u or lo_r >= hi_r:
+            continue
+        us = np.arange(lo_u, hi_u, dtype=np.float64) + 0.5
+        rs = np.arange(lo_r, hi_r, dtype=np.float64) + 0.5
+        U, Rr = np.meshgrid(us, rs)
+        w0 = ((by - cy) * (U - cx) + (cx - bx) * (Rr - cy)) / denom
+        w1 = ((cy - ay) * (U - ax) + (ax - cx) * (Rr - ay)) / denom
+        w2 = 1.0 - w0 - w1
+        eps = -1e-9
+        inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
+        if not inside.any():
+            continue
+        col = (
+            w0[..., None] * np.asarray(c0)
+            + w1[..., None] * np.asarray(c1)
+            + w2[..., None] * np.asarray(c2)
+        )
+        sl = (slice(lo_r, hi_r), slice(lo_u, hi_u))
+        # Later triangles paint over earlier ones (PDF paint order).
+        rgb[sl] = np.where(inside[..., None], col, rgb[sl])
+        cov[sl] |= inside
+    a8 = int(transparency * 255.0)
+    rgb8 = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.int64)
+    tex = np.zeros((H, W, 4), dtype=np.int64)
+    tex[..., :3] = (rgb8 * a8 + 127) // 255
+    tex[..., 3] = a8
+    tex[~cov] = 0
+    # ImageFill maps the unit square (v up) onto the bbox rect.
+    return rfills.image_fill(tex, (w, 0.0, 0.0, h, x0, y0))
+
+
 def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     """Map an axial/radial shading pattern onto the renderer's gradient
     fills (fill.ml:77-140): endpoint colours come from the PDF function
@@ -86,6 +195,8 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     it).  r0/r1 and both extend flags are honoured."""
     sh = pat.shading
     k = sh.kind
+    if isinstance(k, PG.MeshShadingK):
+        return fill_of_mesh(sh, transparency)
     if not isinstance(k, (PG.AxialShadingK, PG.RadialShadingK)):
         return None
     f = k.functions[0] if k.functions else None
@@ -374,6 +485,15 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                             for x, y in ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
                         ]
                     )
+                if geom_path is None and isinstance(el.shading.kind, PG.MeshShadingK):
+                    # No clip and no /BBox: a mesh's natural extent is its
+                    # transformed triangle bbox.
+                    ext = mesh_extent(el.shading)
+                    if ext is not None:
+                        mx0, my0, mx1, my1 = ext
+                        geom_path = _quad_path(
+                            [(mx0, my0), (mx1, my0), (mx1, my1), (mx0, my1)]
+                        )
                 if fill is not None and geom_path is not None:
                     out.append(
                         R.Obj(
