@@ -181,6 +181,59 @@ def fill_of_mesh(sh: PG.Shading, transparency: float):
     return rfills.image_fill(tex, (w, 0.0, 0.0, h, x0, y0))
 
 
+_FUNC_SHADING_SAMPLES = 128  # function-shading sample grid per side
+
+
+def function_shading_quad(sh: PG.Shading):
+    """Target-space corners of a type-1 shading's transformed domain."""
+    k = sh.kind
+    x0, x1, y0, y1 = k.domain
+    m = PG._mat_mul(sh.matrix, k.matrix)
+    a, b, c_, d, e, f_ = m
+    return [
+        (a * x + c_ * y + e, b * x + d * y + f_)
+        for x, y in ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+    ]
+
+
+def fill_of_function_shading(sh: PG.Shading, transparency: float):
+    """Function-based shadings (type 1): sample f(x, y) over the domain
+    onto a texture painted as an ImageFill (the domain rect maps to target
+    space through Matrix then the ctm/pattern matrix).  BEYOND REFERENCE:
+    the reference drops every shading at render time."""
+    k = sh.kind
+    if not isinstance(k, PG.FunctionShadingK) or k.function is None:
+        return None
+    x0, x1, y0, y1 = k.domain
+    if not (x1 > x0 and y1 > y0):
+        return None
+    n = _FUNC_SHADING_SAMPLES
+    a8 = int(transparency * 255.0)
+    tex = np.zeros((n, n, 4), dtype=np.int64)
+    for r in range(n):  # row 0 = TOP of the domain (max y)
+        y = y0 + (y1 - y0) * (1.0 - (r + 0.5) / n)
+        for cix in range(n):
+            x = x0 + (x1 - x0) * (cix + 0.5) / n
+            try:
+                comps = PG.eval_function(k.function, (x, y))
+            except Exception:
+                comps = None
+            if not comps:
+                continue
+            rr, gg, bb = _rgb_of_components(sh.colourspace, comps)
+            tex[r, cix] = (
+                (round(rr * 255) * a8 + 127) // 255,
+                (round(gg * 255) * a8 + 127) // 255,
+                (round(bb * 255) * a8 + 127) // 255,
+                a8,
+            )
+    m = PG._mat_mul(
+        PG._mat_mul(sh.matrix, k.matrix),
+        (x1 - x0, 0.0, 0.0, y1 - y0, x0, y0),
+    )
+    return rfills.image_fill(tex, m)
+
+
 def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     """Map an axial/radial shading pattern onto the renderer's gradient
     fills (fill.ml:77-140): endpoint colours come from the PDF function
@@ -197,6 +250,8 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
     k = sh.kind
     if isinstance(k, PG.MeshShadingK):
         return fill_of_mesh(sh, transparency)
+    if isinstance(k, PG.FunctionShadingK):
+        return fill_of_function_shading(sh, transparency)
     if not isinstance(k, (PG.AxialShadingK, PG.RadialShadingK)):
         return None
     f = k.functions[0] if k.functions else None
@@ -494,6 +549,11 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                         geom_path = _quad_path(
                             [(mx0, my0), (mx1, my0), (mx1, my1), (mx0, my1)]
                         )
+                if geom_path is None and isinstance(
+                    el.shading.kind, PG.FunctionShadingK
+                ):
+                    # Type 1 paints its transformed domain rect.
+                    geom_path = _quad_path(function_shading_quad(el.shading))
                 if fill is not None and geom_path is not None:
                     out.append(
                         R.Obj(

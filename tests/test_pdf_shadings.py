@@ -349,3 +349,49 @@ def test_noncentric_radial_two_circle_sweep():
     g = PG.graphic_of_page(pdf, _page_dict(pdf))
     scene = pdfscene.scene_of_graphic(pdf, g)
     assert any(isinstance(o.geometry.fill, RadialFill2) for o in scene)
+
+
+def test_function_shading_type1_renders():
+    """Type 1 (function-based) shading paints its sampled f(x, y) ramp —
+    BEYOND REFERENCE: the reference drops every shading at render time."""
+    from coherence_tpu.io.pdf import Stream
+
+    cache.clear()
+    fn = Stream(
+        {
+            "FunctionType": 4,
+            "Domain": [0.0, 100.0, 0.0, 100.0],
+            "Range": [0.0, 1.0, 0.0, 1.0, 0.0, 1.0],
+        },
+        b"{ pop 100 div 0 0 }",  # r = x/100, g = b = 0
+    )
+    sh = Stream(
+        {
+            "ShadingType": 1,
+            "ColorSpace": Name("DeviceRGB"),
+            "Domain": [0.0, 100.0, 0.0, 100.0],
+            "Function": fn,
+        },
+        b"",
+    )
+    pdf = mkpage(
+        b"/Sh0 sh", mediabox=(0, 0, 100, 80), resources={"Shading": {"Sh0": sh}}
+    )
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    assert scene
+    assert any(isinstance(o.geometry.fill, rfills.ImageFill) for o in scene)
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 100, 80)))
+    x0, y0, _, _ = spr.box
+    r4 = np.asarray(spr.rgba)
+
+    def at(x, y):
+        return r4[y - y0, x - x0]
+
+    left = at(10, 40)
+    right = at(90, 40)
+    assert left[3] > 200 and right[3] > 200
+    assert left[0] < 60 and right[0] > 190, (left, right)  # x ramp
+    mid = at(50, 40)
+    assert 90 < mid[0] < 160, mid
+    cache.clear()
