@@ -468,6 +468,82 @@ class Pdf:
         return b"\n".join(self.resolve(c).decode() for c in contents)
 
 
+def _decrypt_objects(objects: Dict[int, PdfObj], gens: Dict[int, int], data: bytes):
+    """Decrypt every string and stream in place when the file carries a
+    standard /Encrypt dictionary (PDF 7.6) — camlpdf `Pdfcrypt` parity.
+    XRef streams are never encrypted; /Metadata honours EncryptMetadata;
+    strings inside object streams are covered by the ObjStm's own stream
+    decryption (they are not re-encrypted individually)."""
+    enc_ref = None
+    id0 = b""
+    dicts: list = []
+    for m in re.finditer(rb"trailer", data):
+        try:
+            t = _Parser(data, m.end()).parse()
+            if isinstance(t, dict):
+                dicts.append(t)
+        except Exception:
+            pass
+    for obj in objects.values():
+        if isinstance(obj, Stream):
+            t = obj.dict.get("Type")
+            if isinstance(t, Name) and t.v == "XRef":
+                dicts.append(obj.dict)
+    for t in dicts:
+        if enc_ref is None and "Encrypt" in t:
+            enc_ref = t["Encrypt"]
+        ids = t.get("ID")
+        if not id0 and isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+    if enc_ref is None:
+        return
+    enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+    enc = objects.get(enc_num) if enc_num is not None else enc_ref
+    if not isinstance(enc, dict):
+        return
+    filt = enc.get("Filter")
+    if isinstance(filt, Name) and filt.v != "Standard":
+        return  # unsupported security handler: leave bytes as-is
+    try:
+        from .pdfcrypt import StandardSecurityHandler
+
+        handler = StandardSecurityHandler(enc, id0)
+    except Exception:
+        return
+
+    def walk_strings(o, num, gen):
+        if isinstance(o, dict):
+            for k, v in o.items():
+                if isinstance(v, bytes):
+                    o[k] = handler.decrypt_string(v, num, gen)
+                else:
+                    walk_strings(v, num, gen)
+        elif isinstance(o, list):
+            for i, v in enumerate(o):
+                if isinstance(v, bytes):
+                    o[i] = handler.decrypt_string(v, num, gen)
+                else:
+                    walk_strings(v, num, gen)
+
+    for num, obj in objects.items():
+        if num == enc_num:
+            continue
+        gen = gens.get(num, 0)
+        if isinstance(obj, Stream):
+            t = obj.dict.get("Type")
+            tname = t.v if isinstance(t, Name) else ""
+            skip = tname == "XRef" or (
+                tname == "Metadata" and not handler.encrypt_metadata
+            )
+            if not skip:
+                obj.raw = handler.decrypt_stream(obj.raw, num, gen)
+            walk_strings(obj.dict, num, gen)
+        else:
+            walk_strings(obj, num, gen)
+            if isinstance(obj, bytes):
+                objects[num] = handler.decrypt_string(obj, num, gen)
+
+
 def pdf_of_bytes(data: bytes) -> Pdf:
     """Parse by scanning every `N G obj` (robust to broken/linearized xref),
     then unpack object streams (ObjStm) and read xref-stream trailers.
@@ -477,10 +553,12 @@ def pdf_of_bytes(data: bytes) -> Pdf:
     discovers every direct object and ObjStm unpacking the compressed ones.
     """
     objects: Dict[int, PdfObj] = {}
+    gens: Dict[int, int] = {}
     for m in _OBJ_RE.finditer(data):
         # Reject matches inside streams by attempting a parse; later
         # definitions override earlier ones (incremental updates).
         num = int(m.group(1))
+        gens[num] = int(m.group(2))
         p = _Parser(data, m.end())
         try:
             obj = p.parse()
@@ -519,6 +597,7 @@ def pdf_of_bytes(data: bytes) -> Pdf:
             length = obj.dict.get("Length")
             if isinstance(length, Ref) and isinstance(objects.get(length.num), int):
                 obj.raw = obj.raw[: objects[length.num]]
+    _decrypt_objects(objects, gens, data)
     # Unpack object streams (PDF 7.5.7): decode each /Type /ObjStm, parse
     # the (objnum, offset) header pairs, then each contained object.  A
     # direct `N G obj` found by the scan wins over a compressed copy (it is
