@@ -1036,11 +1036,72 @@ def _tokenize(content: bytes):
 
 
 def graphic_of_page(pdf: Pdf, page: dict) -> Graphic:
-    """Interpret a page's content streams (pdfgraphics.ml:1229)."""
+    """Interpret a page's content streams (pdfgraphics.ml:1229), then any
+    annotation appearance streams (BEYOND REFERENCE: PDF 12.5.5 — stamps,
+    markup and form-field widgets paint; the reference reads content
+    streams only)."""
     content = pdf.page_content(page)
     resources = pdf.resolve(page.get("Resources")) or {}
     elements = _process(pdf, content, resources, _GState())
+    elements.extend(_annotation_elements(pdf, page, resources))
     return Graphic(elements, resources)
+
+
+def _annotation_elements(pdf: Pdf, page: dict, page_res: dict) -> list:
+    """Elements from each visible annotation's /AP /N appearance stream,
+    mapped BBox-through-Matrix onto /Rect (PDF 12.5.5 algorithm 8.1)."""
+    out: list = []
+    annots = pdf.resolve(page.get("Annots"))
+    if not isinstance(annots, list):
+        return out
+    for a in annots:
+        try:
+            a = pdf.resolve(a)
+            if not isinstance(a, dict):
+                continue
+            sub = pdf.resolve(a.get("Subtype"))
+            if isinstance(sub, Name) and sub.v in ("Popup", "Link"):
+                continue
+            flags = int(pdf.resolve(a.get("F", 0)) or 0)
+            if flags & 2 or flags & 32:  # Hidden / NoView
+                continue
+            ap = pdf.resolve(a.get("AP"))
+            n = pdf.resolve(ap.get("N")) if isinstance(ap, dict) else None
+            if isinstance(n, dict):  # appearance states: select by /AS
+                state = pdf.resolve(a.get("AS"))
+                key = state.v if isinstance(state, Name) else None
+                n = pdf.resolve(n.get(key)) if key in n else (
+                    pdf.resolve(next(iter(n.values()))) if n else None
+                )
+            if not isinstance(n, Stream):
+                continue
+            rect = [float(pdf.resolve(v)) for v in pdf.resolve(a.get("Rect"))]
+            rx0, rx1 = sorted((rect[0], rect[2]))
+            ry0, ry1 = sorted((rect[1], rect[3]))
+            bbox = pdf.resolve(n.dict.get("BBox")) or [0, 0, 1, 1]
+            bbox = [float(pdf.resolve(v)) for v in bbox]
+            mtx = _matrix_entry(pdf, n.dict)
+            # Transformed-bbox corners -> bounds; A maps them onto Rect.
+            corners = [
+                _apply(mtx, (x, y))
+                for x, y in (
+                    (bbox[0], bbox[1]), (bbox[2], bbox[1]),
+                    (bbox[2], bbox[3]), (bbox[0], bbox[3]),
+                )
+            ]
+            tx0 = min(p[0] for p in corners)
+            tx1 = max(p[0] for p in corners)
+            ty0 = min(p[1] for p in corners)
+            ty1 = max(p[1] for p in corners)
+            sx = (rx1 - rx0) / (tx1 - tx0) if tx1 > tx0 else 1.0
+            sy = (ry1 - ry0) / (ty1 - ty0) if ty1 > ty0 else 1.0
+            A = (sx, 0.0, 0.0, sy, rx0 - tx0 * sx, ry0 - ty0 * sy)
+            gs = _GState(ctm=_mat_mul(A, mtx))
+            res = pdf.resolve(n.dict.get("Resources")) or page_res
+            out.extend(_process(pdf, n.decode(), res, gs))
+        except Exception:
+            continue  # malformed annotation: skip, keep the rest
+    return out
 
 
 def _scale_of(m: Matrix) -> float:
