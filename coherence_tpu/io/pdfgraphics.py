@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import re
+import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -1767,7 +1768,48 @@ def _shading_dict(s: Shading):
         if k.matrix != _ID:
             d["Matrix"] = list(k.matrix)
         d["Function"] = _function_dict(k.function)
+    elif isinstance(k, MeshShadingK) and k.triangles:
+        # Any mesh kind re-serializes as free-form Gouraud triangles
+        # (type 4): patches were already subdivided at read time.
+        return _mesh_stream_obj(d, k)
     return d
+
+
+def _mesh_stream_obj(d: dict, k: MeshShadingK) -> "Stream":
+    tris = k.triangles
+    xs = [p[0] for t in tris for p in t[:3]]
+    ys = [p[1] for t in tris for p in t[:3]]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    if x1 <= x0:
+        x1 = x0 + 1.0
+    if y1 <= y0:
+        y1 = y0 + 1.0
+    ncomp = len(tris[0][3])
+    acc = bytearray()
+
+    def c32(v, lo, hi):
+        return round((v - lo) / (hi - lo) * 0xFFFFFFFF)
+
+    for (p0, p1, p2, c0, c1, c2) in tris:
+        for p, c in ((p0, c0), (p1, c1), (p2, c2)):
+            acc.append(0)  # flag: every triangle standalone
+            acc += struct.pack(">II", c32(p[0], x0, x1), c32(p[1], y0, y1))
+            for v in c:
+                acc += struct.pack(
+                    ">H", round(min(max(float(v), 0.0), 1.0) * 0xFFFF)
+                )
+    d = dict(d)
+    d.update(
+        {
+            "ShadingType": 4,
+            "BitsPerCoordinate": 32,
+            "BitsPerComponent": 16,
+            "BitsPerFlag": 8,
+            "Decode": [x0, x1, y0, y1] + [0.0, 1.0] * ncomp,
+        }
+    )
+    return Stream(d, bytes(acc))
 
 
 def _pattern_dict(p: ShadingPattern):

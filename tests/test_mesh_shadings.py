@@ -254,3 +254,29 @@ def test_mesh_as_pattern_fill():
     # Outside the rect: nothing.
     assert _at(spr, 60, 80)[3] < 30
     cache.clear()
+
+def test_mesh_writer_roundtrip():
+    """page_of_graphic re-serializes a mesh as a type-4 stream that reads
+    back to the same triangles."""
+    from coherence_tpu.io.pdf import pdf_of_bytes, pdf_to_bytes
+
+    data = _bits(
+        _v4(0, 10, 10, 1, 0, 0) + _v4(0, 110, 10, 0, 1, 0) + _v4(0, 60, 110, 0, 0, 1)
+    )
+    pdf = mkpage(b"/Sh0 sh", mediabox=(0, 0, 120, 120),
+                 resources={"Shading": {"Sh0": _mesh_stream(4, data)}})
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    sh_el = [e for e in g.elements if isinstance(e, PG.GShading)][0]
+    assert isinstance(sh_el.shading.kind, PG.MeshShadingK)
+    pdf2 = PG.page_of_graphic(g, mediabox=(0, 0, 120, 120))
+    pdf3 = pdf_of_bytes(pdf_to_bytes(pdf2))
+    g2 = PG.graphic_of_page(pdf3, _page_dict(pdf3))
+    sh2 = [e for e in g2.elements if isinstance(e, PG.GShading)][0]
+    k2 = sh2.shading.kind
+    assert isinstance(k2, PG.MeshShadingK) and len(k2.triangles) == 1
+    (p0, p1, p2, c0, c1, c2) = k2.triangles[0]
+    ref = sh_el.shading.kind.triangles[0]
+    for got, want in zip((p0, p1, p2), ref[:3]):
+        assert abs(got[0] - want[0]) < 0.01 and abs(got[1] - want[1]) < 0.01
+    for got, want in zip((c0, c1, c2), ref[3:]):
+        assert all(abs(a - b) < 0.01 for a, b in zip(got, want))
