@@ -774,11 +774,31 @@ class Engine:
         page_w = abs(float(mb[2]) - float(mb[0]))
         page_h = abs(float(mb[3]) - float(mb[1]))
         objs = pdfscene.scene_of_graphic(pdf, graphic)
-        t = [tr.Translate(100.0, 100.0), tr.Scale((0.0, page_h / 2.0), 1.0, -1.0)]
+        # Page /Rotate (inheritable, PDF 7.7.3.3): rotate the content into
+        # display orientation and swap the page box for 90/270.  BEYOND
+        # REFERENCE: engine.ml:1200-1229 ignores the attribute.
+        try:
+            rot = int(pdf.resolve(pages[0].get("Rotate", 0)) or 0) % 360
+        except Exception:
+            rot = 0
+        pre: list = []
+        disp_w, disp_h = page_w, page_h
+        if rot == 90:
+            pre = [tr.Translate(0.0, page_w), tr.Rotate((0.0, 0.0), -math.pi / 2)]
+            disp_w, disp_h = page_h, page_w
+        elif rot == 180:
+            pre = [tr.Translate(page_w, page_h), tr.Rotate((0.0, 0.0), math.pi)]
+        elif rot == 270:
+            pre = [tr.Translate(page_h, 0.0), tr.Rotate((0.0, 0.0), math.pi / 2)]
+            disp_w, disp_h = page_h, page_w
+        t = [
+            tr.Translate(100.0, 100.0),
+            tr.Scale((0.0, disp_h / 2.0), 1.0, -1.0),
+        ] + pre
         objs2 = [R.transform_renderobject_many(t, o) for o in reversed(objs)]
         view = R.View(
             scene=objs2,
-            pages=page(100.0, 100.0, page_w, page_h),
+            pages=page(100.0, 100.0, disp_w, disp_h),
             window=W.nullwindow,
             background=[background_obj()],
             selections=R.null_selection,
