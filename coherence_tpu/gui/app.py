@@ -140,6 +140,7 @@ class Engine:
         self.frag_window = None
         self.old_debug_coords = None
         self.undo = UndoManager()
+        self.docs: dict = {}  # window -> [path, page_index, npages]
         self.master_update = region.shape_of_box((0, 0, 400, 400))
         self.mouse = (0, 0)
         cache.usecache = True
@@ -765,12 +766,12 @@ class Engine:
 
     # --- files / demos (engine.ml:1200-1466) --------------------------------------
 
-    def openfile(self, name):
-        import os
-
-        graphic, pdf = E.pdf_graphic_from_file(name)
+    def _page_scene(self, name, page_index):
+        """Display-ready scene for one page: (objs, disp_w, disp_h, npages)."""
+        graphic, pdf = E.pdf_graphic_from_file(name, page_index)
         pages = pdf.pages()
-        mb = pdf.resolve(pages[0].get("MediaBox", [0, 0, 612, 792]))
+        pg = pages[max(0, min(len(pages) - 1, page_index))]
+        mb = pdf.resolve(pg.get("MediaBox", [0, 0, 612, 792]))
         page_w = abs(float(mb[2]) - float(mb[0]))
         page_h = abs(float(mb[3]) - float(mb[1]))
         objs = pdfscene.scene_of_graphic(pdf, graphic)
@@ -778,7 +779,7 @@ class Engine:
         # display orientation and swap the page box for 90/270.  BEYOND
         # REFERENCE: engine.ml:1200-1229 ignores the attribute.
         try:
-            rot = int(pdf.resolve(pages[0].get("Rotate", 0)) or 0) % 360
+            rot = int(pdf.resolve(pg.get("Rotate", 0)) or 0) % 360
         except Exception:
             rot = 0
         pre: list = []
@@ -796,6 +797,12 @@ class Engine:
             tr.Scale((0.0, disp_h / 2.0), 1.0, -1.0),
         ] + pre
         objs2 = [R.transform_renderobject_many(t, o) for o in reversed(objs)]
+        return objs2, disp_w, disp_h, len(pages)
+
+    def openfile(self, name):
+        import os
+
+        objs2, disp_w, disp_h, npages = self._page_scene(name, 0)
         view = R.View(
             scene=objs2,
             pages=page(100.0, 100.0, disp_w, disp_h),
@@ -810,6 +817,26 @@ class Engine:
         view.window = self.wx.make_window(
             os.path.basename(name), 600, 400, 200, 200, 1280, 1024, True
         )
+        self.docs[view.window] = [name, 0, npages]
+
+    def goto_page(self, view, delta: int):
+        """PageUp/PageDown navigation across a document's pages (BEYOND
+        REFERENCE: the reference renders page 1 only)."""
+        info = self.docs.get(view.window)
+        if not info:
+            return
+        name, idx, n = info
+        new = max(0, min(n - 1, idx + delta))
+        if new == idx:
+            return
+        objs2, disp_w, disp_h, _ = self._page_scene(name, new)
+        view.scene = objs2
+        view.pages = page(100.0, 100.0, disp_w, disp_h)
+        view.selections = R.null_selection
+        info[1] = new
+        self.state.dragging = DragNone
+        self.force_update_whole(view)
+        self.wx.set_status_bar(view.window, f"Page {new + 1}/{n}")
 
     def opendemo(self, geom, renderobjects, name):
         sx, sy, dx, dy, canvas_w, canvas_h = geom
@@ -949,7 +976,12 @@ class Engine:
                 self.mouse = (x, y)
         elif kind == W.KEY_DOWN:
             view = self.pickview(event[1])
-            (self.zoom_keydown if view.tool == W.Zoom else self.select_keydown)(view, event[2])
+            if event[2] == W.PageDown:
+                self.goto_page(view, 1)
+            elif event[2] == W.PageUp:
+                self.goto_page(view, -1)
+            else:
+                (self.zoom_keydown if view.tool == W.Zoom else self.select_keydown)(view, event[2])
         elif kind == W.KEY_UP:
             view = self.pickview(event[1])
             if view.tool == W.Select:

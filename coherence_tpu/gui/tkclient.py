@@ -30,6 +30,8 @@ _TK_KEYCODES = {
     "Up": 315,
     "Right": 316,
     "Down": 317,
+    "Prior": 366,  # PageUp
+    "Next": 367,  # PageDown
 }
 
 

@@ -31,8 +31,10 @@ Zoom = "zoom"
 
 # Keys (wxgui.ml:15-22)
 Escape, Left, Up, Right, Down = "Escape", "Left", "Up", "Right", "Down"
+PageUp, PageDown = "PageUp", "PageDown"
 
-_KEYCODES = {27: Escape, 314: Left, 315: Up, 316: Right, 317: Down}
+_KEYCODES = {27: Escape, 314: Left, 315: Up, 316: Right, 317: Down,
+             366: PageUp, 367: PageDown}
 _KEYCODES.update({k: chr(k) for k in range(65, 91)})
 
 

@@ -62,13 +62,15 @@ def path_of_graphic(graphic: PG.Graphic):
 
 
 @lru_cache(maxsize=None)
-def pdf_graphic_from_file(fname: str):
-    """Memoized PDF page loader (examples.ml:33-45)."""
+def pdf_graphic_from_file(fname: str, page_index: int = 0):
+    """Memoized PDF page loader (examples.ml:33-45); `page_index` selects
+    the page (BEYOND REFERENCE: the reference always takes page 1)."""
     pdf = P.pdf_of_file(fname)
     pages = pdf.pages()
     if not pages:
         raise ValueError("No pages in PDF file")
-    return PG.graphic_of_page(pdf, pages[0]), pdf
+    idx = max(0, min(len(pages) - 1, int(page_index)))
+    return PG.graphic_of_page(pdf, pages[idx]), pdf
 
 
 def pdf_pathsinfile(fname: str):
