@@ -51,6 +51,9 @@ class PathAttributes:
     # path_dash (pdfgraphics.mli:93): dash array + phase, ctm-scaled like
     # path_linewidth.  (()., 0.0) = solid.
     path_dash: Tuple[tuple, float] = ((), 0.0)
+    # ExtGState /SMask live at paint time: (smask_dict, ctm_at_gs) or None
+    # (BEYOND REFERENCE: the reference drops the gstate soft mask).
+    path_softmask: object = None
 
 
 @dataclass
@@ -1213,6 +1216,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     tuple(v * _scale_of(gs.ctm) for v in gs.dash[0]),
                     gs.dash[1] * _scale_of(gs.ctm),
                 ),
+                path_softmask=gs.softmask,
             )
             sinks[-1].append(GPath(p, attrs))
 
@@ -1436,8 +1440,12 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         gs.linewidth = float(pdf.resolve(entry["LW"]))
                     if "SMask" in entry:
                         sm = pdf.resolve(entry["SMask"])
+                        # The mask group's coordinates live in the ctm at
+                        # the gs op (PDF 11.6.5.2), so capture both.
                         gs.softmask = (
-                            None if isinstance(sm, Name) and sm.v == "None" else sm
+                            None
+                            if isinstance(sm, Name) and sm.v == "None"
+                            else (sm, gs.ctm)
                         )
             elif op == "Do":
                 name = stack.pop()

@@ -447,3 +447,47 @@ class ImageFill(Fill):
 
 def image_fill(tex, matrix) -> ImageFill:
     return ImageFill(tex, matrix)
+
+
+class MaskedFill(Fill):
+    """A fill modulated per-pixel by a soft mask (PDF 11.6.5 ExtGState
+    /SMask) — BEYOND REFERENCE: fill.ml has no masking and the reference
+    ignores the gstate soft mask entirely.
+
+    ``mask`` is an int (mh, mw) plane of 0..255 coverage, row 0 = TOP;
+    ``matrix`` maps the unit square onto the mask's target-space quad
+    exactly like ImageFill's.  Outside the quad the mask is 0 (nothing
+    paints), per the /Luminosity backdrop-black rule."""
+
+    kind = FANCY
+
+    def __init__(self, base: Fill, mask, matrix):
+        self.base = base
+        self.mask = np.ascontiguousarray(np.asarray(mask, dtype=np.int64))
+        self.matrix = tuple(float(v) for v in matrix)
+
+    def image(self, box, H, W):
+        img = self.base.image(box, H, W).astype(np.int64)
+        if img.ndim != 3:  # constant plane from a plain base: broadcast
+            img = np.broadcast_to(np.asarray(img).reshape(1, 1, 4), (H, W, 4))
+        mh, mw = self.mask.shape
+        xs, ys = _grid(box, H, W)
+        a, b, c, d, e, f = tr.invert_matrix(self.matrix)
+        u = a * xs + c * ys + e
+        v = b * xs + d * ys + f
+        inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+        iu = np.clip((u * mw).astype(np.int64), 0, mw - 1)
+        iv = np.clip((v * mh).astype(np.int64), 0, mh - 1)
+        m = np.where(inside, self.mask[mh - 1 - iv, iu], 0)
+        return ((img * m[..., None] + 127) // 255).astype(np.int32)
+
+    def single(self, x, y):
+        img = self.image((x, y, x, y), 1, 1)[0, 0]
+        return C.colour_of_rgba(*(int(v) for v in img))
+
+    def transform(self, t):
+        m = tr.matmul(tr.matrix_of_transform(t), self.matrix)
+        return MaskedFill(self.base.transform(t), self.mask, m)
+
+    def changecolour(self, f):
+        return MaskedFill(self.base.changecolour(f), self.mask, self.matrix)

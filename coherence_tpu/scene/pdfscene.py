@@ -181,6 +181,78 @@ def fill_of_mesh(sh: PG.Shading, transparency: float):
     return rfills.image_fill(tex, (w, 0.0, 0.0, h, x0, y0))
 
 
+_SMASK_MAX_DIM = 2048  # soft-mask raster cap per side
+
+
+def softmask_fill(pdf, sm_ctm, base_fill):
+    """Wrap `base_fill` in a MaskedFill sampling the rendered ExtGState
+    /SMask group (PDF 11.6.5): the /G form renders through the normal
+    pipeline at device resolution over its transformed /BBox;
+    /S /Luminosity takes the over-black luminosity (709-ish integer
+    weights), /S /Alpha the coverage.  BEYOND REFERENCE: the reference
+    ignores gstate soft masks entirely.  Failures return the unmasked
+    fill (paint-everything, the /None behaviour)."""
+    import math as _m
+
+    from ..raster import region
+
+    try:
+        sm, ctm = sm_ctm
+        g = pdf.resolve(sm.get("G"))
+        if not hasattr(g, "decode") or not hasattr(g, "dict"):
+            return base_fill
+        styp = pdf.resolve(sm.get("S"))
+        alpha_kind = getattr(styp, "v", None) == "Alpha"
+        bbox = [float(pdf.resolve(v)) for v in pdf.resolve(g.dict.get("BBox"))]
+        mtx = PG._matrix_entry(pdf, g.dict)
+        total = PG._mat_mul(tuple(float(v) for v in ctm), mtx)
+        corners = [
+            PG._apply(total, p)
+            for p in (
+                (bbox[0], bbox[1]), (bbox[2], bbox[1]),
+                (bbox[2], bbox[3]), (bbox[0], bbox[3]),
+            )
+        ]
+        ix0 = int(_m.floor(min(p[0] for p in corners)))
+        iy0 = int(_m.floor(min(p[1] for p in corners)))
+        ix1 = int(_m.ceil(max(p[0] for p in corners)))
+        iy1 = int(_m.ceil(max(p[1] for p in corners)))
+        if ix1 <= ix0 or iy1 <= iy0:
+            return base_fill
+        ix1 = min(ix1, ix0 + _SMASK_MAX_DIM)
+        iy1 = min(iy1, iy0 + _SMASK_MAX_DIM)
+        res = pdf.resolve(g.dict.get("Resources")) or {}
+        elements = PG._process(pdf, g.decode(), res, PG._GState(ctm=total))
+        scene = scene_of_graphic(pdf, PG.Graphic(elements, res))
+        H = iy1 - iy0 + 1
+        W = ix1 - ix0 + 1
+        mask = np.zeros((H, W), dtype=np.int64)
+        spr = R.render_simple_scene(
+            list(reversed(scene)), region.shape_of_box((ix0, iy0, ix1, iy1))
+        )
+        if spr is not None:
+            sx0, sy0, sx1, sy1 = spr.box
+            r4 = np.asarray(spr.rgba, dtype=np.int64)
+            if alpha_kind:
+                vals = r4[..., 3]
+            else:
+                # Premultiplied channels ARE the over-black composite.
+                vals = (
+                    77 * r4[..., 0] + 150 * r4[..., 1] + 29 * r4[..., 2]
+                ) >> 8
+            oy, ox = sy0 - iy0, sx0 - ix0
+            h = min(vals.shape[0], H - oy)
+            w = min(vals.shape[1], W - ox)
+            if h > 0 and w > 0 and oy >= 0 and ox >= 0:
+                mask[oy : oy + h, ox : ox + w] = vals[:h, :w]
+        # MaskedFill row 0 = TOP (largest y): flip the render's row order.
+        m = (float(ix1 - ix0 + 1), 0.0, 0.0, float(iy1 - iy0 + 1),
+             float(ix0), float(iy0))
+        return rfills.MaskedFill(base_fill, np.flipud(mask), m)
+    except Exception:
+        return base_fill
+
+
 _FUNC_SHADING_SAMPLES = 128  # function-shading sample grid per side
 
 
@@ -434,9 +506,17 @@ def image_object_of_element(pdf, el):
     t = int(float(transparency) * 255.0)
     if t < 255:
         tex = rfills._dissolve_np(tex, np.int64(t))
+    fill = rfills.image_fill(tex, m)
+    sm = getattr(el.attributes, "image_softmask", None) if isinstance(
+        el, PG.Image
+    ) else None
+    if isinstance(sm, tuple) and len(sm) == 2:
+        # ExtGState /SMask live at the Do op (distinct from the image's own
+        # /SMask channel, folded into tex by rgba_of_image).
+        fill = softmask_fill(pdf, sm, fill)
     return R.Obj(
         ident.new_ids(),
-        R.Basic(rfills.image_fill(tex, m), R.PathShape(quad)),
+        R.Basic(fill, R.PathShape(quad)),
         (),
         R.OVER,
     )
@@ -466,6 +546,8 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     fill = fill_of_pdf_colour(
                         vals, a.path_transparency.line_transparency, cs
                     )
+                    if a.path_softmask is not None:
+                        fill = softmask_fill(pdf, a.path_softmask, fill)
                     stroke_path = el.path
                     if a.path_dash[0]:
                         # Dash BEFORE stroking so each dash gets caps
@@ -494,6 +576,8 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     fill = fill_of_pdf_colour(
                         vals, a.path_transparency.fill_transparency, cs
                     )
+                    if a.path_softmask is not None:
+                        fill = softmask_fill(pdf, a.path_softmask, fill)
                     out.append(
                         R.Obj(
                             ident.new_ids(),
