@@ -502,6 +502,10 @@ class Shading:
     matrix: "Matrix"
     extgstate: object
     kind: object  # one of the *ShadingK dataclasses or a placeholder str
+    # ("cs", kind, payload, n_in) for Indexed/Separation/DeviceN/Lab spaces
+    # (deep-resolved at read time); None for device spaces.  The writer
+    # round-trips `colourspace` raw and ignores this.
+    cs_conv: object = None
 
 
 @dataclass
@@ -944,6 +948,37 @@ def _parse_mesh(pdf: Pdf, d: "Stream", dd: dict, st: int):
         return f"ShadingType{st}"
 
 
+def cs_converter(pdf, cs):
+    """("cs", kind, payload, n_in) for colourspaces whose components need
+    non-trivial mapping to RGB (Indexed/Separation/DeviceN/Lab), else None.
+    Deep-resolves refs, so the result is usable detached from the Pdf."""
+    cs = pdf.resolve(cs) if pdf is not None else cs
+    if isinstance(cs, list) and cs:
+        head = pdf.resolve(cs[0]) if pdf is not None else cs[0]
+        if isinstance(head, Name) and head.v in ("Indexed", "I", "Separation", "DeviceN", "Lab"):
+            from . import pdfimages as PI
+
+            try:
+                return ("cs",) + tuple(PI._cs_struct(pdf, cs))
+            except Exception:
+                return None
+    return None
+
+
+def rgb_of_converted(conv, comps):
+    """(r, g, b) floats in [0,1] from a cs_converter result + components."""
+    import numpy as np
+
+    from . import pdfimages as PI
+
+    _, kind, payload, n_in = conv
+    vals = (list(comps) + [0.0] * n_in)[:n_in]
+    rgb = PI._rgb_of_components(
+        None, kind, payload, np.asarray(vals, dtype=np.float64).reshape(1, 1, -1)
+    )[0, 0]
+    return tuple(float(min(max(v, 0.0), 1.0)) for v in rgb)
+
+
 def read_shading(pdf: Pdf, matrix: Matrix, extgstate, sh) -> Shading:
     """read_shading (pdfgraphics.ml:668-700)."""
     d = pdf.resolve(sh)
@@ -992,7 +1027,7 @@ def read_shading(pdf: Pdf, matrix: Matrix, extgstate, sh) -> Shading:
         kind = _parse_mesh(pdf, d, dd, st)
     else:
         kind = f"ShadingType{st}"
-    return Shading(cs, bg, bbox, aa, matrix, extgstate, kind)
+    return Shading(cs, bg, bbox, aa, matrix, extgstate, kind, cs_converter(pdf, cs))
 
 
 def read_pattern(pdf: Pdf, obj):
@@ -1221,25 +1256,66 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
             sinks[-1].append(GPath(p, attrs))
 
     def resolve_cs(name_or_obj, resources):
-        if isinstance(name_or_obj, Name):
-            n = name_or_obj.v
+        """Device space name, "Pattern", or a ("cs", kind, payload, n_in)
+        converter (Indexed/Separation/DeviceN/Lab) whose sc/scn operands
+        need mapping to RGB before they enter the graphic tree.  The
+        reference routes these through camlpdf's Pdfspace; here the
+        conversion shares pdfimages' colourspace machinery."""
+        obj = name_or_obj
+        if isinstance(obj, Name):
+            n = obj.v
             if n in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY, "Pattern"):
                 return n
+            if n == "CalRGB":
+                return DEVICE_RGB
+            if n == "CalGray":
+                return DEVICE_GRAY
             csd = pdf.resolve(resources.get("ColorSpace", {})) if resources else {}
-            cs = pdf.resolve(csd.get(n)) if isinstance(csd, dict) else None
-            if isinstance(cs, list) and cs and isinstance(cs[0], Name):
-                if cs[0].v == "ICCBased" and len(cs) > 1:
-                    icc = pdf.resolve(cs[1])
-                    n_comp = pdf.resolve(icc.dict.get("N", 3)) if isinstance(icc, Stream) else 3
-                    return {1: DEVICE_GRAY, 3: DEVICE_RGB, 4: DEVICE_CMYK}.get(n_comp, DEVICE_RGB)
-                if cs[0].v in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY):
-                    return cs[0].v
-                if cs[0].v == "Pattern":
-                    # [/Pattern /DeviceX]: the underlying space carries the
-                    # components of uncoloured-pattern scn operands.
-                    return resolve_cs(cs[1], resources) if len(cs) > 1 else "Pattern"
-            return DEVICE_RGB
+            obj = pdf.resolve(csd.get(n)) if isinstance(csd, dict) else None
+            if isinstance(obj, Name):
+                nn = obj.v
+                return nn if nn in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY, "Pattern") else DEVICE_RGB
+        if isinstance(obj, list) and obj and isinstance(pdf.resolve(obj[0]), Name):
+            head = pdf.resolve(obj[0]).v
+            if head == "ICCBased" and len(obj) > 1:
+                icc = pdf.resolve(obj[1])
+                n_comp = pdf.resolve(icc.dict.get("N", 3)) if isinstance(icc, Stream) else 3
+                return {1: DEVICE_GRAY, 3: DEVICE_RGB, 4: DEVICE_CMYK}.get(n_comp, DEVICE_RGB)
+            if head in (DEVICE_RGB, DEVICE_CMYK, DEVICE_GRAY):
+                return head
+            if head == "CalRGB":
+                return DEVICE_RGB
+            if head == "CalGray":
+                return DEVICE_GRAY
+            if head == "Pattern":
+                # [/Pattern /DeviceX]: the underlying space carries the
+                # components of uncoloured-pattern scn operands.
+                return resolve_cs(pdf.resolve(obj[1]), resources) if len(obj) > 1 else "Pattern"
+            if head in ("Indexed", "I", "Separation", "DeviceN", "Lab"):
+                from . import pdfimages as PI
+
+                try:
+                    kind, payload, n_in = PI._cs_struct(pdf, obj)
+                except Exception:
+                    return DEVICE_RGB
+                return ("cs", kind, payload, n_in)
         return DEVICE_RGB
+
+    def device_colour(cs, vals):
+        """Collapse a (colourspace, components) pair to a device space,
+        converting through a resolve_cs converter when present."""
+        if not (isinstance(cs, tuple) and cs and cs[0] == "cs"):
+            return (cs, vals)
+        import numpy as np
+
+        from . import pdfimages as PI
+
+        _, kind, payload, n_in = cs
+        comps = (list(vals) + [0.0] * n_in)[:n_in]
+        rgb = PI._rgb_of_components(
+            pdf, kind, payload, np.asarray(comps, dtype=np.float64).reshape(1, 1, -1)
+        )[0, 0]
+        return (DEVICE_RGB, [float(min(max(v, 0.0), 1.0)) for v in rgb])
 
     fill_cs = DEVICE_GRAY
     stroke_cs = DEVICE_GRAY
@@ -1383,10 +1459,10 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     if pat is not None:
                         pat.name = pat_name.v
                         if isinstance(pat, TilingPattern) and not pat.coloured and vals:
-                            pat.colour = (fill_cs, vals)
+                            pat.colour = device_colour(fill_cs, vals)
                         gs.fill = ("Pattern", pat)
                 elif vals:
-                    gs.fill = (fill_cs, vals)
+                    gs.fill = device_colour(fill_cs, vals)
             elif op in ("SC", "SCN"):
                 pat_name = stack.pop() if stack and isinstance(stack[-1], Name) else None
                 vals = []
@@ -1400,10 +1476,10 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     if pat is not None:
                         pat.name = pat_name.v
                         if isinstance(pat, TilingPattern) and not pat.coloured and vals:
-                            pat.colour = (stroke_cs, vals)
+                            pat.colour = device_colour(stroke_cs, vals)
                         gs.stroke = ("Pattern", pat)
                 elif vals:
-                    gs.stroke = (stroke_cs, vals)
+                    gs.stroke = device_colour(stroke_cs, vals)
             elif op == "sh":
                 name = stack.pop()
                 shd = pdf.resolve(resources.get("Shading", {}))
@@ -1672,6 +1748,7 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                             ctr.matmul(tmat, sh.matrix),
                             sh.extgstate,
                             sh.kind,
+                            sh.cs_conv,
                         ),
                         ctr.matmul(tmat, el.transform),
                         el.name,

@@ -8,7 +8,8 @@ elements into its graphic tree (pdfgraphics.mli:139-140) but
 samples under the placement transform.
 
 Supported: BitsPerComponent 1/2/4/8/16; DeviceGray/DeviceRGB/DeviceCMYK,
-CalGray/CalRGB, ICCBased (by /N), Indexed (any base), Separation/DeviceN
+CalGray/CalRGB, ICCBased (by /N), Lab (CIE inverse + sRGB encode),
+Indexed (any base), Separation/DeviceN
 (tint transform via ``pdfgraphics.eval_function``); /Decode arrays;
 stencil masks (/ImageMask, painted with the fill colour current at the
 ``Do``/``BI`` op); soft masks (/SMask); DCTDecode via PIL.  Unsupported
@@ -134,6 +135,11 @@ def _cs_struct(pdf, cs):
             return ("rgb", None, 3)
         if head in ("CalGray",):
             return ("gray", None, 1)
+        if head == "Lab":
+            ld = res(cs[1]) if len(cs) > 1 else {}
+            wp = [float(res(v)) for v in res(ld.get("WhitePoint", [0.9505, 1.0, 1.089]))]
+            rng = [float(res(v)) for v in res(ld.get("Range", [-100.0, 100.0, -100.0, 100.0]))]
+            return ("lab", (wp, rng), 3)
         if head in ("Separation", "DeviceN"):
             names = res(cs[1])
             n_in = 1 if head == "Separation" else len(names)
@@ -161,6 +167,31 @@ def _rgb_of_components(pdf, kind, payload, comps):
                 1.0 - np.minimum(1.0, y * (1.0 - k) + k),
             ],
             axis=-1,
+        )
+    if kind == "lab":
+        # PDF 8.6.5.4: L* in [0,100], a*/b* clipped to Range, CIE 1976
+        # inverse transform to XYZ, then linear-sRGB matrix + gamma encode.
+        wp, rng = payload
+        lab = comps[..., :3].astype(np.float64)
+        lstar = np.clip(lab[..., 0], 0.0, 100.0)
+        astar = np.clip(lab[..., 1], rng[0], rng[1])
+        bstar = np.clip(lab[..., 2], rng[2], rng[3])
+        m = (lstar + 16.0) / 116.0
+        ell = m + astar / 500.0
+        n = m - bstar / 200.0
+
+        def g(t):
+            return np.where(t >= 6.0 / 29.0, t**3, (108.0 / 841.0) * (t - 4.0 / 29.0))
+
+        x = wp[0] * g(ell)
+        y = wp[1] * g(m)
+        z = wp[2] * g(n)
+        rl = 3.2406 * x - 1.5372 * y - 0.4986 * z
+        gl = -0.9689 * x + 1.8758 * y + 0.0415 * z
+        bl = 0.0557 * x - 0.2040 * y + 1.0570 * z
+        lin = np.clip(np.stack([rl, gl, bl], axis=-1), 0.0, 1.0)
+        return np.where(
+            lin <= 0.0031308, 12.92 * lin, 1.055 * np.power(lin, 1.0 / 2.4) - 0.055
         )
     if kind == "indexed":
         (bkind, bpayload, bn), hival, table = payload
@@ -287,6 +318,8 @@ def rgba_of_image(pdf, d: dict, raw: bytes, mask_fill=None) -> np.ndarray:
         if decode is None:
             if kind == "indexed":
                 decode = [0.0, float((1 << bpc) - 1)]
+            elif kind == "lab":
+                decode = [0.0, 100.0] + list(payload[1])
             else:
                 decode = [0.0, 1.0] * nch
         comps = _apply_decode(samples, decode, bpc)

@@ -52,10 +52,14 @@ def fill_of_pdf_colour(vals, transparency: float, colourspace: str) -> rfills.Fi
     return rfills.plain(col)
 
 
-def _colour_of_components(cs_obj, comps, transparency: float) -> int:
+def _colour_of_components(cs_obj, comps, transparency: float, conv=None) -> int:
     # PDF functions may return components outside [0,1] (no /Range, or a
     # permissive one); clamp at the colour boundary like the reference's
     # colour ingestion does.
+    if conv is not None:
+        r, g, b = PG.rgb_of_converted(conv, [float(v) for v in comps])
+        t = int(transparency * 255.0)
+        return C.dissolve(C.colour_of_rgba_float(r, g, b, 1.0), delta=t)
     comps = [min(max(float(v), 0.0), 1.0) for v in comps]
     name = cs_obj.v if hasattr(cs_obj, "v") else str(cs_obj)
     if name == PG.DEVICE_RGB and len(comps) == 3:
@@ -72,7 +76,9 @@ def _colour_of_components(cs_obj, comps, transparency: float) -> int:
     return C.dissolve(C.colour_of_rgba_float(r, g, b, 1.0), delta=t)
 
 
-def _rgb_of_components(cs_obj, comps):
+def _rgb_of_components(cs_obj, comps, conv=None):
+    if conv is not None:
+        return PG.rgb_of_converted(conv, [float(v) for v in comps])
     comps = [min(max(float(v), 0.0), 1.0) for v in comps]
     name = cs_obj.v if hasattr(cs_obj, "v") else str(cs_obj)
     if name == PG.DEVICE_RGB and len(comps) == 3:
@@ -119,9 +125,9 @@ def fill_of_mesh(sh: PG.Shading, transparency: float):
     tris = [
         (
             xf(p0), xf(p1), xf(p2),
-            _rgb_of_components(sh.colourspace, c0),
-            _rgb_of_components(sh.colourspace, c1),
-            _rgb_of_components(sh.colourspace, c2),
+            _rgb_of_components(sh.colourspace, c0, sh.cs_conv),
+            _rgb_of_components(sh.colourspace, c1, sh.cs_conv),
+            _rgb_of_components(sh.colourspace, c2, sh.cs_conv),
         )
         for (p0, p1, p2, c0, c1, c2) in k.triangles
     ]
@@ -292,7 +298,7 @@ def fill_of_function_shading(sh: PG.Shading, transparency: float):
                 comps = None
             if not comps:
                 continue
-            rr, gg, bb = _rgb_of_components(sh.colourspace, comps)
+            rr, gg, bb = _rgb_of_components(sh.colourspace, comps, sh.cs_conv)
             tex[r, cix] = (
                 (round(rr * 255) * a8 + 127) // 255,
                 (round(gg * 255) * a8 + 127) // 255,
@@ -331,8 +337,8 @@ def fill_of_shading_pattern(pat: PG.ShadingPattern, transparency: float):
         return None
     v0 = PG.eval_function(f, k.domain[0])
     v1 = PG.eval_function(f, k.domain[1])
-    c0 = _colour_of_components(sh.colourspace, v0, transparency)
-    c1 = _colour_of_components(sh.colourspace, v1, transparency)
+    c0 = _colour_of_components(sh.colourspace, v0, transparency, sh.cs_conv)
+    c1 = _colour_of_components(sh.colourspace, v1, transparency, sh.cs_conv)
     m = sh.matrix
 
     def xf(x, y):
