@@ -4,7 +4,8 @@ Replaces the reference's camlpdf object layer (Pdfread/Pdfwrite/Pdf/Pdfpage)
 for what the renderer needs: classic cross-reference tables AND xref-stream /
 object-stream (ObjStm) files, the stream codecs camlpdf's Pdfcodec supports
 that appear in page content (Flate incl. PNG/TIFF predictors, ASCIIHex,
-ASCII85, RunLength, LZW), the page tree with inheritable attributes, and a
+ASCII85, RunLength, LZW, CCITTFax G3/G4), the page tree with inheritable
+attributes, and a
 small writer for debug output.
 
 Object model: Python natives —
@@ -227,6 +228,17 @@ class Stream:
                     data = _ascii85_decode(data)
                 elif f in ("RunLengthDecode", "RL"):
                     data = _runlength_decode(data)
+                elif f in ("CCITTFaxDecode", "CCF"):
+                    from .ccitt import ccitt_decode
+
+                    data = ccitt_decode(
+                        data,
+                        k=int(p.get("K", 0)),
+                        columns=int(p.get("Columns", 1728)),
+                        rows=int(p.get("Rows", 0)),
+                        black_is_1=p.get("BlackIs1", False) is True,
+                        byte_align=p.get("EncodedByteAlign", False) is True,
+                    )
                 else:
                     raise ValueError(f"unsupported stream filter {f}")
             self._decoded = data
