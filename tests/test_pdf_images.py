@@ -252,6 +252,53 @@ def test_dct_decode_via_pil():
     assert r[2] > 200 and r[0] < 80, r
 
 
+def test_jpx_decode_via_pil():
+    """JPXDecode (PDF 7.4.9): PIL's default JPEG2000 encode is the lossless
+    reversible 5-3 wavelet, so pixels round-trip exactly."""
+    PIL = pytest.importorskip("PIL.Image")
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[:, :4] = (255, 0, 0)
+    arr[:, 4:] = (0, 0, 255)
+    buf = io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="JPEG2000")
+    img = Stream(
+        {"Type": Name("XObject"), "Subtype": Name("Image"),
+         "Width": 8, "Height": 8, "BitsPerComponent": 8,
+         "ColorSpace": Name("DeviceRGB"), "Filter": Name("JPXDecode")},
+        buf.getvalue(),
+    )
+    tex = PI.rgba_of_image(None, img.dict, img.raw)
+    assert tex.shape == (8, 8, 4)
+    assert tuple(tex[4, 1]) == (255, 0, 0, 255)
+    assert tuple(tex[4, 6]) == (0, 0, 255, 255)
+
+
+def test_jpx_grayscale_end_to_end():
+    """A grayscale JP2 placed by Do paints exact gray levels."""
+    PIL = pytest.importorskip("PIL.Image")
+    g = np.full((4, 4), 0, np.uint8)
+    g[:, 2:] = 200
+    buf = io.BytesIO()
+    PIL.fromarray(g, mode="L").save(buf, format="JPEG2000")
+    img = Stream(
+        {"Type": Name("XObject"), "Subtype": Name("Image"),
+         "Width": 4, "Height": 4, "BitsPerComponent": 8,
+         "ColorSpace": Name("DeviceGray"), "Filter": Name("JPXDecode")},
+        buf.getvalue(),
+    )
+    pdf = mkpage(
+        b"q 8 0 0 8 1 1 cm /Im0 Do Q",
+        mediabox=(0, 0, 10, 10),
+        resources={"XObject": {"Im0": img}},
+    )
+    _, texel = _render(pdf, (1, 1, 10, 10))
+    rgba_l, m_l = texel(2, 5)
+    rgba_r, m_r = texel(7, 5)
+    assert m_l and m_r
+    assert tuple(rgba_l) == (0, 0, 0, 255)
+    assert tuple(rgba_r) == (200, 200, 200, 255)
+
+
 def test_unsupported_image_falls_back_to_gray_quad():
     img = Stream(
         {"Type": Name("XObject"), "Subtype": Name("Image"),
