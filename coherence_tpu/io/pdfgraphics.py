@@ -54,6 +54,9 @@ class PathAttributes:
     # ExtGState /SMask live at paint time: (smask_dict, ctm_at_gs) or None
     # (BEYOND REFERENCE: the reference drops the gstate soft mask).
     path_softmask: object = None
+    # ExtGState /BM blend mode in force at the paint op (BEYOND REFERENCE:
+    # the reference's only compositing operator is Porter/Duff over).
+    path_blend: str = "Normal"
 
 
 @dataclass
@@ -96,6 +99,7 @@ class TextAttributes:
     stroke: object = None
     fill_alpha: float = 1.0
     stroke_alpha: float = 1.0
+    blend: str = "Normal"  # ExtGState /BM at the show op
 
 
 @dataclass
@@ -120,6 +124,7 @@ class ImageAttributes:
     # BEYOND REFERENCE (mli stops at the three above): the nonstroke colour
     # current at the Do op, painted through stencil masks (/ImageMask).
     image_fill: object = None  # (colourspace, components) or None
+    image_blend: str = "Normal"  # ExtGState /BM at the Do op
 
 
 @dataclass
@@ -143,6 +148,7 @@ class GraphicInlineImage:
     transform: "Matrix" = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     # BEYOND REFERENCE: nonstroke colour at BI time, for /ImageMask paint.
     fill: object = None  # (colourspace, components) or None
+    blend: str = "Normal"  # ExtGState /BM at the BI op
 
 
 @dataclass
@@ -543,6 +549,7 @@ class GShading:
     shading: Shading
     transform: "Matrix"
     name: str = ""  # resource name, kept for round-trip
+    blend: str = "Normal"  # ExtGState /BM at the sh op
 
 
 @dataclass
@@ -588,6 +595,7 @@ class _GState:
     CA: float = 1.0  # stroke alpha
     textmode: int = 0  # Tr render mode (text_attributes)
     softmask: object = None  # ExtGState /SMask (None when /None)
+    blend: str = "Normal"  # ExtGState /BM (BEYOND REFERENCE)
 
 
 # Text-state/show operators captured into TextBlock runs
@@ -1252,6 +1260,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     gs.dash[1] * _scale_of(gs.ctm),
                 ),
                 path_softmask=gs.softmask,
+                path_blend=gs.blend,
             )
             sinks[-1].append(GPath(p, attrs))
 
@@ -1486,7 +1495,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 sobj = shd.get(name.v) if isinstance(shd, dict) else None
                 if sobj is not None:
                     shading = read_shading(pdf, gs.ctm, {}, sobj)
-                    sinks[-1].append(GShading(None, shading, gs.ctm, name=name.v))
+                    sinks[-1].append(
+                        GShading(None, shading, gs.ctm, name=name.v, blend=gs.blend)
+                    )
             elif op == "w":
                 gs.linewidth = num(stack.pop())
             elif op == "d":
@@ -1514,6 +1525,14 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         gs.CA = float(pdf.resolve(entry["CA"]))
                     if "LW" in entry:
                         gs.linewidth = float(pdf.resolve(entry["LW"]))
+                    if "BM" in entry:
+                        bm = pdf.resolve(entry["BM"])
+                        if isinstance(bm, list) and bm:
+                            # Arrays are a PDF 1.x compatibility form: the
+                            # first recognised name wins.
+                            bm = pdf.resolve(bm[0])
+                        if isinstance(bm, Name):
+                            gs.blend = "Normal" if bm.v == "Compatible" else bm.v
                     if "SMask" in entry:
                         sm = pdf.resolve(entry["SMask"])
                         # The mask group's coordinates live in the ctm at
@@ -1543,7 +1562,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         objnum = raw_ref.num if isinstance(raw_ref, Ref) else -1
                         sinks[-1].append(
                             Image(
-                                ImageAttributes(gs.ctm, gs.ca, gs.softmask, gs.fill),
+                                ImageAttributes(
+                                gs.ctm, gs.ca, gs.softmask, gs.fill, gs.blend
+                            ),
                                 objnum,
                                 name.v,
                                 xo if objnum < 0 else None,
@@ -1613,7 +1634,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     if got is not None:
                         d["CS" if "CS" in d else "ColorSpace"] = got
                 sinks[-1].append(
-                    GraphicInlineImage(d, bytes(data), gs.ctm, gs.fill)
+                    GraphicInlineImage(d, bytes(data), gs.ctm, gs.fill, gs.blend)
                 )
             elif op == "BT":
                 in_text = True
@@ -1624,7 +1645,7 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 text_ops = [
                     (
                         TextAttributes(
-                            gs.textmode, gs.fill, gs.stroke, gs.ca, gs.CA
+                            gs.textmode, gs.fill, gs.stroke, gs.ca, gs.CA, gs.blend
                         ),
                         (sop, sops),
                     )
@@ -1716,6 +1737,7 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                             a.image_transparency,
                             a.image_softmask,
                             a.image_fill,
+                            a.image_blend,
                         ),
                         el.objnum,
                         el.name,
@@ -1725,7 +1747,8 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
             elif isinstance(el, GraphicInlineImage):
                 out.append(
                     GraphicInlineImage(
-                        el.dict, el.data, ctr.matmul(tmat, el.transform), el.fill
+                        el.dict, el.data, ctr.matmul(tmat, el.transform),
+                        el.fill, el.blend,
                     )
                 )
             elif isinstance(el, GShading):
@@ -1752,6 +1775,7 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                         ),
                         ctr.matmul(tmat, el.transform),
                         el.name,
+                        el.blend,
                     )
                 )
             else:
@@ -1936,11 +1960,42 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
     shading_res: dict = {}
     pattern_res: dict = {}
     colourspace_res: dict = {}
+    egs_res: dict = {}
+    _egs_names: dict = {}
+    # Emitted-gstate tracking: (blend, ca, CA) per q-nesting level, so a gs
+    # is written only when the needed state differs from the one in force
+    # (and Q correctly reverts the tracked state).
+    _gs_cur = [("Normal", 1.0, 1.0)]
 
     def res_name(d: dict, prefix: str, payload) -> str:
         nm = f"{prefix}{len(d)}"
         d[nm] = payload
         return nm
+
+    def push_q():
+        ops.append("q")
+        _gs_cur.append(_gs_cur[-1])
+
+    def pop_q():
+        ops.append("Q")
+        _gs_cur.pop()
+
+    def set_gstate(blend="Normal", ca=1.0, CA=1.0):
+        """Ensure /BM + alphas via an ExtGState resource (BEYOND REFERENCE:
+        the reference never writes transparency state)."""
+        want = (str(blend), float(ca), float(CA))
+        if want == _gs_cur[-1]:
+            return
+        _gs_cur[-1] = want
+        nm = _egs_names.get(want)
+        if nm is None:
+            nm = res_name(
+                egs_res, "Gs",
+                {"Type": Name("ExtGState"), "BM": Name(want[0]),
+                 "ca": want[1], "CA": want[2]},
+            )
+            _egs_names[want] = nm
+        ops.append(f"/{nm} gs")
 
     def emit_tiling_cs(p: TilingPattern, nm: str, upper: bool) -> str:
         """The cs/scn (or CS/SCN) pair selecting tiling pattern `nm`;
@@ -1981,6 +2036,11 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
         for el in elements:
             if isinstance(el, GPath):
                 a = el.attributes
+                set_gstate(
+                    a.path_blend,
+                    a.path_transparency.fill_transparency,
+                    a.path_transparency.line_transparency,
+                )
                 if a.path_line is not None:
                     ops.append(f"{_fmt(a.path_linewidth)} w")
                     ops.append(f"{a.path_capstyle} J {a.path_joinstyle} j")
@@ -2030,11 +2090,11 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                     ops.append("n")
             elif isinstance(el, Clip):
                 # q <path> W/W* n <contents> Q (pdfgraphics.ml:1648-1657).
-                ops.append("q")
+                push_q()
                 emit_path(el.path)
                 ops.append("W n" if el.path.winding == gpath.NONZERO else "W* n")
                 walk(el.elements)
-                ops.append("Q")
+                pop_q()
             elif isinstance(el, MCSection):
                 ops.append(f"/{el.name} BMC")
                 walk(el.elements)
@@ -2045,16 +2105,19 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                 ops.append("EMC")
             elif isinstance(el, TextBlock):
                 # q cm BT <text ops> ET Q (pdfgraphics.ml:1487).
-                ops.append("q")
+                push_q()
+                if el.blocks and el.blocks[0][0].blend != "Normal":
+                    set_gstate(el.blocks[0][0].blend)
                 ops.append(" ".join(map(_fmt, el.transform)) + " cm")
                 ops.append("BT")
                 for _st, (opname, operands) in el.blocks:
                     line = " ".join(_ser_operand(v) for v in operands)
                     ops.append((line + " " + opname).strip())
                 ops.append("ET")
-                ops.append("Q")
+                pop_q()
             elif isinstance(el, GraphicInlineImage):
-                ops.append("q")
+                push_q()
+                set_gstate(el.blend)
                 ops.append(" ".join(map(_fmt, el.transform)) + " cm")
                 body = " ".join(
                     f"/{k} {_ser_operand(v)}" for k, v in el.dict.items()
@@ -2062,15 +2125,16 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                 ops.append(
                     "BI " + body + " ID\n" + el.data.decode("latin1") + "\nEI"
                 )
-                ops.append("Q")
+                pop_q()
             elif isinstance(el, GShading):
                 nm = el.name or res_name(shading_res, "Sh", None)
                 shading_res[nm] = _shading_dict(el.shading)
-                ops.append("q")
+                push_q()
+                set_gstate(el.blend)
                 if el.transform != _ID:
                     ops.append(" ".join(map(_fmt, el.transform)) + " cm")
                 ops.append(f"/{nm} sh")
-                ops.append("Q")
+                pop_q()
             # Image XObject uses need the source document's object copied
             # across; like the rest of the writer this emits content only,
             # so they are dropped here.
@@ -2083,6 +2147,8 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
         resources["Pattern"] = pattern_res
     if colourspace_res:
         resources["ColorSpace"] = colourspace_res
+    if egs_res:
+        resources["ExtGState"] = egs_res
     # latin1 inverts the latin1 decode used when capturing binary operands
     # (inline-image data, non-ASCII string bytes); utf-8 would widen them.
     return mkpage(

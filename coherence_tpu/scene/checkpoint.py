@@ -267,6 +267,8 @@ def _filter_arg_to_dict(a) -> dict:
         isinstance(x, (tr.Translate, tr.Scale, tr.Rotate, tr.ShearX, tr.ShearY)) for x in a
     ):
         return {"t": "transform", "v": _transform_to_list(a)}
+    if isinstance(a, str):
+        return {"t": "str", "v": a}
     raise ValueError(f"unserializable filter argument {a!r}")
 
 
@@ -284,6 +286,8 @@ def _filter_arg_from_dict(d):
         return _brushstroke_from_dict(d["v"])
     if t == "transform":
         return list(_transform_from_list(d["v"]))
+    if t == "str":
+        return d["v"]
     raise ValueError(t)
 
 
@@ -295,6 +299,7 @@ _FILTER_FACTORIES = {
     "affine": F.affine,
     "minus": F.minus,
     "smear": F.smear,
+    "blendmode": F.blendmode,
 }
 
 

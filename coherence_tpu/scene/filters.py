@@ -393,6 +393,55 @@ def minus(geometry) -> FilterG:
     )
 
 
+# --- blendmode (BEYOND REFERENCE: PDF 32000-1 §11.3.5) -------------------------
+
+
+def blendmode(geometry, mode: str) -> FilterG:
+    """Paint ``geometry`` with a PDF blend mode against the scene below.
+
+    The filter reads the backdrop (scene below, unchanged), rasterizes its
+    own geometry at the usual AA/alpha, and returns the opaque
+    full-coverage mix ``M = (1-ab)·Cs + ab·B(Cb, Cs)`` over the region;
+    ``spriteof_filter``'s ``blend_prime`` then lerps M against the normal
+    scene by the object's rasterized alpha — together exactly the PDF
+    composite ``C = (1-as)·Cb + as·M``.  The reference has no analogue
+    (its only compop is Porter/Duff over, colour.ml:310-328).
+    """
+    from ..raster import blend as rblend  # registers the pdfblend_* caf ops
+
+    if mode not in rblend.BLEND_MODES:
+        raise ValueError(f"unknown blend mode {mode}")
+    import jax.numpy as jnp
+
+    def reading_scene(shp, idset, _obj, scene):
+        return shp, shp, reparent(_never, idset, scene)
+
+    def filterfn(spr, obj, shp):
+        if shp is None:
+            return spr
+        # The object's own raster (AA fringe + fill alpha premultiplied).
+        src = R.sprite_of_basicshape(obj, shp, None)
+        if src is None:
+            return spr
+        # Extend the backdrop to cover all of shp (transparent where the
+        # scene below painted nothing) so the caf overlap branch computes
+        # the blend everywhere the source covers; ab=0 there gives M=Cs.
+        zero = region.sprite_of_mask_rgba(
+            shp.box, shp.mask, jnp.zeros(shp.mask.shape + (4,), jnp.int32)
+        )
+        if spr is None:
+            back = zero
+        else:
+            back, _ = region.caf("over", "opaque", spr, zero)
+        out, _ = region.caf("pdfblend_" + mode, "opaque", src, back)
+        return out
+
+    return _with_recipe(
+        FilterG(Filter(geometry, reading_scene, filterfn, nulldirty, FILTER_PLAIN)),
+        "blendmode", geometry, mode,
+    )
+
+
 # --- swapdepth (filters.ml:305-332) ----------------------------------------------
 
 

@@ -20,6 +20,21 @@ from ..raster import fills as rfills
 from . import render as R
 
 
+def blend_wrap(obj: "R.Obj", mode) -> "R.Obj":
+    """Wrap an object's geometry in a blend-mode filter when the ExtGState
+    /BM in force at its paint op was a (known) non-Normal mode (BEYOND
+    REFERENCE: the reference composites with `over` only)."""
+    if mode in (None, "Normal", "Compatible"):
+        return obj
+    from ..raster import blend as rblend
+
+    if mode not in rblend.BLEND_MODES:
+        return obj  # unknown /BM name paints as Normal (PDF 11.3.5 note)
+    from . import filters as F
+
+    return R.Obj(obj.idset, F.blendmode(obj.geometry, mode), obj.transform, obj.compop)
+
+
 def rgb_of_cmyk(c, m, y, k):
     return (
         1.0 - min(1.0, c * (1.0 - k) + k),
@@ -570,11 +585,14 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                         linewidth=a.path_linewidth,
                     )
                     out.append(
-                        R.Obj(
-                            ident.new_ids(),
-                            R.Basic(fill, R.StrokedPathShape(stroke_path, spec)),
-                            (),
-                            R.OVER,
+                        blend_wrap(
+                            R.Obj(
+                                ident.new_ids(),
+                                R.Basic(fill, R.StrokedPathShape(stroke_path, spec)),
+                                (),
+                                R.OVER,
+                            ),
+                            getattr(a, "path_blend", "Normal"),
                         )
                     )
                 if a.path_fill is not None:
@@ -585,11 +603,14 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     if a.path_softmask is not None:
                         fill = softmask_fill(pdf, a.path_softmask, fill)
                     out.append(
-                        R.Obj(
-                            ident.new_ids(),
-                            R.Basic(fill, R.PathShape(el.path)),
-                            (),
-                            R.OVER,
+                        blend_wrap(
+                            R.Obj(
+                                ident.new_ids(),
+                                R.Basic(fill, R.PathShape(el.path)),
+                                (),
+                                R.OVER,
+                            ),
+                            getattr(a, "path_blend", "Normal"),
                         )
                     )
             elif isinstance(el, PG.Clip):
@@ -599,7 +620,12 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
             elif isinstance(el, (PG.Image, PG.GraphicInlineImage)):
                 o = image_object_of_element(pdf, el)
                 if o is not None:
-                    out.append(o)
+                    mode = (
+                        getattr(el.attributes, "image_blend", "Normal")
+                        if isinstance(el, PG.Image)
+                        else getattr(el, "blend", "Normal")
+                    )
+                    out.append(blend_wrap(o, mode))
             elif isinstance(el, PG.TextBlock):
                 # BEYOND REFERENCE: text paints via glyph outlines
                 # (scene/pdftext.py); the reference drops TextBlocks here.
@@ -646,11 +672,14 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     geom_path = _quad_path(function_shading_quad(el.shading))
                 if fill is not None and geom_path is not None:
                     out.append(
-                        R.Obj(
-                            ident.new_ids(),
-                            R.Basic(fill, R.PathShape(geom_path)),
-                            (),
-                            R.OVER,
+                        blend_wrap(
+                            R.Obj(
+                                ident.new_ids(),
+                                R.Basic(fill, R.PathShape(geom_path)),
+                                (),
+                                R.OVER,
+                            ),
+                            getattr(el, "blend", "Normal"),
                         )
                     )
         return out

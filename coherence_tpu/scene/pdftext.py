@@ -457,11 +457,14 @@ def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
             alpha = attrs.fill_alpha if mode in (0, 2) else attrs.stroke_alpha
             fill = pdfscene.fill_of_pdf_colour(vals, float(alpha), cs)
             out.append(
-                R.Obj(
-                    ident.new_ids(),
-                    R.Basic(fill, R.PathShape(Path(NONZERO, tuple(subpaths)))),
-                    (),
-                    R.OVER,
+                pdfscene.blend_wrap(
+                    R.Obj(
+                        ident.new_ids(),
+                        R.Basic(fill, R.PathShape(Path(NONZERO, tuple(subpaths)))),
+                        (),
+                        R.OVER,
+                    ),
+                    getattr(attrs, "blend", "Normal"),
                 )
             )
 
