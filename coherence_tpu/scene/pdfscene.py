@@ -14,10 +14,75 @@ from .. import colour as C
 from .. import ident
 from .. import transform as tr
 from ..geometry import dash as gdash
+from ..geometry import path as gpath
 from ..geometry import shapes as gshapes
 from ..io import pdfgraphics as PG
 from ..raster import fills as rfills
 from . import render as R
+
+
+def _path_bbox(p):
+    """Conservative float bbox over all control points (hull contains the
+    curve), or None for an empty path."""
+    xs, ys = [], []
+    for sp in p.subpaths:
+        for seg in sp.segments:
+            pts = (
+                (seg.a, seg.b)
+                if isinstance(seg, gpath.Straight)
+                else (seg.p1, seg.p2, seg.p3, seg.p4)
+            )
+            for x, y in pts:
+                xs.append(x)
+                ys.append(y)
+    if not xs:
+        return None
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _rect_of_path(p):
+    """(x0, y0, x1, y1) when the path is a single closed axis-aligned
+    rectangular ring (e.g. a ``re`` clip), else None."""
+    if len(p.subpaths) != 1:
+        return None
+    segs = list(p.subpaths[0].segments)
+    if len(segs) < 3 or not all(isinstance(s, gpath.Straight) for s in segs):
+        return None
+    for a, b in zip(segs, segs[1:]):
+        if a.b != b.a:
+            return None
+    if segs[-1].b != segs[0].a:
+        return None
+    xs, ys = set(), set()
+    for s in segs:
+        if s.a[0] != s.b[0] and s.a[1] != s.b[1]:
+            return None  # diagonal side
+        xs.update((s.a[0], s.b[0]))
+        ys.update((s.a[1], s.b[1]))
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    (x0, x1), (y0, y1) = sorted(xs), sorted(ys)
+    return x0, y0, x1, y1
+
+
+def clipped_shape(shape, clips, painted_bbox):
+    """Intersect a basicshape with the active clip stack via CPG geometry
+    (BEYOND REFERENCE: the reference's scene_of_graphic discards Clip paths,
+    render.ml:1558-1560).  Rectangular clips that already contain the
+    painted geometry's conservative bbox are skipped, so the ubiquitous
+    page-box ``re W n`` clip costs nothing."""
+    for cp in clips:
+        r = _rect_of_path(cp)
+        if r is not None and painted_bbox is not None:
+            if (
+                r[0] <= painted_bbox[0]
+                and r[1] <= painted_bbox[1]
+                and painted_bbox[2] <= r[2]
+                and painted_bbox[3] <= r[3]
+            ):
+                continue
+        shape = R.CPG(R.INTERSECTION, shape, R.PathShape(cp))
+    return shape
 
 
 def blend_wrap(obj: "R.Obj", mode) -> "R.Obj":
@@ -557,7 +622,7 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
     Note the reference prepends line-then-fill per element and concatenates in
     element order; callers reverse for bottom-up stacking (examples.ml:163)."""
 
-    def convert(elements, clip_path=None):
+    def convert(elements, clips=()):
         out = []
         for el in elements:
             if isinstance(el, PG.GPath):
@@ -584,11 +649,20 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                         mitrelimit=a.path_mitrelimit,
                         linewidth=a.path_linewidth,
                     )
+                    pb = _path_bbox(stroke_path)
+                    if pb is not None:
+                        # Mitre spikes reach mitrelimit·w/2 past a vertex;
+                        # caps reach w·√2/2 — expand conservatively.
+                        e = a.path_linewidth * max(1.0, a.path_mitrelimit)
+                        pb = (pb[0] - e, pb[1] - e, pb[2] + e, pb[3] + e)
+                    shape = clipped_shape(
+                        R.StrokedPathShape(stroke_path, spec), clips, pb
+                    )
                     out.append(
                         blend_wrap(
                             R.Obj(
                                 ident.new_ids(),
-                                R.Basic(fill, R.StrokedPathShape(stroke_path, spec)),
+                                R.Basic(fill, shape),
                                 (),
                                 R.OVER,
                             ),
@@ -602,11 +676,14 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     )
                     if a.path_softmask is not None:
                         fill = softmask_fill(pdf, a.path_softmask, fill)
+                    shape = clipped_shape(
+                        R.PathShape(el.path), clips, _path_bbox(el.path)
+                    )
                     out.append(
                         blend_wrap(
                             R.Obj(
                                 ident.new_ids(),
-                                R.Basic(fill, R.PathShape(el.path)),
+                                R.Basic(fill, shape),
                                 (),
                                 R.OVER,
                             ),
@@ -614,12 +691,25 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                         )
                     )
             elif isinstance(el, PG.Clip):
-                out.extend(convert(el.elements, el.path))
+                out.extend(convert(el.elements, clips + (el.path,)))
             elif isinstance(el, (PG.MCSection, PG.MCSectionProperties)):
-                out.extend(convert(el.elements, clip_path))
+                out.extend(convert(el.elements, clips))
             elif isinstance(el, (PG.Image, PG.GraphicInlineImage)):
                 o = image_object_of_element(pdf, el)
                 if o is not None:
+                    if clips:
+                        g = o.geometry  # always Basic here
+                        pb = (
+                            _path_bbox(g.shape.path)
+                            if isinstance(g.shape, R.PathShape)
+                            else None
+                        )
+                        o = R.Obj(
+                            o.idset,
+                            R.Basic(g.fill, clipped_shape(g.shape, clips, pb)),
+                            o.transform,
+                            o.compop,
+                        )
                     mode = (
                         getattr(el.attributes, "image_blend", "Normal")
                         if isinstance(el, PG.Image)
@@ -632,7 +722,7 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                 from . import pdftext
 
                 try:
-                    out.extend(pdftext.text_objects_of_block(pdf, el))
+                    out.extend(pdftext.text_objects_of_block(pdf, el, clips=clips))
                 except Exception:
                     pass  # unreadable font program: skip the run
             elif isinstance(el, PG.GShading):
@@ -641,7 +731,8 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                 # (render.ml:1524-1565 consumes paths/clips only); here
                 # axial/radial shadings become gradient-filled objects.
                 fill = fill_of_shading_pattern(PG.ShadingPattern(el.shading), 1.0)
-                geom_path = clip_path
+                geom_path = clips[-1] if clips else None
+                outer_clips = clips[:-1] if clips else ()
                 if geom_path is None and isinstance(el.shading.bbox, list) and len(el.shading.bbox) == 4:
                     # /BBox is in the shading's target space: map its corners
                     # through the ctm at the sh op (el.transform) so the
@@ -671,11 +762,14 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     # Type 1 paints its transformed domain rect.
                     geom_path = _quad_path(function_shading_quad(el.shading))
                 if fill is not None and geom_path is not None:
+                    shape = clipped_shape(
+                        R.PathShape(geom_path), outer_clips, _path_bbox(geom_path)
+                    )
                     out.append(
                         blend_wrap(
                             R.Obj(
                                 ident.new_ids(),
-                                R.Basic(fill, R.PathShape(geom_path)),
+                                R.Basic(fill, shape),
                                 (),
                                 R.OVER,
                             ),

@@ -402,8 +402,9 @@ def _type3_glyph_objects(pdf, lf: _LoadedFont, proc, trm, colour, attrs) -> list
         return []
 
 
-def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
-    """Scene objects painting a TextBlock's show operators."""
+def text_objects_of_block(pdf, el: PG.TextBlock, clips=()) -> List[R.Obj]:
+    """Scene objects painting a TextBlock's show operators.  ``clips`` is
+    the active clip-path stack, intersected into each run's glyph shape."""
     from . import pdfscene
 
     res = pdf.resolve if pdf is not None else (lambda o: o)
@@ -456,11 +457,15 @@ def text_objects_of_block(pdf, el: PG.TextBlock) -> List[R.Obj]:
             cs, vals = colour
             alpha = attrs.fill_alpha if mode in (0, 2) else attrs.stroke_alpha
             fill = pdfscene.fill_of_pdf_colour(vals, float(alpha), cs)
+            run_path = Path(NONZERO, tuple(subpaths))
+            shape = pdfscene.clipped_shape(
+                R.PathShape(run_path), clips, pdfscene._path_bbox(run_path)
+            )
             out.append(
                 pdfscene.blend_wrap(
                     R.Obj(
                         ident.new_ids(),
-                        R.Basic(fill, R.PathShape(Path(NONZERO, tuple(subpaths)))),
+                        R.Basic(fill, shape),
                         (),
                         R.OVER,
                     ),
