@@ -1082,6 +1082,71 @@ def _tokenize(content: bytes):
         yield tok, save
 
 
+def _hidden_ocgs(pdf: Pdf) -> frozenset:
+    """Object numbers of optional-content groups OFF in the document's
+    default configuration (/OCProperties /D, PDF 8.11.4.3): BaseState
+    applies to every group, then /ON turns groups on, then /OFF off.
+    BEYOND REFERENCE: camlpdf exposes no optional-content logic."""
+    cached = getattr(pdf, "_ocg_hidden_cache", None)
+    if cached is not None:
+        return cached
+    hidden: set = set()
+    try:
+        root = pdf.resolve(pdf.trailer.get("Root")) or {}
+        ocp = pdf.resolve(root.get("OCProperties"))
+        if isinstance(ocp, dict):
+            d = pdf.resolve(ocp.get("D")) or {}
+
+            def nums(arr):
+                return {r.num for r in (pdf.resolve(arr) or []) if isinstance(r, Ref)}
+
+            base = pdf.resolve(d.get("BaseState"))
+            if isinstance(base, Name) and base.v == "OFF":
+                hidden = nums(ocp.get("OCGs"))
+            hidden -= nums(d.get("ON"))
+            hidden |= nums(d.get("OFF"))
+    except Exception:
+        hidden = set()
+    pdf._ocg_hidden_cache = frozenset(hidden)
+    return pdf._ocg_hidden_cache
+
+
+def oc_visible(pdf: Pdf, raw) -> bool:
+    """Visibility of content gated by an /OC entry or BDC /OC properties:
+    ``raw`` is the UNRESOLVED value (group membership is by indirect
+    reference).  Handles plain OCGs and OCMDs with /P AnyOn/AllOn/AnyOff/
+    AllOff (PDF 8.11.2.2); /VE visibility expressions are ignored."""
+    if pdf is None:
+        return True
+    hidden = _hidden_ocgs(pdf)
+    if not hidden:
+        return True
+
+    def off(r):
+        return isinstance(r, Ref) and r.num in hidden
+
+    try:
+        d = pdf.resolve(raw)
+        if isinstance(d, dict) and getattr(pdf.resolve(d.get("Type")), "v", None) == "OCMD":
+            ocgs = d.get("OCGs")
+            refs = ocgs if isinstance(ocgs, list) else ([ocgs] if ocgs is not None else [])
+            refs = [r for r in refs if isinstance(r, Ref)]
+            if not refs:
+                return True
+            p = pdf.resolve(d.get("P"))
+            pv = p.v if isinstance(p, Name) else "AnyOn"
+            on = [not off(r) for r in refs]
+            return {
+                "AnyOn": any(on),
+                "AllOn": all(on),
+                "AnyOff": not all(on),
+                "AllOff": not any(on),
+            }.get(pv, True)
+        return not off(raw)
+    except Exception:
+        return True
+
+
 def graphic_of_page(pdf: Pdf, page: dict) -> Graphic:
     """Interpret a page's content streams (pdfgraphics.ml:1229), then any
     annotation appearance streams (BEYOND REFERENCE: PDF 12.5.5 — stamps,
@@ -1112,6 +1177,8 @@ def _annotation_elements(pdf: Pdf, page: dict, page_res: dict) -> list:
             flags = int(pdf.resolve(a.get("F", 0)) or 0)
             if flags & 2 or flags & 32:  # Hidden / NoView
                 continue
+            if "OC" in a and not oc_visible(pdf, a["OC"]):
+                continue  # optional content OFF (PDF 8.11.2.3)
             ap = pdf.resolve(a.get("AP"))
             n = pdf.resolve(ap.get("N")) if isinstance(ap, dict) else None
             if isinstance(n, dict):  # appearance states: select by /AS
@@ -1549,7 +1616,9 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 xo = pdf.resolve(raw_ref)
                 if isinstance(xo, Stream):
                     st = pdf.resolve(xo.dict.get("Subtype"))
-                    if isinstance(st, Name) and st.v == "Form":
+                    if "OC" in xo.dict and not oc_visible(pdf, xo.dict["OC"]):
+                        pass  # optional content OFF: skip the XObject
+                    elif isinstance(st, Name) and st.v == "Form":
                         sub_res = pdf.resolve(xo.dict.get("Resources")) or resources
                         sub_gs = copy.deepcopy(gs)
                         mtx = pdf.resolve(xo.dict.get("Matrix"))
@@ -1684,7 +1753,19 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                     if op == "BDC"
                     else MCSection(name, [])
                 )
-                sinks[-1].append(mc)
+                visible = True
+                if op == "BDC" and name == "OC":
+                    oc = props
+                    if isinstance(oc, Name):
+                        # Keep the /Properties entry UNRESOLVED: group
+                        # membership is by indirect reference.
+                        oc = (pdf.resolve(resources.get("Properties")) or {}).get(oc.v)
+                    visible = oc_visible(pdf, oc)
+                if visible:
+                    sinks[-1].append(mc)
+                # A hidden section's elements still capture into mc (keeping
+                # the parser in sync) but mc is never attached — dropped,
+                # like Hidden-flagged annotations.
                 sinks.append(mc.elements)
                 sink_levels.append(None)  # closed by EMC, not Q
             elif op == "EMC":
