@@ -272,6 +272,7 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
         return lf
     # Simple font (Type1 / TrueType / MMType1).
     lf.ttf = _font_file(pdf, res(fd.get("FontDescriptor")))
+    embedded = lf.ttf is not None
     if lf.ttf is None:
         lf.ttf = _fallback(res(fd.get("BaseFont")))
     enc = res(fd.get("Encoding"))
@@ -291,6 +292,22 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
     if isinstance(widths, list) and isinstance(fc, int):
         for i, w in enumerate(widths):
             lf.widths[fc + i] = float(res(w)) / 1000.0
+    if not embedded and not lf.widths:
+        # A standard-14 base font may omit /Widths (PDF 9.6.2.2): take the
+        # exact advances from the AFM metrics rather than the fallback
+        # face's own (io/afm.py; BEYOND REFERENCE).
+        from ..io import afm as _afm
+
+        base = res(fd.get("BaseFont"))
+        base = base.v if isinstance(base, P.Name) else str(base or "")
+        encname = enc.v if isinstance(enc, P.Name) else (
+            getattr(res(enc.get("BaseEncoding")), "v", None)
+            if isinstance(enc, dict)
+            else None
+        )
+        got = _afm.code_widths(base, encname, lf.differences)
+        if got:
+            lf.widths.update(got)
     return lf
 
 
@@ -301,6 +318,11 @@ def _get_font(pdf, resources, name: str) -> Optional[_LoadedFont]:
     if not isinstance(fd, dict):
         lf = _LoadedFont()
         lf.ttf = _fallback(None)
+        from ..io import afm as _afm
+
+        got = _afm.code_widths("Helvetica", None, {})
+        if got:
+            lf.widths.update(got)
         return lf
     cache = getattr(pdf, "_font_cache", None) if pdf is not None else None
     if cache is None and pdf is not None:
