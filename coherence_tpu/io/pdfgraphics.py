@@ -115,6 +115,18 @@ class TextBlock:
 
 
 @dataclass
+class TextClip:
+    """Text clipping (PDF 9.3.5, Tr modes 4-7) — BEYOND REFERENCE: after a
+    BT..ET block with a clip render mode, subsequent paint until the next
+    grestore is clipped by the union of the block's glyph outlines.  The
+    glyphs themselves need fonts, so the outlines are derived at scene
+    conversion (scene/pdftext.clip_path_of_block) from the wrapped block."""
+
+    block: "TextBlock"  # the source block (also painted as a sibling)
+    elements: list
+
+
+@dataclass
 class ImageAttributes:
     """image_attributes (pdfgraphics.mli:104-107)."""
 
@@ -579,6 +591,15 @@ def _apply(m: Matrix, p):
     a, b, c, d, e, f = m
     x, y = p
     return (a * x + c * y + e, b * x + d * y + f)
+
+
+def _mat_inv(m: Matrix):
+    a, b, c, d, e, f = m
+    det = a * d - b * c
+    if abs(det) < 1e-12:
+        return None
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    return (ia, ib, ic, id_, -(e * ia + f * ic), -(e * ib + f * id_))
 
 
 @dataclass
@@ -1724,7 +1745,18 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                 stack.clear()
             elif op == "ET":
                 if in_text and text_ops:
-                    sinks[-1].append(TextBlock(text_ops, text_tf, resources))
+                    tb = TextBlock(text_ops, text_tf, resources)
+                    sinks[-1].append(tb)
+                    if any(
+                        attrs.textmode >= 4 and opn in ("Tj", "TJ", "'", '"')
+                        for attrs, (opn, _) in text_ops
+                    ):
+                        # Clip render mode: wrap subsequent elements until
+                        # the enclosing grestore (PDF 9.3.5).
+                        tc = TextClip(tb, [])
+                        sinks[-1].append(tc)
+                        sinks.append(tc.elements)
+                        sink_levels.append(qlevel)
                 in_text = False
             elif op in _TEXT_OPS:
                 operands = list(stack)
@@ -1808,6 +1840,14 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
             elif isinstance(el, TextBlock):
                 out.append(
                     TextBlock(el.blocks, ctr.matmul(tmat, el.transform), el.resources)
+                )
+            elif isinstance(el, TextClip):
+                b = el.block
+                out.append(
+                    TextClip(
+                        TextBlock(b.blocks, ctr.matmul(tmat, b.transform), b.resources),
+                        walk(el.elements),
+                    )
                 )
             elif isinstance(el, Image):
                 a = el.attributes
@@ -2114,7 +2154,14 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                 ops.append("h")
 
     def walk(elements):
-        for el in elements:
+        for i, el in enumerate(elements):
+            if (
+                isinstance(el, TextBlock)
+                and i + 1 < len(elements)
+                and isinstance(elements[i + 1], TextClip)
+                and elements[i + 1].block.blocks is el.blocks
+            ):
+                continue  # painted by the adjacent TextClip's combined form
             if isinstance(el, GPath):
                 a = el.attributes
                 set_gstate(
@@ -2195,6 +2242,23 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                     line = " ".join(_ser_operand(v) for v in operands)
                     ops.append((line + " " + opname).strip())
                 ops.append("ET")
+                pop_q()
+            elif isinstance(el, TextClip):
+                # One shared q scope: the block's clip modes re-derive the
+                # TextClip on read; the inverse cm restores the children's
+                # coordinate space while the clip stays in force.
+                b = el.block
+                inv = _mat_inv(b.transform)
+                push_q()
+                ops.append(" ".join(map(_fmt, b.transform)) + " cm")
+                ops.append("BT")
+                for _st, (opname, operands) in b.blocks:
+                    line = " ".join(_ser_operand(v) for v in operands)
+                    ops.append((line + " " + opname).strip())
+                ops.append("ET")
+                if inv is not None:
+                    ops.append(" ".join(map(_fmt, inv)) + " cm")
+                walk(el.elements)
                 pop_q()
             elif isinstance(el, GraphicInlineImage):
                 push_q()

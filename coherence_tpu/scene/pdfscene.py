@@ -725,6 +725,19 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     out.extend(pdftext.text_objects_of_block(pdf, el, clips=clips))
                 except Exception:
                     pass  # unreadable font program: skip the run
+            elif isinstance(el, PG.TextClip):
+                # Tr 4-7 (PDF 9.3.5): glyph outlines clip subsequent paint
+                # until the enclosing grestore.  The block itself painted as
+                # the preceding sibling.
+                from . import pdftext
+
+                try:
+                    cp = pdftext.clip_path_of_block(pdf, el.block)
+                except Exception:
+                    cp = None
+                out.extend(
+                    convert(el.elements, clips + ((cp,) if cp is not None else ()))
+                )
             elif isinstance(el, PG.GShading):
                 # `sh` paints the shading through the active clip (or its
                 # /BBox).  The reference's scene_of_graphic drops these

@@ -424,9 +424,11 @@ def _type3_glyph_objects(pdf, lf: _LoadedFont, proc, trm, colour, attrs) -> list
         return []
 
 
-def text_objects_of_block(pdf, el: PG.TextBlock, clips=()) -> List[R.Obj]:
+def text_objects_of_block(pdf, el: PG.TextBlock, clips=(), clip_sink=None) -> List[R.Obj]:
     """Scene objects painting a TextBlock's show operators.  ``clips`` is
-    the active clip-path stack, intersected into each run's glyph shape."""
+    the active clip-path stack, intersected into each run's glyph shape.
+    When ``clip_sink`` is a list, glyph subpaths of clip-mode runs
+    (Tr 4-7) are appended to it (PDF 9.3.5 text clipping)."""
     from . import pdfscene
 
     res = pdf.resolve if pdf is not None else (lambda o: o)
@@ -463,15 +465,19 @@ def text_objects_of_block(pdf, el: PG.TextBlock, clips=()) -> List[R.Obj]:
                 tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
             return
         subpaths = []
+        clip_run = attrs.textmode >= 4 and clip_sink is not None
         for code in font.codes_of_bytes(s):
             w0 = font.width_of_code(code)
-            if mode != 3 and size != 0.0:
+            if (mode != 3 or clip_run) and size != 0.0:
                 # glyph space -> text space -> user space (PDF 9.4.4).
                 params = (size * th, 0.0, 0.0, size, 0.0, rise)
                 trm = tr.matmul(ctm, tr.matmul(tm, params))
                 gp = _glyph_path(font, code, trm)
                 if gp is not None:
-                    subpaths.extend(gp.subpaths)
+                    if mode != 3:
+                        subpaths.extend(gp.subpaths)
+                    if clip_run:
+                        clip_sink.extend(gp.subpaths)
             pad = tw if (code == 32 and not font.two_byte) else 0.0
             tx = (w0 * size + tc + pad) * th
             tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
@@ -549,3 +555,14 @@ def text_objects_of_block(pdf, el: PG.TextBlock, clips=()) -> List[R.Obj]:
         except Exception:
             continue  # malformed operator: skip, keep the rest of the run
     return out
+
+
+def clip_path_of_block(pdf, el: PG.TextBlock):
+    """Union of glyph outlines of a block's clip-mode runs (Tr 4-7), as a
+    nonzero path for the clip stack, or None (PDF 9.3.5; Type 3 clip runs
+    are not collected — their glyphs are content streams, not outlines)."""
+    sink: list = []
+    text_objects_of_block(pdf, el, clip_sink=sink)
+    if not sink:
+        return None
+    return Path(NONZERO, tuple(sink))

@@ -122,6 +122,85 @@ def test_stroke_clipped():
     assert not _texel(spr, 70, 50)[1], "stroke right of the clip is cut"
 
 
+_HELV = {"Type": Name("Font"), "Subtype": Name("Type1"),
+         "BaseFont": Name("Helvetica")}
+
+
+def test_text_clip_mode7_gates_fill():
+    # Tr 7: the glyphs paint nothing themselves but clip the later fill.
+    content = (b"q BT /F0 80 Tf 3 Tr 10 20 Td (III) Tj ET "
+               b"1 0 0 rg 0 0 100 100 re f Q")
+    pdf7 = mkpage(content.replace(b"3 Tr", b"7 Tr"), mediabox=(0, 0, 100, 100),
+                  resources={"Font": {"F0": _HELV}})
+    g7 = PG.graphic_of_page(pdf7, _page_dict(pdf7))
+    assert any(isinstance(el, PG.TextClip) for el in g7.elements)
+    _, spr = _render(pdf7)
+    x0, y0, _, _ = spr.box
+    m = np.asarray(spr.mask)
+    w = min(m.shape[1], 99)
+    h = min(m.shape[0], 99)
+    covered = int(m[:h, :w].sum())
+    # the fill survives only inside glyph stems: a small fraction of 100x100
+    assert 100 < covered < 4000, covered
+    # Tr 3 form: invisible text, NO clip -> the fill covers everything.
+    pdf3 = mkpage(content, mediabox=(0, 0, 100, 100),
+                  resources={"Font": {"F0": _HELV}})
+    g3 = PG.graphic_of_page(pdf3, _page_dict(pdf3))
+    assert not any(isinstance(el, PG.TextClip) for el in g3.elements)
+    _, spr3 = _render(pdf3)
+    assert _texel(spr3, 90, 90)[1], "no text clip: fill covers the corner"
+
+
+def test_text_clip_released_by_grestore():
+    content = (b"q BT /F0 80 Tf 7 Tr 10 20 Td (I) Tj ET "
+               b"1 0 0 rg 0 0 100 100 re f Q "
+               b"0 0 1 rg 70 70 20 20 re f")
+    pdf = mkpage(content, mediabox=(0, 0, 100, 100),
+                 resources={"Font": {"F0": _HELV}})
+    _, spr = _render(pdf)
+    got, cov = _texel(spr, 80, 80)
+    assert cov and got == (0, 0, 255, 255), "post-Q paint is unclipped"
+
+
+def test_text_clip_mode4_paints_and_clips():
+    content = (b"q BT /F0 80 Tf 4 Tr 0 0 0 rg 10 20 Td (I) Tj ET "
+               b"1 0 0 rg 0 40 100 20 re f Q")
+    pdf = mkpage(content, mediabox=(0, 0, 100, 100),
+                 resources={"Font": {"F0": _HELV}})
+    _, spr = _render(pdf)
+    m = np.asarray(spr.mask)
+    # the glyph painted (there IS coverage), and the band fill adds nothing
+    # outside the glyph: total coverage equals the glyph's own coverage.
+    scene = pdfscene.scene_of_graphic(pdf, PG.graphic_of_page(pdf, _page_dict(pdf)))
+    assert len(scene) == 2  # glyph paint + clipped band
+    assert m.sum() > 50
+    assert not _texel(spr, 90, 50)[1], "band outside the glyph is clipped"
+
+
+def test_text_clip_writer_roundtrip():
+    content = (b"q BT /F0 60 Tf 7 Tr 5 30 Td (II) Tj ET "
+               b"0 1 0 rg 0 0 100 100 re f Q")
+    pdf = mkpage(content, mediabox=(0, 0, 100, 100),
+                 resources={"Font": {"F0": _HELV}})
+    g1 = PG.graphic_of_page(pdf, _page_dict(pdf))
+    pdf2 = PG.page_of_graphic(g1, mediabox=(0, 0, 100, 100))
+    # the round-tripped page needs the font resource for outline derivation
+    pdf2.objects[3]["Resources"]["Font"] = {"F0": _HELV}
+    g2 = PG.graphic_of_page(pdf2, _page_dict(pdf2))
+    tc1 = [el for el in g1.elements if isinstance(el, PG.TextClip)]
+    tc2 = [el for el in g2.elements if isinstance(el, PG.TextClip)]
+    assert len(tc1) == 1 and len(tc2) == 1
+    s1 = pdfscene.scene_of_graphic(pdf, g1)
+    cache.clear()
+    s2 = pdfscene.scene_of_graphic(pdf2, g2)
+    a = R.render_simple_scene(list(reversed(s1)), region.shape_of_box((1, 1, 100, 100)))
+    cache.clear()
+    b = R.render_simple_scene(list(reversed(s2)), region.shape_of_box((1, 1, 100, 100)))
+    assert (a is None) == (b is None)
+    if a is not None:
+        assert np.array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
 def test_shading_respects_outer_clip():
     # Inner clip is the paint geometry; an outer non-containing clip must
     # also cut the shading.
