@@ -115,6 +115,20 @@ class TextBlock:
 
 
 @dataclass
+class FormGroup:
+    """A Form XObject with /Group /S /Transparency whose gstate carries a
+    group-level constant alpha or blend mode (PDF 11.6.6) — BEYOND
+    REFERENCE: the group's children composite to ONE sprite first, then
+    alpha/blend apply once to the result (per-element application
+    double-darkens self-overlapping groups, e.g. any Inkscape object with
+    opacity < 100%)."""
+
+    elements: list
+    ca: float = 1.0  # group constant alpha (nonstroke ca at the Do op)
+    blend: str = "Normal"  # group blend mode
+
+
+@dataclass
 class TextClip:
     """Text clipping (PDF 9.3.5, Tr modes 4-7) — BEYOND REFERENCE: after a
     BT..ET block with a clip render mode, subsequent paint until the next
@@ -1645,7 +1659,31 @@ def _process(pdf: Pdf, content: bytes, resources: dict, gs: _GState) -> list:
                         mtx = pdf.resolve(xo.dict.get("Matrix"))
                         if isinstance(mtx, list) and len(mtx) == 6:
                             sub_gs.ctm = _mat_mul(sub_gs.ctm, tuple(float(v) for v in mtx))
-                        sinks[-1].extend(_process(pdf, xo.decode(), sub_res, sub_gs))
+                        grp = pdf.resolve(xo.dict.get("Group"))
+                        gkind = (
+                            pdf.resolve(grp.get("S")) if isinstance(grp, dict) else None
+                        )
+                        transparency_group = (
+                            isinstance(gkind, Name) and gkind.v == "Transparency"
+                        )
+                        if transparency_group and (
+                            sub_gs.ca < 1.0 or sub_gs.blend != "Normal"
+                        ):
+                            # Group-level alpha/blend: children render at
+                            # full alpha / Normal and the group result gets
+                            # the gstate applied ONCE (PDF 11.6.6).
+                            ca, blend = sub_gs.ca, sub_gs.blend
+                            sub_gs.ca = 1.0
+                            sub_gs.CA = 1.0
+                            sub_gs.blend = "Normal"
+                            sinks[-1].append(
+                                FormGroup(
+                                    _process(pdf, xo.decode(), sub_res, sub_gs),
+                                    ca, blend,
+                                )
+                            )
+                        else:
+                            sinks[-1].extend(_process(pdf, xo.decode(), sub_res, sub_gs))
                     elif isinstance(st, Name) and st.v == "Image":
                         # pdfgraphics.ml:1036-1045: placement transform,
                         # nonstroke alpha, softmask, object number.
@@ -1849,6 +1887,8 @@ def transform_graphic(t, graphic: Graphic) -> Graphic:
                         walk(el.elements),
                     )
                 )
+            elif isinstance(el, FormGroup):
+                out.append(FormGroup(walk(el.elements), el.ca, el.blend))
             elif isinstance(el, Image):
                 a = el.attributes
                 out.append(
@@ -2258,6 +2298,15 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                 ops.append("ET")
                 if inv is not None:
                     ops.append(" ".join(map(_fmt, inv)) + " cm")
+                walk(el.elements)
+                pop_q()
+            elif isinstance(el, FormGroup):
+                # Content-only writer: the group alpha/blend is set for the
+                # children in one q scope (a reread applies them per
+                # element — the grouped composite needs a real Form
+                # XObject, which this writer does not emit).
+                push_q()
+                set_gstate(el.blend, el.ca, el.ca)
                 walk(el.elements)
                 pop_q()
             elif isinstance(el, GraphicInlineImage):

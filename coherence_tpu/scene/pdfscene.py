@@ -725,6 +725,46 @@ def scene_of_graphic(pdf, graphic: PG.Graphic):
                     out.extend(pdftext.text_objects_of_block(pdf, el, clips=clips))
                 except Exception:
                     pass  # unreadable font program: skip the run
+            elif isinstance(el, PG.FormGroup):
+                # Transparency group (PDF 11.6.6): members composite to ONE
+                # sprite via Group geometry; the group alpha dissolves that
+                # composite once (PreTrans), and a group blend mode blends
+                # the composite as a unit.
+                inner = convert(el.elements, clips)
+                if inner:
+                    objs = list(reversed(inner))  # front-to-back for Group
+                    compop = (
+                        R.PreTrans(float(el.ca), R.OVER)
+                        if float(el.ca) < 1.0
+                        else R.OVER
+                    )
+                    grp = R.Obj(ident.new_ids(), R.Group(objs), (), compop)
+                    mode = getattr(el, "blend", "Normal")
+                    if mode not in (None, "Normal", "Compatible"):
+                        if float(el.ca) < 1.0:
+                            # Filters ignore compop: fold the group alpha
+                            # into each member instead (PDF-exact only for
+                            # non-self-overlapping groups).
+                            delta = int(float(el.ca) * 255.0)
+                            objs = [
+                                R.Obj(
+                                    o.idset,
+                                    R.Basic(
+                                        o.geometry.fill.changecolour(
+                                            lambda c: C.dissolve(c, delta=delta)
+                                        ),
+                                        o.geometry.shape,
+                                    ),
+                                    o.transform,
+                                    o.compop,
+                                )
+                                if isinstance(o.geometry, R.Basic)
+                                else o
+                                for o in objs
+                            ]
+                            grp = R.Obj(ident.new_ids(), R.Group(objs), (), R.OVER)
+                        grp = blend_wrap(grp, mode)
+                    out.append(grp)
             elif isinstance(el, PG.TextClip):
                 # Tr 4-7 (PDF 9.3.5): glyph outlines clip subsequent paint
                 # until the enclosing grestore.  The block itself painted as
