@@ -1,0 +1,796 @@
+"""JBIG2 decoder (ITU-T T.88) for the PDF ``JBIG2Decode`` filter.
+
+BEYOND REFERENCE: camlpdf's ``Pdfcodec`` has no JBIG2 support; scanned/
+OCR'd PDFs overwhelmingly use it.  Scope: the embedded-in-PDF profile —
+segment streams (optionally split across /JBIG2Globals), page info,
+generic regions (arithmetic templates 0-3 with TPGDON and AT pixels, or
+MMR via the existing T.6 decoder in io/ccitt.py), symbol dictionaries and
+text regions (arithmetic variants, SDHUFF=SBHUFF=0, no refinement).
+Huffman-coded dictionaries/regions and refinement coding raise
+``ValueError`` (callers fall back to the gray placeholder).
+
+The MQ arithmetic coder (Annex E) and the integer/ID decoding procedures
+(Annex A) are transcribed from the spec.  ``tests/test_jbig2.py``
+validates them by round-trip against the encoder in this module plus
+structural known-answer cases.
+
+Convention: JBIG2 bitmaps use 1 = black.  ``decode_jbig2`` returns packed
+rows INVERTED (0 = black) so a 1-bpc DeviceGray PDF image paints black
+where JBIG2 coded 1, matching how viewers implement the filter.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# MQ arithmetic coder (T.88 Annex E): Qe, NMPS, NLPS, SWITCH
+# ---------------------------------------------------------------------------
+
+QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class Contexts:
+    """Per-context (index, MPS) state, keyed by integer context label."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self, n: int):
+        self.i = bytearray(n)
+        self.mps = bytearray(n)
+
+
+class MQDecoder:
+    """T.88 E.3 decoding procedures (INITDEC / DECODE / BYTEIN / RENORMD)."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b = data[0] if data else 0xFF
+        self.c = b << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self):
+        data, bp = self.data, self.bp
+        b = data[bp] if bp < len(data) else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: Contexts, label: int) -> int:
+        i = cx.i[label]
+        mps = cx.mps[label]
+        qe, nmps, nlps, switch = QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps
+                cx.i[label] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    cx.mps[label] = 1 - mps
+                cx.i[label] = nlps
+            self.a = qe
+        else:
+            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+            if self.a & 0x8000:
+                return mps
+            # MPS exchange path
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    cx.mps[label] = 1 - mps
+                cx.i[label] = nlps
+            else:
+                d = mps
+                cx.i[label] = nmps
+        # RENORMD
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 E.2 encoding procedures — used by the tests to round-trip the
+    decoder (self-consistency oracle; no system JBIG2 encoder exists)."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.b = None  # pending byte
+        self.first = True
+
+    def encode(self, cx: Contexts, label: int, d: int):
+        i = cx.i[label]
+        mps = cx.mps[label]
+        qe, nmps, nlps, switch = QE[i]
+        if d == mps:
+            # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx.i[label] = nmps
+        else:
+            # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx.mps[label] = 1 - mps
+            cx.i[label] = nlps
+        # RENORME (BYTEOUT sets CT itself: 7 after an 0xFF stuff, else 8)
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def _emit(self, byte: int):
+        if self.b is not None:
+            self.out.append(self.b)
+        self.b = byte & 0xFF
+
+    def _byteout(self):
+        if self.b == 0xFF:
+            self._emit(self.c >> 20)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self._emit(self.c >> 19)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.b += 1
+            if self.b == 0xFF:
+                self.c &= 0x7FFFFFF
+                self._emit(self.c >> 20)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self._emit(self.c >> 19)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def flush(self) -> bytes:
+        # SETBITS
+        tempc = self.c + self.a - 1
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        if self.b is not None:
+            self.out.append(self.b)
+            self.b = None
+        self.out += b"\xff\xac"
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Integer + symbol-ID decoding (T.88 Annex A)
+# ---------------------------------------------------------------------------
+
+OOB = object()
+
+
+def decode_int(mq: MQDecoder, cx: Contexts):
+    """IAx procedure (A.2): returns int or OOB."""
+    prev = 1
+
+    def bit():
+        nonlocal prev
+        d = mq.decode(cx, prev)
+        prev = ((prev << 1) | d) if prev < 256 else ((((prev << 1) | d) & 511) | 256)
+        return d
+
+    def bits(n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    s = bit()
+    if not bit():
+        v = bits(2)
+    elif not bit():
+        v = bits(4) + 4
+    elif not bit():
+        v = bits(6) + 20
+    elif not bit():
+        v = bits(8) + 84
+    elif not bit():
+        v = bits(12) + 340
+    else:
+        v = bits(32) + 4436
+    if s:
+        if v == 0:
+            return OOB
+        return -v
+    return v
+
+
+def decode_iaid(mq: MQDecoder, cx: Contexts, symcodelen: int) -> int:
+    """IAID procedure (A.3)."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | mq.decode(cx, prev)
+    return prev - (1 << symcodelen)
+
+
+class IntEncoder:
+    """Inverse of decode_int/decode_iaid for the test round-trips."""
+
+    def __init__(self, enc: MQEncoder):
+        self.enc = enc
+
+    def encode_int(self, cx: Contexts, value) -> None:
+        prev = 1
+
+        def bit(d):
+            nonlocal prev
+            self.enc.encode(cx, prev, d)
+            prev = ((prev << 1) | d) if prev < 256 else ((((prev << 1) | d) & 511) | 256)
+
+        def bits(v, n):
+            for k in range(n - 1, -1, -1):
+                bit((v >> k) & 1)
+
+        if value is OOB:
+            bit(1)
+            bit(0)
+            bits(0, 2)
+            return
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+        bit(s)
+        if v < 4:
+            bit(0)
+            bits(v, 2)
+        elif v < 20:
+            bit(1)
+            bit(0)
+            bits(v - 4, 4)
+        elif v < 84:
+            bit(1)
+            bit(1)
+            bit(0)
+            bits(v - 20, 6)
+        elif v < 340:
+            bit(1)
+            bit(1)
+            bit(1)
+            bit(0)
+            bits(v - 84, 8)
+        elif v < 4436:
+            bit(1)
+            bit(1)
+            bit(1)
+            bit(1)
+            bit(0)
+            bits(v - 340, 12)
+        else:
+            bit(1)
+            bit(1)
+            bit(1)
+            bit(1)
+            bit(1)
+            bits(v - 4436, 32)
+
+    def encode_iaid(self, cx: Contexts, value: int, symcodelen: int) -> None:
+        prev = 1
+        v = value + (1 << symcodelen)
+        for k in range(symcodelen - 1, -1, -1):
+            d = (v >> k) & 1
+            self.enc.encode(cx, prev, d)
+            prev = (prev << 1) | d
+
+
+# ---------------------------------------------------------------------------
+# Generic region decoding (6.2): templates 0-3, TPGDON, AT pixels
+# ---------------------------------------------------------------------------
+
+# Fixed template pixels (dx, dy) per GBTEMPLATE, before the AT pixels.
+_TEMPLATES = [
+    [(-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+    [(-1, -2), (0, -2), (1, -2), (2, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+     (-3, 0), (-2, 0), (-1, 0)],
+    [(-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1),
+     (-2, 0), (-1, 0)],
+    [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+]
+_AT_COUNT = [4, 1, 1, 1]
+NOMINAL_AT = [
+    [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    [(3, -1)],
+    [(2, -1)],
+    [(2, -1)],
+]
+# TPGDON pseudo-pixel context per template (6.2.5.7).
+_TPGD_CTX = [0x9B25, 0x0795, 0x00E5, 0x0195]
+
+
+def _context_pixels(template: int, at) -> List[Tuple[int, int]]:
+    """Template + AT pixels in spec context order (row-major by (dy, dx))."""
+    pts = list(_TEMPLATES[template]) + [tuple(p) for p in at]
+    pts.sort(key=lambda p: (p[1], p[0]))
+    return pts
+
+
+def decode_generic(mq: MQDecoder, cx: Contexts, w: int, h: int, template: int,
+                   at, tpgdon: bool, skip=None) -> np.ndarray:
+    """Arithmetic generic region decoding (6.2.5.7) -> (h, w) uint8."""
+    pts = _context_pixels(template, at)
+    nbits = len(pts)
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    get = bitmap  # local alias
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            if mq.decode(cx, _TPGD_CTX[template]):
+                ltp ^= 1
+            if ltp:
+                if y > 0:
+                    bitmap[y] = bitmap[y - 1]
+                continue
+        row = get[y]
+        for x in range(w):
+            if skip is not None and skip[y, x]:
+                row[x] = 0
+                continue
+            ctxv = 0
+            for dx, dy in pts:
+                xx, yy = x + dx, y + dy
+                if 0 <= yy < h and 0 <= xx < w and (yy < y or (yy == y and xx < x)):
+                    # int(): OR-ing a numpy uint8 would clamp ctxv to 8 bits
+                    ctxv = (ctxv << 1) | int(get[yy, xx])
+                else:
+                    ctxv <<= 1
+            row[x] = mq.decode(cx, ctxv)
+    assert nbits <= 16
+    return bitmap
+
+
+def encode_generic(enc: MQEncoder, cx: Contexts, bitmap: np.ndarray,
+                   template: int = 0, at=None, tpgdon: bool = False) -> None:
+    """Inverse of decode_generic for the tests (same context walk)."""
+    h, w = bitmap.shape
+    if at is None:
+        at = NOMINAL_AT[template]
+    pts = _context_pixels(template, at)
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            same = y > 0 and bool(np.array_equal(bitmap[y], bitmap[y - 1]))
+            sltp = 1 if same != bool(ltp) else 0
+            enc.encode(cx, _TPGD_CTX[template], sltp)
+            if sltp:
+                ltp ^= 1
+            if ltp:
+                continue
+        for x in range(w):
+            ctxv = 0
+            for dx, dy in pts:
+                xx, yy = x + dx, y + dy
+                if 0 <= yy < h and 0 <= xx < w and (yy < y or (yy == y and xx < x)):
+                    ctxv = (ctxv << 1) | int(bitmap[yy, xx])
+                else:
+                    ctxv <<= 1
+            enc.encode(cx, ctxv, int(bitmap[y, x]))
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (6.5) and text region (6.4), arithmetic variants
+# ---------------------------------------------------------------------------
+
+
+def _compose(dst: np.ndarray, src: np.ndarray, x: int, y: int, op: int) -> None:
+    """Composite src onto dst at (x, y) with ComposeOp (OR/AND/XOR/XNOR/REPLACE)."""
+    h, w = src.shape
+    H, W = dst.shape
+    x0, y0 = max(0, x), max(0, y)
+    x1, y1 = min(W, x + w), min(H, y + h)
+    if x0 >= x1 or y0 >= y1:
+        return
+    sub = src[y0 - y : y1 - y, x0 - x : x1 - x]
+    d = dst[y0:y1, x0:x1]
+    if op == 0:
+        d |= sub
+    elif op == 1:
+        d &= sub
+    elif op == 2:
+        d ^= sub
+    elif op == 3:
+        d[...] = 1 - (d ^ sub)
+    else:
+        d[...] = sub
+
+
+class _ArithIntCtx:
+    """The named integer-decoding context sets of 6.4/6.5."""
+
+    def __init__(self):
+        self.sets: Dict[str, Contexts] = {}
+
+    def get(self, name: str) -> Contexts:
+        c = self.sets.get(name)
+        if c is None:
+            c = self.sets[name] = Contexts(512)
+        return c
+
+
+def decode_symbol_dict(mq: MQDecoder, flags: int, at, exflags_runs_allowed: bool,
+                       num_ex: int, num_new: int,
+                       input_symbols: List[np.ndarray]) -> List[np.ndarray]:
+    """6.5.5 arithmetic symbol dictionary: returns the exported symbols."""
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff or sdrefagg:
+        raise ValueError("JBIG2: Huffman/refinement symbol dictionaries unsupported")
+    ints = _ArithIntCtx()
+    gb = Contexts(1 << 16)
+    new_symbols: List[np.ndarray] = []
+    hcheight = 0
+    while len(new_symbols) < num_new:
+        dh = decode_int(mq, ints.get("IADH"))
+        if dh is OOB:
+            raise ValueError("JBIG2: OOB height class delta")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = decode_int(mq, ints.get("IADW"))
+            if dw is OOB:
+                break
+            symwidth += dw
+            if hcheight < 0 or symwidth < 0 or hcheight > 5000 or symwidth > 5000:
+                raise ValueError("JBIG2: implausible symbol size")
+            if len(new_symbols) >= num_new:
+                raise ValueError("JBIG2: too many symbols in dictionary")
+            bm = decode_generic(mq, gb, symwidth, hcheight, template, at, False)
+            new_symbols.append(bm)
+    # Export flags (6.5.10): alternating no-export/export runs over
+    # input+new symbols.
+    allsyms = list(input_symbols) + new_symbols
+    exported: List[np.ndarray] = []
+    i = 0
+    cur = 0
+    while i < len(allsyms) and len(exported) < num_ex:
+        run = decode_int(mq, ints.get("IAEX"))
+        if run is OOB or run < 0:
+            raise ValueError("JBIG2: bad export run")
+        if cur:
+            exported.extend(allsyms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("JBIG2: export count mismatch")
+    return exported
+
+
+def decode_text_region(mq: MQDecoder, w: int, h: int, num_instances: int,
+                       symbols: List[np.ndarray], flags: int,
+                       log_strips: int, refcorner: int, transposed: int,
+                       comb_op: int, default_pixel: int,
+                       dsoffset: int) -> np.ndarray:
+    """6.4.5 arithmetic text region decoding -> (h, w) uint8."""
+    sbstrips = 1 << log_strips
+    symcodelen = max(1, (len(symbols) - 1).bit_length()) if symbols else 1
+    ints = _ArithIntCtx()
+    iaid = Contexts(1 << (symcodelen + 1))
+    bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
+    stript = decode_int(mq, ints.get("IADT"))
+    if stript is OOB:
+        raise ValueError("JBIG2: bad IADT")
+    stript *= -sbstrips
+    firsts = 0
+    inst = 0
+    while inst < num_instances:
+        dt = decode_int(mq, ints.get("IADT"))
+        if dt is OOB:
+            raise ValueError("JBIG2: bad IADT")
+        stript += dt * sbstrips
+        dfs = decode_int(mq, ints.get("IAFS"))
+        if dfs is OOB:
+            raise ValueError("JBIG2: bad IAFS")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = decode_int(mq, ints.get("IADS"))
+                if ids is OOB:
+                    break
+                curs += ids + dsoffset
+            first = False
+            curt = decode_int(mq, ints.get("IAIT")) if sbstrips > 1 else 0
+            if curt is OOB:
+                raise ValueError("JBIG2: bad IAIT")
+            tt = stript + curt
+            sid = decode_iaid(mq, iaid, symcodelen)
+            if sid >= len(symbols):
+                raise ValueError("JBIG2: symbol id out of range")
+            sym = symbols[sid]
+            hs, ws = sym.shape
+            if transposed:
+                # S along y, T along x.
+                if refcorner in (0, 1):  # BOTTOMLEFT / TOPLEFT
+                    x0 = tt
+                else:
+                    x0 = tt - ws + 1
+                y0 = curs
+                _compose(bitmap, sym, x0, y0, comb_op)
+                curs += hs - 1
+            else:
+                if refcorner in (1, 3):  # TOPLEFT / TOPRIGHT
+                    y0 = tt
+                else:  # BOTTOMLEFT / BOTTOMRIGHT
+                    y0 = tt - hs + 1
+                x0 = curs
+                _compose(bitmap, sym, x0, y0, comb_op)
+                curs += ws - 1
+            inst += 1
+            if inst > num_instances:
+                raise ValueError("JBIG2: too many instances")
+    return bitmap
+
+
+# ---------------------------------------------------------------------------
+# Segment stream parsing (7.2) and page assembly
+# ---------------------------------------------------------------------------
+
+
+class Segment:
+    __slots__ = ("number", "type", "referred", "page", "data")
+
+    def __init__(self, number, type_, referred, page, data):
+        self.number = number
+        self.type = type_
+        self.referred = referred
+        self.page = page
+        self.data = data
+
+
+def parse_segments(data: bytes) -> List[Segment]:
+    out = []
+    o = 0
+    n = len(data)
+    while o + 11 <= n:
+        number, flags = struct.unpack_from(">IB", data, o)
+        o += 5
+        seg_type = flags & 0x3F
+        page_assoc_4 = bool(flags & 0x40)
+        rts = data[o]
+        count = rts >> 5
+        if count == 7:
+            count = struct.unpack_from(">I", data, o)[0] & 0x1FFFFFFF
+            o += 4 + (count + 8) // 8  # 4-byte count + retain bits
+        else:
+            o += 1
+        if number <= 256:
+            refsize = 1
+        elif number <= 65536:
+            refsize = 2
+        else:
+            refsize = 4
+        referred = []
+        for _ in range(count):
+            if refsize == 1:
+                referred.append(data[o])
+            elif refsize == 2:
+                referred.append(struct.unpack_from(">H", data, o)[0])
+            else:
+                referred.append(struct.unpack_from(">I", data, o)[0])
+            o += refsize
+        if page_assoc_4:
+            page = struct.unpack_from(">I", data, o)[0]
+            o += 4
+        else:
+            page = data[o]
+            o += 1
+        (length,) = struct.unpack_from(">I", data, o)
+        o += 4
+        if length == 0xFFFFFFFF:
+            raise ValueError("JBIG2: unknown-length segment unsupported")
+        seg = Segment(number, seg_type, referred, page, data[o : o + length])
+        o += length
+        out.append(seg)
+    return out
+
+
+def _region_info(data: bytes) -> Tuple[int, int, int, int, int, int]:
+    """Region segment information field (7.4.1): w, h, x, y, op, offset."""
+    w, h, x, y = struct.unpack_from(">IIII", data, 0)
+    op = data[16] & 7
+    return w, h, x, y, op, 17
+
+
+def _read_at(data: bytes, o: int, count: int):
+    at = []
+    for _ in range(count):
+        ax = struct.unpack_from(">b", data, o)[0]
+        ay = struct.unpack_from(">b", data, o + 1)[0]
+        at.append((ax, ay))
+        o += 2
+    return at, o
+
+
+def _decode_generic_segment(seg: Segment) -> Tuple[np.ndarray, int, int, int]:
+    data = seg.data
+    w, h, x, y, op, o = _region_info(data)
+    flags = data[o]
+    o += 1
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    tpgdon = bool((flags >> 3) & 1)
+    if w * h > 64_000_000:
+        raise ValueError("JBIG2: implausible region size")
+    if mmr:
+        from . import ccitt
+
+        # MMR == T.6: reuse the CCITT G4 decoder; black_is_1 yields packed
+        # rows with 1 = black, the JBIG2 convention.
+        packed = ccitt.ccitt_decode(data[o:], columns=w, rows=h, k=-1,
+                                    black_is_1=True, end_of_block=False)
+        bits = np.unpackbits(
+            np.frombuffer(packed, dtype=np.uint8).reshape(h, -1), axis=1
+        )[:, :w]
+        bitmap = bits.astype(np.uint8)
+    else:
+        at, o = _read_at(data, o, _AT_COUNT[template])
+        mq = MQDecoder(data[o:])
+        cx = Contexts(1 << 16)
+        bitmap = decode_generic(mq, cx, w, h, template, at, tpgdon)
+    return bitmap, x, y, op
+
+
+def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
+    data = seg.data
+    flags = struct.unpack_from(">H", data, 0)[0]
+    o = 2
+    sdhuff = flags & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise ValueError("JBIG2: Huffman symbol dictionary unsupported")
+    at, o = _read_at(data, o, _AT_COUNT[template])
+    if (flags >> 1) & 1:  # SDREFAGG
+        raise ValueError("JBIG2: refinement symbol dictionary unsupported")
+    num_ex, num_new = struct.unpack_from(">II", data, o)
+    o += 8
+    input_symbols: List[np.ndarray] = []
+    for r in seg.referred:
+        input_symbols.extend(dicts.get(r, []))
+    mq = MQDecoder(data[o:])
+    exported = decode_symbol_dict(mq, flags, at, True, num_ex, num_new,
+                                  input_symbols)
+    dicts[seg.number] = exported
+
+
+def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
+    data = seg.data
+    w, h, x, y, op, o = _region_info(data)
+    flags = struct.unpack_from(">H", data, o)[0]
+    o += 2
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    default_pixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # 5-bit signed
+    # rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        raise ValueError("JBIG2: Huffman text region unsupported")
+    if refine:
+        raise ValueError("JBIG2: refinement text region unsupported")
+    (num_instances,) = struct.unpack_from(">I", data, o)
+    o += 4
+    symbols: List[np.ndarray] = []
+    for r in seg.referred:
+        symbols.extend(dicts.get(r, []))
+    mq = MQDecoder(data[o:])
+    bitmap = decode_text_region(
+        mq, w, h, num_instances, symbols, flags, log_strips, refcorner,
+        transposed, comb_op, default_pixel, dsoffset,
+    )
+    return bitmap, x, y, op
+
+
+def decode_jbig2(data: bytes, globals_data: Optional[bytes],
+                 width: int, height: int) -> bytes:
+    """Decode the PDF JBIG2Decode payload (embedded stream format: raw
+    segment sequence, optionally preceded by /JBIG2Globals segments) into
+    packed 1-bpp rows, INVERTED so 0 = black (see module docstring)."""
+    segments: List[Segment] = []
+    if globals_data:
+        segments.extend(parse_segments(globals_data))
+    segments.extend(parse_segments(data))
+    if not any(s.type in (0, 4, 6, 7, 36, 38, 39, 48) for s in segments):
+        raise ValueError("JBIG2: no decodable segments")
+    page = np.zeros((height, width), dtype=np.uint8)
+    page_default_set = False
+    dicts: Dict[int, List[np.ndarray]] = {}
+    for seg in segments:
+        t = seg.type
+        if t == 48:  # page information
+            if len(seg.data) >= 17:
+                pflags = seg.data[16]
+                if (pflags >> 2) & 1 and not page_default_set:
+                    page[...] = 1
+                page_default_set = True
+        elif t == 0:  # symbol dictionary
+            _decode_symbol_segment(seg, dicts)
+        elif t in (36, 38, 39):  # generic region (intermediate/immediate)
+            bitmap, x, y, op = _decode_generic_segment(seg)
+            _compose(page, bitmap, x, y, op)
+        elif t in (4, 6, 7):  # text region
+            bitmap, x, y, op = _decode_text_segment(seg, dicts)
+            _compose(page, bitmap, x, y, op)
+        elif t in (49, 50, 51, 62):  # end-of-page/stripe/file, extension
+            continue
+        elif t == 53:
+            raise ValueError("JBIG2: custom Huffman tables unsupported")
+        # unknown segment types are skipped
+    packed = np.packbits(page, axis=1)
+    return (~packed).tobytes()

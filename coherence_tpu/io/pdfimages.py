@@ -52,6 +52,16 @@ def _decode_data(pdf, d: dict, raw: bytes) -> Tuple[bytes, Optional[str]]:
     image_codecs = ("DCTDecode", "DCT", "JPXDecode")
     codec = None
     parms = res(_norm_key(d, "DecodeParms", "DP"))
+    jbig2_parms = None
+    jbig2 = False
+    if names and names[-1] == "JBIG2Decode":
+        jbig2 = True
+        names = names[:-1]
+        if isinstance(parms, list):
+            jbig2_parms = res(parms[-1]) if parms else None
+            parms = parms[: len(names)]
+        else:
+            jbig2_parms, parms = parms, None
     if names and names[-1] in image_codecs:
         codec = names[-1]
         names = names[:-1]
@@ -64,7 +74,19 @@ def _decode_data(pdf, d: dict, raw: bytes) -> Tuple[bytes, Optional[str]]:
     nd["Filter"] = [P.Name(n) for n in names]
     if parms is not None:
         nd["DecodeParms"] = parms
-    return P.Stream(nd, raw, pdf).decode(), codec
+    data = P.Stream(nd, raw, pdf).decode()
+    if jbig2:
+        from . import jbig2 as J2
+
+        g = None
+        if isinstance(jbig2_parms, dict):
+            gs = res(jbig2_parms.get("JBIG2Globals"))
+            if isinstance(gs, P.Stream):
+                g = gs.decode()
+        w = int(res(_norm_key(d, "Width", "W")))
+        h = int(res(_norm_key(d, "Height", "H")))
+        data = J2.decode_jbig2(data, g, w, h)
+    return data, codec
 
 
 def _unpack_samples(data: bytes, w: int, h: int, channels: int, bpc: int):
