@@ -696,9 +696,15 @@ def _decode_generic_segment(seg: Segment) -> Tuple[np.ndarray, int, int, int]:
         bitmap = bits.astype(np.uint8)
     else:
         at, o = _read_at(data, o, _AT_COUNT[template])
-        mq = MQDecoder(data[o:])
-        cx = Contexts(1 << 16)
-        bitmap = decode_generic(mq, cx, w, h, template, at, tpgdon)
+        from .. import native_lib
+
+        got = native_lib.jbig2_generic_region(data[o:], w, h, template, at, tpgdon)
+        if got is not NotImplemented:
+            bitmap = got
+        else:
+            mq = MQDecoder(data[o:])
+            cx = Contexts(1 << 16)
+            bitmap = decode_generic(mq, cx, w, h, template, at, tpgdon)
     return bitmap, x, y, op
 
 

@@ -128,6 +128,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, u8p,
             i64p, i64p, i64p, i64p, i64p,
         ]
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.jbig2_generic_region.restype = ctypes.c_int32
+        lib.jbig2_generic_region.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i8p, ctypes.c_int32, ctypes.c_int32, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -342,3 +348,23 @@ def fb_diff_bbox(a: np.ndarray, b: np.ndarray):
     if len(ys) == 0:
         return None
     return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
+
+
+def jbig2_generic_region(data: bytes, w: int, h: int, template: int,
+                         at, tpgdon: bool):
+    """Native arithmetic generic-region decode (io/jbig2.py hot loop) ->
+    (h, w) uint8, or NotImplemented when the native library is unavailable
+    (callers fall back to the pure-Python decoder)."""
+    lib = _load()
+    if lib is None:
+        return NotImplemented
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    at_arr = np.asarray([c for p in at for c in p], dtype=np.int8)
+    out = np.zeros((h, w), dtype=np.uint8)
+    rc = lib.jbig2_generic_region(
+        buf, buf.size, int(w), int(h), int(template),
+        at_arr, len(at), 1 if tpgdon else 0, out,
+    )
+    if rc != 0:
+        return NotImplemented
+    return out

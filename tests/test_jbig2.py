@@ -349,3 +349,28 @@ def test_jbig2_globals_via_decodeparms():
     # black box at (x=1, y=2)..(4, 5), white elsewhere
     assert tuple(tex[3, 2]) == (0, 0, 0, 255)
     assert tuple(tex[0, 0]) == (255, 255, 255, 255)
+
+
+def test_native_generic_region_matches_python():
+    from coherence_tpu import native_lib
+
+    if not native_lib.available():
+        pytest.skip("native library unavailable")
+    rng = rnd(13)
+    for trial in range(10):
+        tmpl = trial % 4
+        tp = trial % 2 == 1
+        h, w = int(rng.randint(8, 50)), int(rng.randint(8, 70))
+        bm = (rng.rand(h, w) < float(rng.choice([0.1, 0.5, 0.9]))).astype(np.uint8)
+        at = (J.NOMINAL_AT[tmpl] if trial % 3
+              else [(-1, -1)] * [4, 1, 1, 1][tmpl])
+        enc = J.MQEncoder()
+        cxe = J.Contexts(1 << 16)
+        J.encode_generic(enc, cxe, bm, tmpl, at, tp)
+        data = enc.flush()
+        mq = J.MQDecoder(data)
+        cxd = J.Contexts(1 << 16)
+        py = J.decode_generic(mq, cxd, w, h, tmpl, at, tp)
+        nat = native_lib.jbig2_generic_region(data, w, h, tmpl, at, tp)
+        assert nat is not NotImplemented
+        assert np.array_equal(py, bm) and np.array_equal(nat, bm), (trial, tmpl, tp)
