@@ -4,10 +4,13 @@ BEYOND REFERENCE: camlpdf's ``Pdfcodec`` has no JBIG2 support; scanned/
 OCR'd PDFs overwhelmingly use it.  Scope: the embedded-in-PDF profile —
 segment streams (optionally split across /JBIG2Globals), page info,
 generic regions (arithmetic templates 0-3 with TPGDON and AT pixels, or
-MMR via the existing T.6 decoder in io/ccitt.py), symbol dictionaries and
-text regions (arithmetic variants, SDHUFF=SBHUFF=0, no refinement).
-Huffman-coded dictionaries/regions and refinement coding raise
-``ValueError`` (callers fall back to the gray placeholder).
+MMR via the existing T.6 decoder in io/ccitt.py), generic REFINEMENT
+regions (templates 0-1, TPGRON, AT pixels — 6.3), symbol dictionaries
+(arithmetic, including SDREFAGG refinement/aggregate coding — 6.5.8),
+text regions (arithmetic, including SBREFINE per-instance refinement —
+6.4.11), and refinement region segments refining the composed page.
+Huffman-coded dictionaries/regions raise ``ValueError`` (callers fall
+back to the gray placeholder).
 
 The MQ arithmetic coder (Annex E) and the integer/ID decoding procedures
 (Annex A) are transcribed from the spec.  ``tests/test_jbig2.py``
@@ -438,6 +441,131 @@ def encode_generic(enc: MQEncoder, cx: Contexts, bitmap: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Generic refinement region decoding (6.3): templates 0-1, TPGRON, AT pixels
+# ---------------------------------------------------------------------------
+
+# Refinement context pixels (6.3.5.3).  Per template: pixels read from the
+# bitmap BEING decoded (causal), then pixels read from the reference bitmap
+# at (x - dx, y - dy) offsets.  Template 0 appends AT1 to the coding set and
+# AT2 to the reference set (13-bit context); template 1 is fixed (10-bit).
+_R_CODING = [
+    [(0, -1), (1, -1), (-1, 0)],
+    [(-1, -1), (0, -1), (1, -1), (-1, 0)],
+]
+_R_REFERENCE = [
+    [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)],
+    [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)],
+]
+# TPGRON pseudo-pixel context per template (6.3.5.6).
+_TPGR_CTX = [0x0020, 0x0008]
+NOMINAL_R_AT = [(-1, -1), (-1, -1)]
+
+
+def _r_templates(template: int, at):
+    cod = list(_R_CODING[template])
+    ref = list(_R_REFERENCE[template])
+    if template == 0:
+        a = at if at else NOMINAL_R_AT
+        cod.append(tuple(a[0]))
+        ref.append(tuple(a[1]))
+    return cod, ref
+
+
+def _ref_window_uniform(ref: np.ndarray, rx0: int, ry0: int):
+    """The 3x3 reference neighbourhood around (rx0, ry0): 0/1 if uniform
+    (out-of-bounds pixels read 0), else None (typical prediction, 6.3.5.6)."""
+    rh, rw = ref.shape
+    first = None
+    for ddy in (-1, 0, 1):
+        for ddx in (-1, 0, 1):
+            yy, xx = ry0 + ddy, rx0 + ddx
+            v = int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
+            if first is None:
+                first = v
+            elif v != first:
+                return None
+    return first
+
+
+def decode_refinement(mq: MQDecoder, cx: Contexts, w: int, h: int,
+                      template: int, at, ref: np.ndarray, dx: int, dy: int,
+                      tpgron: bool = False) -> np.ndarray:
+    """Arithmetic generic refinement decoding (6.3.5.6) -> (h, w) uint8.
+
+    Pixel (x, y) refines reference pixel (x - dx, y - dy); out-of-bounds
+    reference reads are 0.  With TPGRON, rows under LTP predict pixels whose
+    3x3 reference window is uniform and decode only the rest."""
+    cod, rpts = _r_templates(template, at)
+    rh, rw = ref.shape
+    out = np.zeros((h, w), dtype=np.uint8)
+    ltp = 0
+    for y in range(h):
+        if tpgron and mq.decode(cx, _TPGR_CTX[template]):
+            ltp ^= 1
+        for x in range(w):
+            if ltp:
+                v = _ref_window_uniform(ref, x - dx, y - dy)
+                if v is not None:
+                    out[y, x] = v
+                    continue
+            ctxv = 0
+            for ddx, ddy in cod:
+                yy, xx = y + ddy, x + ddx
+                if 0 <= yy < h and 0 <= xx < w and (yy < y or (yy == y and xx < x)):
+                    ctxv = (ctxv << 1) | int(out[yy, xx])
+                else:
+                    ctxv <<= 1
+            for ddx, ddy in rpts:
+                yy, xx = y - dy + ddy, x - dx + ddx
+                if 0 <= yy < rh and 0 <= xx < rw:
+                    ctxv = (ctxv << 1) | int(ref[yy, xx])
+                else:
+                    ctxv <<= 1
+            out[y, x] = mq.decode(cx, ctxv)
+    return out
+
+
+def encode_refinement(enc: MQEncoder, cx: Contexts, bitmap: np.ndarray,
+                      template: int, at, ref: np.ndarray, dx: int, dy: int,
+                      tpgron: bool = False) -> None:
+    """Inverse of decode_refinement for the tests (same context walk).
+
+    With TPGRON, a row enters LTP when every uniform-reference-window pixel
+    already equals its prediction (so prediction is lossless for that row)."""
+    cod, rpts = _r_templates(template, at)
+    h, w = bitmap.shape
+    rh, rw = ref.shape
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            want = all(
+                _ref_window_uniform(ref, x - dx, y - dy)
+                in (None, int(bitmap[y, x]))
+                for x in range(w)
+            )
+            sltp = 1 if want != bool(ltp) else 0
+            enc.encode(cx, _TPGR_CTX[template], sltp)
+            ltp ^= sltp
+        for x in range(w):
+            if ltp and _ref_window_uniform(ref, x - dx, y - dy) is not None:
+                continue
+            ctxv = 0
+            for ddx, ddy in cod:
+                yy, xx = y + ddy, x + ddx
+                if 0 <= yy < h and 0 <= xx < w and (yy < y or (yy == y and xx < x)):
+                    ctxv = (ctxv << 1) | int(bitmap[yy, xx])
+                else:
+                    ctxv <<= 1
+            for ddx, ddy in rpts:
+                yy, xx = y - dy + ddy, x - dx + ddx
+                if 0 <= yy < rh and 0 <= xx < rw:
+                    ctxv = (ctxv << 1) | int(ref[yy, xx])
+                else:
+                    ctxv <<= 1
+            enc.encode(cx, ctxv, int(bitmap[y, x]))
+
+
+# ---------------------------------------------------------------------------
 # Symbol dictionary (6.5) and text region (6.4), arithmetic variants
 # ---------------------------------------------------------------------------
 
@@ -479,15 +607,25 @@ class _ArithIntCtx:
 
 def decode_symbol_dict(mq: MQDecoder, flags: int, at, exflags_runs_allowed: bool,
                        num_ex: int, num_new: int,
-                       input_symbols: List[np.ndarray]) -> List[np.ndarray]:
-    """6.5.5 arithmetic symbol dictionary: returns the exported symbols."""
+                       input_symbols: List[np.ndarray],
+                       rat=None) -> List[np.ndarray]:
+    """6.5.5 arithmetic symbol dictionary: returns the exported symbols.
+
+    SDREFAGG dictionaries (6.5.8.2) decode each symbol as a refinement of an
+    earlier symbol (REFAGGNINST == 1) or as an embedded refining text region
+    (REFAGGNINST > 1), sharing this dictionary's integer/IAID contexts."""
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if sdhuff or sdrefagg:
-        raise ValueError("JBIG2: Huffman/refinement symbol dictionaries unsupported")
+    rtemplate = (flags >> 12) & 1
+    if sdhuff:
+        raise ValueError("JBIG2: Huffman symbol dictionaries unsupported")
     ints = _ArithIntCtx()
     gb = Contexts(1 << 16)
+    gr = Contexts(1 << 13)
+    total = len(input_symbols) + num_new
+    symcodelen = max(1, (total - 1).bit_length()) if total > 1 else 1
+    iaid = Contexts(1 << (symcodelen + 1))
     new_symbols: List[np.ndarray] = []
     hcheight = 0
     while len(new_symbols) < num_new:
@@ -505,7 +643,33 @@ def decode_symbol_dict(mq: MQDecoder, flags: int, at, exflags_runs_allowed: bool
                 raise ValueError("JBIG2: implausible symbol size")
             if len(new_symbols) >= num_new:
                 raise ValueError("JBIG2: too many symbols in dictionary")
-            bm = decode_generic(mq, gb, symwidth, hcheight, template, at, False)
+            if sdrefagg:
+                allsofar = list(input_symbols) + new_symbols
+                refaggninst = decode_int(mq, ints.get("IAAI"))
+                if refaggninst is OOB or refaggninst < 1:
+                    raise ValueError("JBIG2: bad REFAGGNINST")
+                if refaggninst == 1:
+                    sid = decode_iaid(mq, iaid, symcodelen)
+                    rdx = decode_int(mq, ints.get("IARDX"))
+                    rdy = decode_int(mq, ints.get("IARDY"))
+                    if rdx is OOB or rdy is OOB or sid >= len(allsofar):
+                        raise ValueError("JBIG2: bad refinement reference")
+                    bm = decode_refinement(
+                        mq, gr, symwidth, hcheight, rtemplate, rat,
+                        allsofar[sid], rdx, rdy, False,
+                    )
+                else:
+                    # 6.5.8.2.1: an embedded text region of REFAGGNINST
+                    # refining instances, sharing this dictionary's contexts.
+                    bm = decode_text_region(
+                        mq, symwidth, hcheight, refaggninst, allsofar, 0,
+                        log_strips=0, refcorner=1, transposed=0, comb_op=0,
+                        default_pixel=0, dsoffset=0,
+                        refine=True, rtemplate=rtemplate, rat=rat,
+                        ints=ints, iaid=iaid, gr=gr, symcodelen=symcodelen,
+                    )
+            else:
+                bm = decode_generic(mq, gb, symwidth, hcheight, template, at, False)
             new_symbols.append(bm)
     # Export flags (6.5.10): alternating no-export/export runs over
     # input+new symbols.
@@ -530,12 +694,25 @@ def decode_text_region(mq: MQDecoder, w: int, h: int, num_instances: int,
                        symbols: List[np.ndarray], flags: int,
                        log_strips: int, refcorner: int, transposed: int,
                        comb_op: int, default_pixel: int,
-                       dsoffset: int) -> np.ndarray:
-    """6.4.5 arithmetic text region decoding -> (h, w) uint8."""
+                       dsoffset: int,
+                       refine: bool = False, rtemplate: int = 0, rat=None,
+                       ints=None, iaid=None, gr=None,
+                       symcodelen=None) -> np.ndarray:
+    """6.4.5 arithmetic text region decoding -> (h, w) uint8.
+
+    With ``refine`` each instance may refine its symbol (6.4.11: IARI gates,
+    IARDW/IARDH/IARDX/IARDY size the refinement).  ``ints``/``iaid``/``gr``/
+    ``symcodelen`` let a refining symbol dictionary share its contexts
+    (6.5.8.2.1)."""
     sbstrips = 1 << log_strips
-    symcodelen = max(1, (len(symbols) - 1).bit_length()) if symbols else 1
-    ints = _ArithIntCtx()
-    iaid = Contexts(1 << (symcodelen + 1))
+    if symcodelen is None:
+        symcodelen = max(1, (len(symbols) - 1).bit_length()) if symbols else 1
+    if ints is None:
+        ints = _ArithIntCtx()
+    if iaid is None:
+        iaid = Contexts(1 << (symcodelen + 1))
+    if gr is None:
+        gr = Contexts(1 << 13)
     bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
     stript = decode_int(mq, ints.get("IADT"))
     if stript is OOB:
@@ -569,6 +746,25 @@ def decode_text_region(mq: MQDecoder, w: int, h: int, num_instances: int,
             if sid >= len(symbols):
                 raise ValueError("JBIG2: symbol id out of range")
             sym = symbols[sid]
+            if refine:
+                ri = decode_int(mq, ints.get("IARI"))
+                if ri is OOB:
+                    raise ValueError("JBIG2: bad IARI")
+                if ri:
+                    rdw = decode_int(mq, ints.get("IARDW"))
+                    rdh = decode_int(mq, ints.get("IARDH"))
+                    rdx = decode_int(mq, ints.get("IARDX"))
+                    rdy = decode_int(mq, ints.get("IARDY"))
+                    if OOB in (rdw, rdh, rdx, rdy):
+                        raise ValueError("JBIG2: bad refinement deltas")
+                    hs0, ws0 = sym.shape
+                    if ws0 + rdw <= 0 or hs0 + rdh <= 0:
+                        raise ValueError("JBIG2: empty refined symbol")
+                    # GRREFERENCEDX/DY = floor(RDW/2)+RDX / floor(RDH/2)+RDY
+                    sym = decode_refinement(
+                        mq, gr, ws0 + rdw, hs0 + rdh, rtemplate, rat, sym,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, False,
+                    )
             hs, ws = sym.shape
             if transposed:
                 # S along y, T along x.
@@ -713,12 +909,15 @@ def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
     flags = struct.unpack_from(">H", data, 0)[0]
     o = 2
     sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise ValueError("JBIG2: Huffman symbol dictionary unsupported")
     at, o = _read_at(data, o, _AT_COUNT[template])
-    if (flags >> 1) & 1:  # SDREFAGG
-        raise ValueError("JBIG2: refinement symbol dictionary unsupported")
+    rat = None
+    if sdrefagg and rtemplate == 0:
+        rat, o = _read_at(data, o, 2)
     num_ex, num_new = struct.unpack_from(">II", data, o)
     o += 8
     input_symbols: List[np.ndarray] = []
@@ -726,7 +925,7 @@ def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
         input_symbols.extend(dicts.get(r, []))
     mq = MQDecoder(data[o:])
     exported = decode_symbol_dict(mq, flags, at, True, num_ex, num_new,
-                                  input_symbols)
+                                  input_symbols, rat=rat)
     dicts[seg.number] = exported
 
 
@@ -745,11 +944,12 @@ def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32  # 5-bit signed
-    # rtemplate = (flags >> 15) & 1
+    rtemplate = (flags >> 15) & 1
     if sbhuff:
         raise ValueError("JBIG2: Huffman text region unsupported")
-    if refine:
-        raise ValueError("JBIG2: refinement text region unsupported")
+    rat = None
+    if refine and rtemplate == 0:
+        rat, o = _read_at(data, o, 2)
     (num_instances,) = struct.unpack_from(">I", data, o)
     o += 4
     symbols: List[np.ndarray] = []
@@ -759,7 +959,31 @@ def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
     bitmap = decode_text_region(
         mq, w, h, num_instances, symbols, flags, log_strips, refcorner,
         transposed, comb_op, default_pixel, dsoffset,
+        refine=bool(refine), rtemplate=rtemplate, rat=rat,
     )
+    return bitmap, x, y, op
+
+
+def _decode_refinement_segment(seg: Segment, page: np.ndarray):
+    """Refinement region segment (7.4.7): refines the page region in place
+    (the already-composed page pixels under the region are the reference)."""
+    data = seg.data
+    w, h, x, y, op, o = _region_info(data)
+    flags = data[o]
+    o += 1
+    template = flags & 1
+    tpgron = bool((flags >> 1) & 1)
+    rat = None
+    if template == 0:
+        rat, o = _read_at(data, o, 2)
+    H, W = page.shape
+    ref = np.zeros((h, w), dtype=np.uint8)
+    y1, x1 = min(H, y + h), min(W, x + w)
+    if y < y1 and x < x1:
+        ref[: y1 - y, : x1 - x] = page[y:y1, x:x1]
+    mq = MQDecoder(data[o:])
+    cx = Contexts(1 << 13)
+    bitmap = decode_refinement(mq, cx, w, h, template, rat, ref, 0, 0, tpgron)
     return bitmap, x, y, op
 
 
@@ -772,7 +996,9 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
     if globals_data:
         segments.extend(parse_segments(globals_data))
     segments.extend(parse_segments(data))
-    if not any(s.type in (0, 4, 6, 7, 36, 38, 39, 48) for s in segments):
+    if not any(
+        s.type in (0, 4, 6, 7, 36, 38, 39, 40, 42, 43, 48) for s in segments
+    ):
         raise ValueError("JBIG2: no decodable segments")
     page = np.zeros((height, width), dtype=np.uint8)
     page_default_set = False
@@ -793,6 +1019,12 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
         elif t in (4, 6, 7):  # text region
             bitmap, x, y, op = _decode_text_segment(seg, dicts)
             _compose(page, bitmap, x, y, op)
+        elif t in (40, 42, 43):  # refinement region
+            bitmap, x, y, op = _decode_refinement_segment(seg, page)
+            # The refined bitmap REPLACES the page region it refined
+            # (6.3: the result is the new region value), regardless of
+            # the nominal external combination operator.
+            _compose(page, bitmap, x, y, 4)
         elif t in (49, 50, 51, 62):  # end-of-page/stripe/file, extension
             continue
         elif t == 53:

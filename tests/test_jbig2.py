@@ -374,3 +374,260 @@ def test_native_generic_region_matches_python():
         nat = native_lib.jbig2_generic_region(data, w, h, tmpl, at, tp)
         assert nat is not NotImplemented
         assert np.array_equal(py, bm) and np.array_equal(nat, bm), (trial, tmpl, tp)
+
+
+# ---------------------------------------------------------------------------
+# Refinement coding (T.88 6.3): round-trips + refined text regions +
+# refinement/aggregate symbol dictionaries + refinement region segments
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("template", [0, 1])
+@pytest.mark.parametrize("tpgron", [False, True])
+def test_refinement_roundtrip(template, tpgron):
+    rng = rnd(20 + template * 2 + tpgron)
+    ref = (rng.rand(20, 25) < 0.4).astype(np.uint8)
+    bm = np.zeros((22, 27), np.uint8)
+    bm[1:21, 1:26] = ref  # mostly the reference, shifted
+    bm[5, 5] ^= 1
+    bm[0, :] = 0
+    for dx, dy in ((0, 0), (-1, 2), (3, -2)):
+        enc = J.MQEncoder()
+        cxe = J.Contexts(1 << 13)
+        J.encode_refinement(enc, cxe, bm, template, None, ref, dx, dy, tpgron)
+        dec = J.MQDecoder(enc.flush())
+        cxd = J.Contexts(1 << 13)
+        out = J.decode_refinement(dec, cxd, 27, 22, template, None, ref,
+                                  dx, dy, tpgron)
+        assert np.array_equal(out, bm), (template, tpgron, dx, dy)
+
+
+def test_refinement_custom_at():
+    rng = rnd(31)
+    ref = (rng.rand(12, 14) < 0.5).astype(np.uint8)
+    bm = ref.copy()
+    bm[3, 4] ^= 1
+    at = [(-2, -1), (2, 1)]
+    enc = J.MQEncoder()
+    cxe = J.Contexts(1 << 13)
+    J.encode_refinement(enc, cxe, bm, 0, at, ref, 0, 0, False)
+    dec = J.MQDecoder(enc.flush())
+    cxd = J.Contexts(1 << 13)
+    out = J.decode_refinement(dec, cxd, 14, 12, 0, at, ref, 0, 0, False)
+    assert np.array_equal(out, bm)
+
+
+class _TextEnc:
+    """Mirror of decode_text_region's context/coordinate state for building
+    refining text-region payloads (shared-context capable)."""
+
+    def __init__(self, nsyms_total, enc=None, ints=None, iaid=None, gr=None):
+        self.enc = enc or J.MQEncoder()
+        self.ints = ints if ints is not None else {}
+        self.symcodelen = (max(1, (nsyms_total - 1).bit_length())
+                           if nsyms_total > 1 else 1)
+        self.iaid = iaid or J.Contexts(1 << (self.symcodelen + 1))
+        self.gr = gr or J.Contexts(1 << 13)
+        self.ie = J.IntEncoder(self.enc)
+
+    def ctx(self, name):
+        return self.ints.setdefault(name, J.Contexts(512))
+
+    def body(self, placements, symbols, refinements=None, rtemplate=0,
+             rat=None):
+        """placements: [(t, [(s, sid), ...])]; refinements: {(strip_i, k):
+        (bitmap, rdw, rdh, rdx, rdy)} refining symbols[sid]."""
+        ie, enc = self.ie, self.enc
+        ie.encode_int(self.ctx("IADT"), 0)  # STRIPT = 0
+        lastt = 0
+        firsts = 0
+        ninst = 0
+        for si, (t, strip) in enumerate(placements):
+            ie.encode_int(self.ctx("IADT"), t - lastt)
+            lastt = t
+            curs = None
+            for k, (s, sid) in enumerate(strip):
+                if curs is None:
+                    ie.encode_int(self.ctx("IAFS"), s - firsts)
+                    firsts = s
+                else:
+                    ie.encode_int(self.ctx("IADS"), s - curs)
+                ie.encode_iaid(self.iaid, sid, self.symcodelen)
+                refn = (refinements or {}).get((si, k))
+                if refinements is not None:
+                    ie.encode_int(self.ctx("IARI"), 0 if refn is None else 1)
+                if refn is not None:
+                    bm, rdw, rdh, rdx, rdy = refn
+                    ie.encode_int(self.ctx("IARDW"), rdw)
+                    ie.encode_int(self.ctx("IARDH"), rdh)
+                    ie.encode_int(self.ctx("IARDX"), rdx)
+                    ie.encode_int(self.ctx("IARDY"), rdy)
+                    J.encode_refinement(
+                        enc, self.gr, bm, rtemplate, rat, symbols[sid],
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
+                    wi = bm.shape[1]
+                else:
+                    wi = symbols[sid].shape[1]
+                ninst += 1
+                curs = s + wi - 1
+            ie.encode_int(self.ctx("IADS"), J.OOB)
+        return ninst
+
+
+def test_text_region_refined_instance():
+    base = np.zeros((5, 4), np.uint8)
+    base[:, 0] = 1
+    base[0, :] = 1  # an open corner glyph
+    refined = np.zeros((6, 6), np.uint8)
+    refined[1:6, 1:5] = base
+    refined[5, 5] = 1  # grown + dot
+    te = _TextEnc(1)
+    ninst = te.body(
+        [(2, [(1, 0), (12, 0)])], [base],
+        refinements={(0, 1): (refined, 2, 1, 0, 0)},
+    )
+    flags = (1 << 1) | (1 << 4)  # SBREFINE, refcorner TOPLEFT
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">IIII", 30, 12, 0, 0) + bytes([0])
+            + struct.pack(">H", flags) + rat + struct.pack(">I", ninst)
+            + te.enc.flush())
+    dict_seg, _ = symbol_dict_seg([base])
+    stream = page_info(30, 12) + dict_seg + seg(3, 6, [2], 1, data)
+    out = _unpack(J.decode_jbig2(stream, None, 30, 12), 30, 12)
+    expect = np.zeros((12, 30), np.uint8)
+    J._compose(expect, base, 1, 2, 0)
+    J._compose(expect, refined, 12, 2, 0)
+    assert np.array_equal(out, expect)
+
+
+def _refagg_dict_seg(base_symbols, new_specs, number=3, referred=(2,)):
+    """SDREFAGG=1 symbol dictionary refining base_symbols.  new_specs:
+    [(bitmap, sid, rdx, rdy)] — each new symbol refines base sid."""
+    enc = J.MQEncoder()
+    ints = {}
+
+    def ctx(name):
+        return ints.setdefault(name, J.Contexts(512))
+
+    ie = J.IntEncoder(enc)
+    total = len(base_symbols) + len(new_specs)
+    symcodelen = max(1, (total - 1).bit_length()) if total > 1 else 1
+    iaid = J.Contexts(1 << (symcodelen + 1))
+    gr = J.Contexts(1 << 13)
+    hcheight = 0
+    by_h = {}
+    for spec in new_specs:
+        by_h.setdefault(spec[0].shape[0], []).append(spec)
+    allsofar = list(base_symbols)
+    for hgt in sorted(by_h):
+        ie.encode_int(ctx("IADH"), hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        for bm, sid, rdx, rdy in by_h[hgt]:
+            ie.encode_int(ctx("IADW"), bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            ie.encode_int(ctx("IAAI"), 1)  # REFAGGNINST = 1
+            ie.encode_iaid(iaid, sid, symcodelen)
+            ie.encode_int(ctx("IARDX"), rdx)
+            ie.encode_int(ctx("IARDY"), rdy)
+            J.encode_refinement(enc, gr, bm, 0, None, allsofar[sid],
+                                rdx, rdy, False)
+            allsofar.append(bm)
+        ie.encode_int(ctx("IADW"), J.OOB)
+    ie.encode_int(ctx("IAEX"), 0)
+    ie.encode_int(ctx("IAEX"), total)  # export everything
+    flags = 1 << 1  # SDREFAGG
+    at = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_AT[0])
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">H", flags) + at + rat
+            + struct.pack(">II", total, len(new_specs)) + enc.flush())
+    return seg(number, 0, list(referred), 1, data)
+
+
+def test_symbol_dict_refagg_refines_imported_symbol():
+    base = np.zeros((6, 5), np.uint8)
+    base[:, 2] = 1
+    base[3, :] = 1  # a plus sign
+    bold = np.zeros((6, 5), np.uint8)
+    bold[:, 1:4] = 1
+    bold[2:5, :] = 1  # thicker plus, same size
+    base_dict, _ = symbol_dict_seg([base], number=2)
+    ref_dict = _refagg_dict_seg([base], [(bold, 0, 0, 0)], number=3,
+                                referred=(2,))
+    # text region uses BOTH exported symbols (base id 0, bold id 1)
+    text = text_region_seg(24, 10, [(2, [(1, 0), (10, 1)])], nsyms=2,
+                           widths=(5, 5), number=4, referred=(3,))
+    stream = page_info(24, 10) + base_dict + ref_dict + text
+    out = _unpack(J.decode_jbig2(stream, None, 24, 10), 24, 10)
+    expect = np.zeros((10, 24), np.uint8)
+    J._compose(expect, base, 1, 2, 0)
+    J._compose(expect, bold, 10, 2, 0)
+    assert np.array_equal(out, expect)
+
+
+def test_symbol_dict_refagg_aggregate_text_region():
+    dot = np.ones((3, 3), np.uint8)
+    dot[1, 1] = 0  # ring
+    # New 8x12 symbol = two refining instances of the ring composed by an
+    # embedded text region (REFAGGNINST=2), the second instance refined.
+    grown = np.zeros((4, 4), np.uint8)
+    grown[:3, :3] = dot
+    grown[3, 3] = 1
+    enc = J.MQEncoder()
+    ints = {}
+
+    def ctx(name):
+        return ints.setdefault(name, J.Contexts(512))
+
+    ie = J.IntEncoder(enc)
+    total = 1 + 1
+    symcodelen = max(1, (total - 1).bit_length())
+    iaid = J.Contexts(1 << (symcodelen + 1))
+    gr = J.Contexts(1 << 13)
+    ie.encode_int(ctx("IADH"), 8)  # height class 8
+    ie.encode_int(ctx("IADW"), 12)  # one new 12-wide symbol
+    ie.encode_int(ctx("IAAI"), 2)  # REFAGGNINST = 2 -> embedded text region
+    te = _TextEnc(total, enc=enc, ints=ints, iaid=iaid, gr=gr)
+    te.body(
+        [(0, [(0, 0)]), (4, [(7, 0)])], [dot],
+        refinements={(1, 0): (grown, 1, 1, 0, 0)},
+    )
+    ie.encode_int(ctx("IADW"), J.OOB)
+    ie.encode_int(ctx("IAEX"), 1)  # don't export the input ring
+    ie.encode_int(ctx("IAEX"), 1)  # export the aggregate symbol
+    flags = 1 << 1
+    at = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_AT[0])
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">H", flags) + at + rat
+            + struct.pack(">II", 1, 1) + enc.flush())
+    base_dict, _ = symbol_dict_seg([dot], number=2)
+    agg_dict = seg(3, 0, [2], 1, data)
+    text = text_region_seg(20, 12, [(1, [(2, 0)])], nsyms=1, widths=(12,),
+                           number=4, referred=(3,))
+    stream = page_info(20, 12) + base_dict + agg_dict + text
+    out = _unpack(J.decode_jbig2(stream, None, 20, 12), 20, 12)
+    agg = np.zeros((8, 12), np.uint8)
+    J._compose(agg, dot, 0, 0, 0)
+    J._compose(agg, grown, 7, 4, 0)
+    expect = np.zeros((12, 20), np.uint8)
+    J._compose(expect, agg, 2, 1, 0)
+    assert np.array_equal(out, expect)
+
+
+def test_refinement_region_segment_refines_page():
+    rng = rnd(40)
+    bm = (rng.rand(10, 16) < 0.4).astype(np.uint8)
+    refined = bm.copy()
+    refined[4:6, 4:8] ^= 1
+    enc = J.MQEncoder()
+    cxe = J.Contexts(1 << 13)
+    J.encode_refinement(enc, cxe, refined, 0, None, bm, 0, 0, False)
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">IIII", 16, 10, 2, 3) + bytes([0])
+            + bytes([0]) + rat + enc.flush())
+    stream = (page_info(24, 16) + generic_region_seg(bm, x=2, y=3)
+              + seg(3, 42, [], 1, data))
+    out = _unpack(J.decode_jbig2(stream, None, 24, 16), 24, 16)
+    expect = np.zeros((16, 24), np.uint8)
+    J._compose(expect, refined, 2, 3, 4)
+    assert np.array_equal(out, expect)
