@@ -8,9 +8,13 @@ MMR via the existing T.6 decoder in io/ccitt.py), generic REFINEMENT
 regions (templates 0-1, TPGRON, AT pixels — 6.3), symbol dictionaries
 (arithmetic, including SDREFAGG refinement/aggregate coding — 6.5.8),
 text regions (arithmetic, including SBREFINE per-instance refinement —
-6.4.11), and refinement region segments refining the composed page.
-Huffman-coded dictionaries/regions raise ``ValueError`` (callers fall
-back to the gray placeholder).
+6.4.11), refinement region segments refining the composed page, and the
+HUFFMAN variants (Annex B: standard tables B.1-B.15, custom table
+segments, runcode symbol-ID assignment, collective height-class bitmaps
+raw or MMR, refining dictionaries/regions with byte-aligned arithmetic
+refinement data).  The only unsupported corner is Huffman AGGREGATE
+symbol coding (REFAGGNINST > 1 under SDHUFF), which raises ``ValueError``
+(callers fall back to the gray placeholder).
 
 The MQ arithmetic coder (Annex E) and the integer/ID decoding procedures
 (Annex A) are transcribed from the spec.  ``tests/test_jbig2.py``
@@ -441,6 +445,170 @@ def encode_generic(enc: MQEncoder, cx: Contexts, bitmap: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Huffman coding (Annex B): bit reader, canonical tables, standard tables
+# ---------------------------------------------------------------------------
+
+
+class BitReader:
+    """MSB-first bit reader over a segment payload."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.pos = byte_pos * 8  # bit position
+
+    def read_bit(self) -> int:
+        p = self.pos
+        byte = self.data[p >> 3] if (p >> 3) < len(self.data) else 0
+        self.pos = p + 1
+        return (byte >> (7 - (p & 7))) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    @property
+    def byte_offset(self) -> int:
+        return self.pos >> 3
+
+    def skip_bytes(self, n: int) -> None:
+        self.pos += 8 * n
+
+
+class HuffmanTable:
+    """A Huffman table of (PREFLEN, RANGELEN, RANGELOW, kind) lines with
+    canonical code assignment per T.88 B.3.  kind: '' normal line,
+    'L' lower range (value = RANGELOW - read(32)), 'U' upper range
+    (value = RANGELOW + read(32)), 'O' out-of-band."""
+
+    def __init__(self, lines):
+        self.lines = [
+            (l[0], l[1], l[2], l[3] if len(l) > 3 else "") for l in lines
+        ]
+        maxlen = max((l[0] for l in self.lines), default=0)
+        lencount = [0] * (maxlen + 1)
+        for l in self.lines:
+            if l[0] > 0:
+                lencount[l[0]] += 1
+        self.codes = {}  # (length, code) -> line
+        firstcode = 0
+        lencount[0] = 0
+        for curlen in range(1, maxlen + 1):
+            firstcode = (firstcode + lencount[curlen - 1]) << 1
+            curcode = firstcode
+            for l in self.lines:
+                if l[0] == curlen:
+                    self.codes[(curlen, curcode)] = l
+                    curcode += 1
+        self.maxlen = maxlen
+
+    def decode(self, r: BitReader):
+        code = 0
+        for length in range(1, self.maxlen + 1):
+            code = (code << 1) | r.read_bit()
+            line = self.codes.get((length, code))
+            if line is not None:
+                preflen, rangelen, rangelow, kind = line
+                if kind == "O":
+                    return OOB
+                if kind == "L":
+                    return rangelow - r.read(32)
+                if kind == "U":
+                    return rangelow + r.read(32)
+                return rangelow + r.read(rangelen)
+        raise ValueError("JBIG2: invalid Huffman code")
+
+
+# Standard tables B.1-B.15 (T.88 Annex B).  Structure independently
+# validated: every table's (RANGELEN, RANGELOW) pairs tile the value line
+# contiguously, and the prefix lengths form a complete prefix code
+# (Kraft sum == 1) for every table except B.10 (tests/test_jbig2.py).
+_STD_TABLES = {
+    1: [(1, 4, 0), (2, 8, 16), (3, 16, 272), (3, 32, 65808, "U")],
+    2: [(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+        (6, 32, 75, "U"), (6, 0, 0, "O")],
+    3: [(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+        (5, 6, 11), (8, 32, -257, "L"), (7, 32, 75, "U"), (6, 0, 0, "O")],
+    4: [(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12),
+        (5, 32, 76, "U")],
+    5: [(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+        (5, 6, 12), (7, 32, -256, "L"), (6, 32, 76, "U")],
+    6: [(5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+        (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0), (3, 7, 128),
+        (3, 8, 256), (4, 9, 512), (4, 10, 1024), (6, 32, -2049, "L"),
+        (6, 32, 2048, "U")],
+    7: [(4, 9, -1024), (3, 8, -512), (4, 7, -256), (5, 6, -128),
+        (5, 5, -64), (4, 5, -32), (4, 5, 0), (5, 5, 32), (5, 6, 64),
+        (4, 7, 128), (3, 8, 256), (3, 9, 512), (3, 10, 1024),
+        (5, 32, -1025, "L"), (5, 32, 2048, "U")],
+    8: [(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+        (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+        (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+        (6, 7, 262), (7, 8, 390), (6, 10, 646), (9, 32, -16, "L"),
+        (9, 32, 1670, "U"), (2, 0, 0, "O")],
+    9: [(8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7), (7, 1, -5),
+        (4, 1, -3), (3, 1, -1), (3, 1, 1), (5, 1, 3), (6, 1, 5),
+        (3, 5, 7), (6, 2, 39), (4, 5, 43), (4, 6, 75), (5, 7, 139),
+        (5, 8, 267), (6, 8, 523), (7, 9, 779), (6, 11, 1291),
+        (9, 32, -32, "L"), (9, 32, 3339, "U"), (2, 0, 0, "O")],
+    10: [(7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3), (2, 2, -2),
+         (5, 0, 2), (6, 0, 3), (7, 0, 4), (8, 0, 5), (2, 6, 6),
+         (5, 5, 70), (6, 5, 102), (7, 6, 134), (8, 7, 198), (8, 8, 326),
+         (8, 9, 582), (8, 10, 1094), (7, 11, 2118), (8, 32, -22, "L"),
+         (8, 32, 4166, "U"), (2, 0, 0, "O")],
+    11: [(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+         (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+         (7, 5, 45), (7, 6, 77), (7, 32, 141, "U")],
+    12: [(1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5), (5, 1, 6),
+         (6, 1, 8), (7, 0, 10), (7, 1, 11), (7, 2, 13), (7, 3, 17),
+         (7, 4, 25), (8, 5, 41), (8, 32, 73, "U")],
+    13: [(1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4), (4, 1, 5),
+         (3, 3, 7), (6, 1, 15), (6, 2, 17), (6, 3, 21), (6, 4, 29),
+         (6, 5, 45), (7, 6, 77), (7, 32, 141, "U")],
+    14: [(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)],
+    15: [(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2), (3, 0, -1),
+         (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3), (6, 2, 5),
+         (7, 4, 9), (7, 32, -25, "L"), (7, 32, 25, "U")],
+}
+_STD_CACHE: Dict[int, HuffmanTable] = {}
+
+
+def standard_table(n: int) -> HuffmanTable:
+    t = _STD_CACHE.get(n)
+    if t is None:
+        t = _STD_CACHE[n] = HuffmanTable(_STD_TABLES[n])
+    return t
+
+
+def parse_table_segment(data: bytes) -> HuffmanTable:
+    """Custom Huffman table segment (7.4.13 / B.2)."""
+    flags = data[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", data, 1)
+    r = BitReader(data, 9)
+    lines = []
+    rangelow = htlow
+    while rangelow < hthigh:
+        preflen = r.read(htps)
+        rangelen = r.read(htrs)
+        lines.append((preflen, rangelen, rangelow))
+        rangelow += 1 << rangelen
+    lines.append((r.read(htps), 32, htlow - 1, "L"))
+    lines.append((r.read(htps), 32, hthigh, "U"))
+    if htoob:
+        lines.append((r.read(htps), 0, 0, "O"))
+    return HuffmanTable([l for l in lines if l[0] > 0])
+
+
+# ---------------------------------------------------------------------------
 # Generic refinement region decoding (6.3): templates 0-1, TPGRON, AT pixels
 # ---------------------------------------------------------------------------
 
@@ -590,6 +758,26 @@ def _compose(dst: np.ndarray, src: np.ndarray, x: int, y: int, op: int) -> None:
         d[...] = 1 - (d ^ sub)
     else:
         d[...] = sub
+
+
+def _place_symbol(bitmap: np.ndarray, sym: np.ndarray, curs: int, tt: int,
+                  refcorner: int, transposed: int, comb_op: int) -> int:
+    """6.4.5 step 3(c) symbol placement; returns the advanced CURS."""
+    hs, ws = sym.shape
+    if transposed:
+        # S along y, T along x.
+        if refcorner in (0, 1):  # BOTTOMLEFT / TOPLEFT
+            x0 = tt
+        else:
+            x0 = tt - ws + 1
+        _compose(bitmap, sym, x0, curs, comb_op)
+        return curs + hs - 1
+    if refcorner in (1, 3):  # TOPLEFT / TOPRIGHT
+        y0 = tt
+    else:  # BOTTOMLEFT / BOTTOMRIGHT
+        y0 = tt - hs + 1
+    _compose(bitmap, sym, curs, y0, comb_op)
+    return curs + ws - 1
 
 
 class _ArithIntCtx:
@@ -765,28 +953,237 @@ def decode_text_region(mq: MQDecoder, w: int, h: int, num_instances: int,
                         mq, gr, ws0 + rdw, hs0 + rdh, rtemplate, rat, sym,
                         (rdw >> 1) + rdx, (rdh >> 1) + rdy, False,
                     )
-            hs, ws = sym.shape
-            if transposed:
-                # S along y, T along x.
-                if refcorner in (0, 1):  # BOTTOMLEFT / TOPLEFT
-                    x0 = tt
-                else:
-                    x0 = tt - ws + 1
-                y0 = curs
-                _compose(bitmap, sym, x0, y0, comb_op)
-                curs += hs - 1
-            else:
-                if refcorner in (1, 3):  # TOPLEFT / TOPRIGHT
-                    y0 = tt
-                else:  # BOTTOMLEFT / BOTTOMRIGHT
-                    y0 = tt - hs + 1
-                x0 = curs
-                _compose(bitmap, sym, x0, y0, comb_op)
-                curs += ws - 1
+            curs = _place_symbol(bitmap, sym, curs, tt, refcorner,
+                                 transposed, comb_op)
             inst += 1
             if inst > num_instances:
                 raise ValueError("JBIG2: too many instances")
     return bitmap
+
+
+def read_symbol_code_table(r: BitReader, nsyms: int) -> HuffmanTable:
+    """Symbol-ID code assignment (7.4.3.1.7): 35 four-bit runcode lengths,
+    then runcode-compressed per-symbol code lengths, canonical codes."""
+    runlens = [r.read(4) for _ in range(35)]
+    runtab = HuffmanTable(
+        [(runlens[i], 0, i) for i in range(35) if runlens[i] > 0]
+    )
+    codelens: List[int] = []
+    prev = 0
+    while len(codelens) < nsyms:
+        c = runtab.decode(r)
+        if c is OOB or c > 34:
+            raise ValueError("JBIG2: bad symbol runcode")
+        if c < 32:
+            codelens.append(c)
+            prev = c
+        elif c == 32:
+            codelens.extend([prev] * (3 + r.read(2)))
+        elif c == 33:
+            codelens.extend([0] * (3 + r.read(3)))
+        else:
+            codelens.extend([0] * (11 + r.read(7)))
+    if len(codelens) > nsyms:
+        raise ValueError("JBIG2: runcode overrun")
+    return HuffmanTable(
+        [(codelens[i], 0, i) for i in range(nsyms) if codelens[i] > 0]
+    )
+
+
+def decode_text_region_huffman(
+    r: BitReader, data: bytes, w: int, h: int, num_instances: int,
+    symbols: List[np.ndarray], tabs: dict, log_strips: int, refcorner: int,
+    transposed: int, comb_op: int, default_pixel: int, dsoffset: int,
+    refine: bool, rtemplate: int, rat) -> np.ndarray:
+    """6.4.5 Huffman text region decoding.  ``tabs`` holds the selected
+    FS/DS/DT/RDW/RDH/RDX/RDY/RSIZE tables; the symbol-ID code table is read
+    from ``r`` first (7.4.4.5), then the stream byte-aligns."""
+    sbstrips = 1 << log_strips
+    symtab = read_symbol_code_table(r, len(symbols))
+    r.align()
+    bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
+    stript = tabs["DT"].decode(r)
+    if stript is OOB:
+        raise ValueError("JBIG2: bad DT")
+    stript *= -sbstrips
+    firsts = 0
+    inst = 0
+    while inst < num_instances:
+        dt = tabs["DT"].decode(r)
+        if dt is OOB:
+            raise ValueError("JBIG2: bad DT")
+        stript += dt * sbstrips
+        dfs = tabs["FS"].decode(r)
+        if dfs is OOB:
+            raise ValueError("JBIG2: bad FS")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = tabs["DS"].decode(r)
+                if ids is OOB:
+                    break
+                curs += ids + dsoffset
+            first = False
+            curt = r.read(log_strips) if sbstrips > 1 else 0
+            tt = stript + curt
+            sid = symtab.decode(r)
+            if sid is OOB or sid >= len(symbols):
+                raise ValueError("JBIG2: symbol id out of range")
+            sym = symbols[sid]
+            if refine and r.read_bit():
+                rdw = tabs["RDW"].decode(r)
+                rdh = tabs["RDH"].decode(r)
+                rdx = tabs["RDX"].decode(r)
+                rdy = tabs["RDY"].decode(r)
+                bmsize = tabs["RSIZE"].decode(r)
+                if OOB in (rdw, rdh, rdx, rdy, bmsize):
+                    raise ValueError("JBIG2: bad refinement fields")
+                r.align()
+                start = r.byte_offset
+                end = start + bmsize if bmsize else len(data)
+                hs0, ws0 = sym.shape
+                if ws0 + rdw <= 0 or hs0 + rdh <= 0:
+                    raise ValueError("JBIG2: empty refined symbol")
+                mq = MQDecoder(data[start:end])
+                gr = Contexts(1 << 13)
+                sym = decode_refinement(
+                    mq, gr, ws0 + rdw, hs0 + rdh, rtemplate, rat, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, False,
+                )
+                if bmsize:
+                    r.skip_bytes(bmsize)
+                else:
+                    r.pos = end * 8
+            curs = _place_symbol(bitmap, sym, curs, tt, refcorner,
+                                 transposed, comb_op)
+            inst += 1
+            if inst > num_instances:
+                raise ValueError("JBIG2: too many instances")
+    return bitmap
+
+
+def decode_symbol_dict_huffman(
+    data: bytes, o: int, flags: int, tables: List[HuffmanTable],
+    num_ex: int, num_new: int, input_symbols: List[np.ndarray],
+    rat) -> List[np.ndarray]:
+    """6.5.5 Huffman symbol dictionary.  Height classes decode as one
+    collective bitmap (raw when BMSIZE == 0, else MMR) split by widths;
+    SDREFAGG dictionaries refine per symbol (REFAGGNINST == 1)."""
+    sdrefagg = (flags >> 1) & 1
+    rtemplate = (flags >> 12) & 1
+    ti = iter(tables)
+
+    def pick(sel, builtin):
+        if sel < len(builtin) and builtin[sel]:
+            return standard_table(builtin[sel])
+        return next(ti)
+
+    tdh = pick((flags >> 2) & 3, (4, 5, 0, 0))
+    tdw = pick((flags >> 4) & 3, (2, 3, 0, 0))
+    tbm = pick((flags >> 6) & 1, (1, 0))
+    tag = pick((flags >> 7) & 1, (1, 0))
+    r = BitReader(data, o)
+    total = len(input_symbols) + num_new
+    symcodelen = max(1, (total - 1).bit_length()) if total > 1 else 1
+    new_symbols: List[np.ndarray] = []
+    hcheight = 0
+    while len(new_symbols) < num_new:
+        dh = tdh.decode(r)
+        if dh is OOB:
+            raise ValueError("JBIG2: bad DH")
+        hcheight += dh
+        symwidth = 0
+        totwidth = 0
+        hcwidths: List[int] = []
+        while True:
+            dw = tdw.decode(r)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if hcheight < 0 or symwidth < 1 or hcheight > 5000 or symwidth > 5000:
+                raise ValueError("JBIG2: implausible symbol size")
+            if len(new_symbols) + len(hcwidths) >= num_new:
+                raise ValueError("JBIG2: too many symbols in dictionary")
+            totwidth += symwidth
+            if sdrefagg:
+                refaggninst = tag.decode(r)
+                if refaggninst != 1:
+                    raise ValueError(
+                        "JBIG2: Huffman aggregate symbol coding unsupported"
+                    )
+                allsofar = list(input_symbols) + new_symbols
+                sid = r.read(symcodelen)
+                rdx = standard_table(15).decode(r)
+                rdy = standard_table(15).decode(r)
+                bmsize = standard_table(1).decode(r)
+                if sid >= len(allsofar):
+                    raise ValueError("JBIG2: bad refinement reference")
+                r.align()
+                start = r.byte_offset
+                end = start + bmsize if bmsize else len(data)
+                mq = MQDecoder(data[start:end])
+                gr = Contexts(1 << 13)
+                bm = decode_refinement(
+                    mq, gr, symwidth, hcheight, rtemplate, rat,
+                    allsofar[sid], rdx, rdy, False,
+                )
+                r.pos = end * 8
+                new_symbols.append(bm)
+            else:
+                hcwidths.append(symwidth)
+        if not sdrefagg and hcwidths:
+            bmsize = tbm.decode(r)
+            if bmsize is OOB or bmsize < 0:
+                raise ValueError("JBIG2: bad BMSIZE")
+            r.align()
+            start = r.byte_offset
+            if bmsize == 0:
+                # collective bitmap stored uncompressed, row-padded (6.5.9)
+                rowbytes = (totwidth + 7) // 8
+                end = start + rowbytes * hcheight
+                raw = np.frombuffer(data[start:end], dtype=np.uint8)
+                if raw.size != rowbytes * hcheight:
+                    raise ValueError("JBIG2: truncated collective bitmap")
+                coll = np.unpackbits(
+                    raw.reshape(hcheight, rowbytes), axis=1
+                )[:, :totwidth]
+                r.pos = end * 8
+            else:
+                from . import ccitt
+
+                packed = ccitt.ccitt_decode(
+                    data[start : start + bmsize], columns=totwidth,
+                    rows=hcheight, k=-1, black_is_1=True, end_of_block=False,
+                )
+                coll = np.unpackbits(
+                    np.frombuffer(packed, dtype=np.uint8).reshape(hcheight, -1),
+                    axis=1,
+                )[:, :totwidth]
+                r.skip_bytes(bmsize)
+            x0 = 0
+            for wk in hcwidths:
+                new_symbols.append(coll[:, x0 : x0 + wk].copy())
+                x0 += wk
+        elif not sdrefagg:
+            continue
+    # Export flags (6.5.10): run lengths via Table B.1 under SDHUFF.
+    allsyms = list(input_symbols) + new_symbols
+    exported: List[np.ndarray] = []
+    i = 0
+    cur = 0
+    while i < len(allsyms) and len(exported) < num_ex:
+        run = standard_table(1).decode(r)
+        if run is OOB or run < 0:
+            raise ValueError("JBIG2: bad export run")
+        if cur:
+            exported.extend(allsyms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("JBIG2: export count mismatch")
+    return exported
 
 
 # ---------------------------------------------------------------------------
@@ -904,7 +1301,8 @@ def _decode_generic_segment(seg: Segment) -> Tuple[np.ndarray, int, int, int]:
     return bitmap, x, y, op
 
 
-def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
+def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]],
+                           tables: Dict[int, HuffmanTable]):
     data = seg.data
     flags = struct.unpack_from(">H", data, 0)[0]
     o = 2
@@ -912,24 +1310,33 @@ def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
-    if sdhuff:
-        raise ValueError("JBIG2: Huffman symbol dictionary unsupported")
-    at, o = _read_at(data, o, _AT_COUNT[template])
+    at = None
+    if not sdhuff:
+        at, o = _read_at(data, o, _AT_COUNT[template])
     rat = None
     if sdrefagg and rtemplate == 0:
         rat, o = _read_at(data, o, 2)
     num_ex, num_new = struct.unpack_from(">II", data, o)
     o += 8
     input_symbols: List[np.ndarray] = []
+    reftables: List[HuffmanTable] = []
     for r in seg.referred:
         input_symbols.extend(dicts.get(r, []))
-    mq = MQDecoder(data[o:])
-    exported = decode_symbol_dict(mq, flags, at, True, num_ex, num_new,
-                                  input_symbols, rat=rat)
+        if r in tables:
+            reftables.append(tables[r])
+    if sdhuff:
+        exported = decode_symbol_dict_huffman(
+            data, o, flags, reftables, num_ex, num_new, input_symbols, rat,
+        )
+    else:
+        mq = MQDecoder(data[o:])
+        exported = decode_symbol_dict(mq, flags, at, True, num_ex, num_new,
+                                      input_symbols, rat=rat)
     dicts[seg.number] = exported
 
 
-def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
+def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]],
+                         tables: Dict[int, HuffmanTable]):
     data = seg.data
     w, h, x, y, op, o = _region_info(data)
     flags = struct.unpack_from(">H", data, o)[0]
@@ -945,22 +1352,52 @@ def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]]):
     if dsoffset > 15:
         dsoffset -= 32  # 5-bit signed
     rtemplate = (flags >> 15) & 1
+    hflags = 0
     if sbhuff:
-        raise ValueError("JBIG2: Huffman text region unsupported")
+        hflags = struct.unpack_from(">H", data, o)[0]
+        o += 2
     rat = None
     if refine and rtemplate == 0:
         rat, o = _read_at(data, o, 2)
     (num_instances,) = struct.unpack_from(">I", data, o)
     o += 4
     symbols: List[np.ndarray] = []
+    reftables: List[HuffmanTable] = []
     for r in seg.referred:
         symbols.extend(dicts.get(r, []))
-    mq = MQDecoder(data[o:])
-    bitmap = decode_text_region(
-        mq, w, h, num_instances, symbols, flags, log_strips, refcorner,
-        transposed, comb_op, default_pixel, dsoffset,
-        refine=bool(refine), rtemplate=rtemplate, rat=rat,
-    )
+        if r in tables:
+            reftables.append(tables[r])
+    if sbhuff:
+        ti = iter(reftables)
+
+        def pick(sel, builtin):
+            if sel < len(builtin) and builtin[sel]:
+                return standard_table(builtin[sel])
+            return next(ti)
+
+        tabs = {
+            "FS": pick(hflags & 3, (6, 7, 0, 0)),
+            "DS": pick((hflags >> 2) & 3, (8, 9, 10, 0)),
+            "DT": pick((hflags >> 4) & 3, (11, 12, 13, 0)),
+            "RDW": pick((hflags >> 6) & 3, (14, 15, 0, 0)),
+            "RDH": pick((hflags >> 8) & 3, (14, 15, 0, 0)),
+            "RDX": pick((hflags >> 10) & 3, (14, 15, 0, 0)),
+            "RDY": pick((hflags >> 12) & 3, (14, 15, 0, 0)),
+            "RSIZE": pick((hflags >> 14) & 1, (1, 0)),
+        }
+        r = BitReader(data, o)
+        bitmap = decode_text_region_huffman(
+            r, data, w, h, num_instances, symbols, tabs, log_strips,
+            refcorner, transposed, comb_op, default_pixel, dsoffset,
+            bool(refine), rtemplate, rat,
+        )
+    else:
+        mq = MQDecoder(data[o:])
+        bitmap = decode_text_region(
+            mq, w, h, num_instances, symbols, flags, log_strips, refcorner,
+            transposed, comb_op, default_pixel, dsoffset,
+            refine=bool(refine), rtemplate=rtemplate, rat=rat,
+        )
     return bitmap, x, y, op
 
 
@@ -1003,6 +1440,7 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
     page = np.zeros((height, width), dtype=np.uint8)
     page_default_set = False
     dicts: Dict[int, List[np.ndarray]] = {}
+    tables: Dict[int, HuffmanTable] = {}
     for seg in segments:
         t = seg.type
         if t == 48:  # page information
@@ -1012,12 +1450,14 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
                     page[...] = 1
                 page_default_set = True
         elif t == 0:  # symbol dictionary
-            _decode_symbol_segment(seg, dicts)
+            _decode_symbol_segment(seg, dicts, tables)
+        elif t == 53:  # custom Huffman table
+            tables[seg.number] = parse_table_segment(seg.data)
         elif t in (36, 38, 39):  # generic region (intermediate/immediate)
             bitmap, x, y, op = _decode_generic_segment(seg)
             _compose(page, bitmap, x, y, op)
         elif t in (4, 6, 7):  # text region
-            bitmap, x, y, op = _decode_text_segment(seg, dicts)
+            bitmap, x, y, op = _decode_text_segment(seg, dicts, tables)
             _compose(page, bitmap, x, y, op)
         elif t in (40, 42, 43):  # refinement region
             bitmap, x, y, op = _decode_refinement_segment(seg, page)
@@ -1027,8 +1467,6 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
             _compose(page, bitmap, x, y, 4)
         elif t in (49, 50, 51, 62):  # end-of-page/stripe/file, extension
             continue
-        elif t == 53:
-            raise ValueError("JBIG2: custom Huffman tables unsupported")
         # unknown segment types are skipped
     packed = np.packbits(page, axis=1)
     return (~packed).tobytes()

@@ -285,9 +285,22 @@ def test_mmr_generic_region():
     assert np.array_equal(out, bm)
 
 
-def test_unsupported_raises():
-    # Huffman symbol dictionary flag set
-    data = struct.pack(">H", 1) + struct.pack(">II", 0, 0)
+def test_unsupported_and_truncated_raise():
+    # Huffman AGGREGATE symbol coding (REFAGGNINST > 1) is unsupported:
+    # SDHUFF|SDREFAGG dict whose first symbol says REFAGGNINST=2.
+    bw = BitWriter()
+    huff_write(bw, J.standard_table(4), 6)  # DH
+    huff_write(bw, J.standard_table(2), 5)  # DW
+    huff_write(bw, J.standard_table(1), 2)  # REFAGGNINST = 2
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">H", 1 | (1 << 1)) + rat + struct.pack(">II", 1, 1)
+            + bw.tobytes())
+    stream = page_info(4, 4) + seg(2, 0, [], 1, data)
+    with pytest.raises(ValueError):
+        J.decode_jbig2(stream, None, 4, 4)
+    # Truncated Huffman dictionary: body runs out of bits, decode fails
+    # loudly instead of hanging.
+    data = struct.pack(">H", 1) + struct.pack(">II", 1, 1)
     stream = page_info(4, 4) + seg(2, 0, [], 1, data)
     with pytest.raises(ValueError):
         J.decode_jbig2(stream, None, 4, 4)
@@ -630,4 +643,387 @@ def test_refinement_region_segment_refines_page():
     out = _unpack(J.decode_jbig2(stream, None, 24, 16), 24, 16)
     expect = np.zeros((16, 24), np.uint8)
     J._compose(expect, refined, 2, 3, 4)
+    assert np.array_equal(out, expect)
+
+
+# ---------------------------------------------------------------------------
+# Huffman coding (Annex B): table structure, round-trips, full streams
+# ---------------------------------------------------------------------------
+
+
+def test_standard_tables_structure():
+    """Independent structural validation of the transcribed Annex B tables:
+    (1) the (RANGELEN, RANGELOW) pairs tile the value line contiguously
+    between the lower- and upper-range lines; (2) the prefix lengths form a
+    complete prefix code (Kraft sum == 1) for every table except B.10."""
+    for n, lines in J._STD_TABLES.items():
+        kraft = sum(2.0 ** -l[0] for l in lines)
+        if n == 10:
+            assert kraft < 1.0, n
+        else:
+            assert kraft == 1.0, (n, kraft)
+        normals = [l for l in lines if len(l) == 3]
+        normals.sort(key=lambda l: l[2])
+        for a, b in zip(normals, normals[1:]):
+            assert a[2] + (1 << a[1]) == b[2], (n, a, b)
+        lowers = [l for l in lines if len(l) > 3 and l[3] == "L"]
+        uppers = [l for l in lines if len(l) > 3 and l[3] == "U"]
+        if lowers:
+            assert lowers[0][2] == normals[0][2] - 1, n
+        if uppers:
+            assert uppers[0][2] == normals[-1][2] + (1 << normals[-1][1]), n
+        # canonical assignment must be collision-free
+        t = J.standard_table(n)
+        assert len(t.codes) == len([l for l in lines if l[0] > 0])
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, v, n):
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def append_bytes(self, data):
+        self.align()
+        for b in data:
+            self.write(b, 8)
+
+    def tobytes(self):
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for b in self.bits[i : i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+def huff_write(bw, table, value):
+    """Inverse of HuffmanTable.decode: emit the prefix + range bits."""
+    inv = {id(l): lc for lc, l in table.codes.items()}
+    line = None
+    if value is J.OOB:
+        line = next(l for l in table.lines if l[3] == "O")
+        extra = (0, 0)
+    else:
+        for l in table.lines:
+            if l[3] == "" and l[2] <= value < l[2] + (1 << l[1]):
+                line = l
+                extra = (value - l[2], l[1])
+                break
+        if line is None:
+            for l in table.lines:
+                if l[3] == "L" and value <= l[2]:
+                    line = l
+                    extra = (l[2] - value, 32)
+                    break
+                if l[3] == "U" and value >= l[2]:
+                    line = l
+                    extra = (value - l[2], 32)
+                    break
+    assert line is not None, value
+    length, code = inv[id(line)]
+    bw.write(code, length)
+    bw.write(extra[0], extra[1])
+
+
+@pytest.mark.parametrize("n", sorted(J._STD_TABLES))
+def test_standard_table_roundtrip(n):
+    t = J.standard_table(n)
+    values = []
+    for l in t.lines:
+        if l[3] == "":
+            values += [l[2], l[2] + (1 << l[1]) - 1]
+        elif l[3] == "L":
+            values += [l[2], l[2] - 1000]
+        elif l[3] == "U":
+            values += [l[2], l[2] + 123456]
+        else:
+            values.append(J.OOB)
+    bw = BitWriter()
+    for v in values:
+        huff_write(bw, t, v)
+    r = J.BitReader(bw.tobytes())
+    for v in values:
+        got = t.decode(r)
+        assert (got is J.OOB) if v is J.OOB else got == v, (n, v, got)
+
+
+def test_custom_table_segment_roundtrip():
+    # B.2-style custom table over [0, 16) with OOB.
+    bw = BitWriter()
+    # lines: ranges 0..3 (rangelen 2, preflen 1), 4..15 (rangelen ~, preflen 2)
+    for preflen, rangelen in ((1, 2), (2, 2), (3, 3)):
+        bw.write(preflen, 4)  # HTPS = 4 bits (flags value 3)
+        bw.write(rangelen, 4)
+    bw.write(5, 4)  # lower-range preflen
+    bw.write(5, 4)  # upper-range preflen
+    bw.write(4, 4)  # OOB preflen  (Kraft: 1/2+1/4+1/8+2/32+1/16 = 1)
+    flags = 1 | (3 << 1) | (3 << 4)  # HTOOB, HTPS=4, HTRS=4
+    data = bytes([flags]) + struct.pack(">ii", 0, 16) + bw.tobytes()
+    t = J.parse_table_segment(data)
+    vals = [0, 3, 4, 7, 8, 15, -1, -50, 16, 999, J.OOB]
+    bw2 = BitWriter()
+    for v in vals:
+        huff_write(bw2, t, v)
+    r = J.BitReader(bw2.tobytes())
+    for v in vals:
+        got = t.decode(r)
+        assert (got is J.OOB) if v is J.OOB else got == v, v
+
+
+def test_symbol_code_table_runcodes():
+    # 5 symbols with lengths [1, 2, 0, 3, 3] via direct runcodes.
+    bw = BitWriter()
+    # runcode table: codes 0..34; give lengths so used codes exist:
+    runlens = [0] * 35
+    for c in (0, 1, 2, 3):
+        runlens[c] = 2  # runcodes 0,1,2,3 each 2 bits
+    for v in runlens:
+        bw.write(v, 4)
+    runtab = J.HuffmanTable([(runlens[i], 0, i) for i in range(35)
+                             if runlens[i] > 0])
+    for codelen in (1, 2, 0, 3, 3):
+        huff_write(bw, runtab, codelen)
+    r = J.BitReader(bw.tobytes())
+    t = J.read_symbol_code_table(r, 5)
+    # decode: write each symbol index and read it back
+    bw2 = BitWriter()
+    for sid in (0, 1, 3, 4, 4, 0):
+        huff_write(bw2, t, sid)
+    r2 = J.BitReader(bw2.tobytes())
+    for sid in (0, 1, 3, 4, 4, 0):
+        assert t.decode(r2) == sid
+
+
+def huffman_symbol_dict_seg(symbols, number=2, mmr=False):
+    """SDHUFF=1 dictionary, standard tables, one height class per height,
+    collective bitmaps raw (BMSIZE=0) or MMR.  Widths must ascend within a
+    height class."""
+    from coherence_tpu.io import ccitt
+
+    bw = BitWriter()
+    b1, b2, b4 = (J.standard_table(n) for n in (1, 2, 4))
+    by_height = {}
+    for s in symbols:
+        by_height.setdefault(s.shape[0], []).append(s)
+    hcheight = 0
+    for hgt in sorted(by_height):
+        huff_write(bw, b4, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        for s in by_height[hgt]:
+            huff_write(bw, b2, s.shape[1] - symwidth)
+            symwidth = s.shape[1]
+        huff_write(bw, b2, J.OOB)
+        coll = np.concatenate(by_height[hgt], axis=1)
+        if mmr:
+            payload = ccitt.ccitt_encode_g4(coll, columns=coll.shape[1])
+            huff_write(bw, b1, len(payload))
+            bw.append_bytes(payload)
+        else:
+            huff_write(bw, b1, 0)
+            bw.append_bytes(np.packbits(coll, axis=1).tobytes())
+    huff_write(bw, b1, 0)
+    huff_write(bw, b1, len(symbols))  # export all
+    flags = 1  # SDHUFF, all selectors standard
+    data = (struct.pack(">H", flags)
+            + struct.pack(">II", len(symbols), len(symbols)) + bw.tobytes())
+    ordered = [s for hgt in sorted(by_height) for s in by_height[hgt]]
+    return seg(number, 0, [], 1, data), ordered
+
+
+def huffman_text_region_seg(w, h, placements, symbols, number=3,
+                            referred=(2,), refinements=None, refcorner=1,
+                            x=0, y=0):
+    """SBHUFF=1 text region, standard tables (FS B.6, DS B.8, DT B.11),
+    equal-length symbol codes.  refinements: {(strip_i, k): (bitmap, rdw,
+    rdh, rdx, rdy)}."""
+    nsyms = len(symbols)
+    L = max(1, (nsyms - 1).bit_length()) if nsyms > 1 else 1
+    bw = BitWriter()
+    runlens = [0] * 35
+    runlens[L] = 1  # single runcode: "length L", canonical code 0 (1 bit)
+    for v in runlens:
+        bw.write(v, 4)
+    for _ in range(nsyms):
+        bw.write(0, 1)
+    bw.align()
+    b1, b6, b8, b11, b15 = (J.standard_table(n) for n in (1, 6, 8, 11, 15))
+    huff_write(bw, b11, 1)  # STRIPT = -1
+    stript = -1
+    firsts = 0
+    ninst = 0
+    refine = refinements is not None
+    for si, (t, strip) in enumerate(placements):
+        huff_write(bw, b11, t - stript)
+        stript = t
+        curs = None
+        for k, (s, sid) in enumerate(strip):
+            if curs is None:
+                huff_write(bw, b6, s - firsts)
+                firsts = s
+            else:
+                huff_write(bw, b8, s - curs)
+            bw.write(sid, L)
+            refn = (refinements or {}).get((si, k))
+            if refine:
+                bw.write(0 if refn is None else 1, 1)
+            if refn is not None:
+                bm, rdw, rdh, rdx, rdy = refn
+                for tab, v in ((b15, rdw), (b15, rdh), (b15, rdx), (b15, rdy)):
+                    huff_write(bw, tab, v)
+                enc = J.MQEncoder()
+                gr = J.Contexts(1 << 13)
+                J.encode_refinement(enc, gr, bm, 0, None, symbols[sid],
+                                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
+                payload = enc.flush()
+                huff_write(bw, b1, len(payload))
+                bw.append_bytes(payload)
+                wi = bm.shape[1]
+            else:
+                wi = symbols[sid].shape[1]
+            ninst += 1
+            curs = s + wi - 1
+        huff_write(bw, b8, J.OOB)
+    flags = 1 | ((1 if refine else 0) << 1) | (refcorner << 4)
+    # RDW/RDH/RDX/RDY selectors = 1 (Table B.15), matching the writer above
+    hflags = (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12) if refine else 0
+    rat = (b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+           if refine else b"")
+    data = (struct.pack(">IIII", w, h, x, y) + bytes([0])
+            + struct.pack(">H", flags) + struct.pack(">H", hflags) + rat
+            + struct.pack(">I", ninst) + bw.tobytes())
+    return seg(number, 6, list(referred), 1, data)
+
+
+@pytest.mark.parametrize("mmr", [False, True])
+def test_huffman_symbol_dict_and_text_region(mmr):
+    box = np.ones((6, 4), dtype=np.uint8)
+    ell = np.zeros((6, 5), dtype=np.uint8)
+    ell[:, 0] = 1
+    ell[5, :] = 1
+    tee = np.zeros((8, 5), dtype=np.uint8)
+    tee[0, :] = 1
+    tee[:, 2] = 1
+    dict_seg, ordered = huffman_symbol_dict_seg([box, ell, tee], mmr=mmr)
+    assert [s.shape for s in ordered] == [(6, 4), (6, 5), (8, 5)]
+    text = huffman_text_region_seg(
+        40, 30, [(2, [(1, 0), (10, 1)]), (14, [(3, 2)])], ordered)
+    stream = page_info(40, 30) + dict_seg + text
+    out = _unpack(J.decode_jbig2(stream, None, 40, 30), 40, 30)
+    expect = np.zeros((30, 40), dtype=np.uint8)
+    J._compose(expect, box, 1, 2, 0)
+    J._compose(expect, ell, 10, 2, 0)
+    J._compose(expect, tee, 3, 14, 0)
+    assert np.array_equal(out, expect)
+
+
+def test_huffman_text_region_refined_instance():
+    base = np.zeros((5, 4), np.uint8)
+    base[:, 0] = 1
+    base[0, :] = 1
+    refined = np.zeros((6, 6), np.uint8)
+    refined[1:6, 1:5] = base
+    refined[5, 5] = 1
+    dict_seg, ordered = huffman_symbol_dict_seg([base])
+    text = huffman_text_region_seg(
+        30, 12, [(2, [(1, 0), (12, 0)])], ordered,
+        refinements={(0, 1): (refined, 2, 1, 0, 0)})
+    stream = page_info(30, 12) + dict_seg + text
+    out = _unpack(J.decode_jbig2(stream, None, 30, 12), 30, 12)
+    expect = np.zeros((12, 30), np.uint8)
+    J._compose(expect, base, 1, 2, 0)
+    J._compose(expect, refined, 12, 2, 0)
+    assert np.array_equal(out, expect)
+
+
+def test_huffman_refagg_symbol_dict():
+    base = np.zeros((6, 5), np.uint8)
+    base[:, 2] = 1
+    base[3, :] = 1
+    bold = np.zeros((6, 5), np.uint8)
+    bold[:, 1:4] = 1
+    bold[2:5, :] = 1
+    base_dict, _ = huffman_symbol_dict_seg([base], number=2)
+    # SDHUFF+SDREFAGG dictionary: one new symbol refining import id 0.
+    bw = BitWriter()
+    b1, b2, b4, b15 = (J.standard_table(n) for n in (1, 2, 4, 15))
+    huff_write(bw, b4, 6)   # DH: height 6
+    huff_write(bw, b2, 5)   # DW: width 5
+    huff_write(bw, b1, 1)   # REFAGGNINST = 1
+    symcodelen = 1  # total symbols = 2
+    bw.write(0, symcodelen)  # refine import id 0
+    huff_write(bw, b15, 0)  # RDX
+    huff_write(bw, b15, 0)  # RDY
+    enc = J.MQEncoder()
+    gr = J.Contexts(1 << 13)
+    J.encode_refinement(enc, gr, bold, 0, None, base, 0, 0, False)
+    payload = enc.flush()
+    huff_write(bw, b1, len(payload))
+    bw.append_bytes(payload)
+    huff_write(bw, b2, J.OOB)  # end height class
+    huff_write(bw, b1, 0)
+    huff_write(bw, b1, 2)  # export both
+    flags = 1 | (1 << 1)  # SDHUFF | SDREFAGG
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">H", flags) + rat + struct.pack(">II", 2, 1)
+            + bw.tobytes())
+    ref_dict = seg(3, 0, [2], 1, data)
+    text = text_region_seg(24, 10, [(2, [(1, 0), (10, 1)])], nsyms=2,
+                           widths=(5, 5), number=4, referred=(3,))
+    stream = page_info(24, 10) + base_dict + ref_dict + text
+    out = _unpack(J.decode_jbig2(stream, None, 24, 10), 24, 10)
+    expect = np.zeros((10, 24), np.uint8)
+    J._compose(expect, base, 1, 2, 0)
+    J._compose(expect, bold, 10, 2, 0)
+    assert np.array_equal(out, expect)
+
+
+def test_huffman_custom_table_in_text_region():
+    # Custom DT table (selector 3) carried by a type-53 segment.
+    bw = BitWriter()
+    for preflen, rangelen in ((1, 2), (2, 2), (3, 3)):
+        bw.write(preflen, 4)
+        bw.write(rangelen, 4)
+    bw.write(5, 4)
+    bw.write(5, 4)
+    flags = (3 << 1) | (3 << 4)  # no OOB, HTPS=4, HTRS=4
+    tab_data = bytes([flags]) + struct.pack(">ii", 0, 16) + bw.tobytes()
+    tab_seg = seg(5, 53, [], 1, tab_data)
+    custom_dt = J.parse_table_segment(tab_data)
+
+    bar = np.ones((3, 2), dtype=np.uint8)
+    dict_seg, ordered = huffman_symbol_dict_seg([bar], number=2)
+    # hand-build the text region with DT = custom (selector 3)
+    bw2 = BitWriter()
+    runlens = [0] * 35
+    runlens[1] = 1
+    for v in runlens:
+        bw2.write(v, 4)
+    bw2.write(0, 1)  # one symbol, code length 1
+    bw2.align()
+    b6, b8 = J.standard_table(6), J.standard_table(8)
+    huff_write(bw2, custom_dt, 0)  # STRIPT = 0 (custom table encodes 0!)
+    huff_write(bw2, custom_dt, 5)  # strip at T=5
+    huff_write(bw2, b6, 4)         # FS: S=4
+    bw2.write(0, 1)                # symbol id 0
+    huff_write(bw2, b8, J.OOB)
+    flags = 1 | (0 << 4)  # SBHUFF, refcorner BOTTOMLEFT
+    hflags = 3 << 4  # DT selector = custom
+    data = (struct.pack(">IIII", 20, 10, 0, 0) + bytes([0])
+            + struct.pack(">H", flags) + struct.pack(">H", hflags)
+            + struct.pack(">I", 1) + bw2.tobytes())
+    text = seg(4, 6, [2, 5], 1, data)
+    stream = page_info(20, 10) + dict_seg + tab_seg + text
+    out = _unpack(J.decode_jbig2(stream, None, 20, 10), 20, 10)
+    expect = np.zeros((10, 20), np.uint8)
+    expect[3:6, 4:6] = 1  # bottom at T=5
     assert np.array_equal(out, expect)
