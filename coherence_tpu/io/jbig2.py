@@ -8,8 +8,9 @@ MMR via the existing T.6 decoder in io/ccitt.py), generic REFINEMENT
 regions (templates 0-1, TPGRON, AT pixels — 6.3), symbol dictionaries
 (arithmetic, including SDREFAGG refinement/aggregate coding — 6.5.8),
 text regions (arithmetic, including SBREFINE per-instance refinement —
-6.4.11), refinement region segments refining the composed page, and the
-HUFFMAN variants (Annex B: standard tables B.1-B.15, custom table
+6.4.11), refinement region segments refining the composed page, pattern
+dictionaries + halftone regions (6.6/6.7: gray-coded bitplanes arithmetic
+or MMR, skewed grids, skip bitmaps), and the HUFFMAN variants (Annex B: standard tables B.1-B.15, custom table
 segments, runcode symbol-ID assignment, collective height-class bitmaps
 raw or MMR, refining dictionaries/regions with byte-aligned arithmetic
 refinement data).  The only unsupported corner is Huffman AGGREGATE
@@ -1401,6 +1402,122 @@ def _decode_text_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]],
     return bitmap, x, y, op
 
 
+def _decode_pattern_segment(seg: Segment) -> List[np.ndarray]:
+    """Pattern dictionary (7.4.8 / 6.7): one collective generic region of
+    (GRAYMAX+1) HDPW-wide patterns, split by index."""
+    data = seg.data
+    flags = data[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = data[1], data[2]
+    (graymax,) = struct.unpack_from(">I", data, 3)
+    o = 7
+    if hdpw < 1 or hdph < 1 or graymax > 4095:
+        raise ValueError("JBIG2: bad pattern dictionary")
+    w = (graymax + 1) * hdpw
+    if hdmmr:
+        from . import ccitt
+
+        packed = ccitt.ccitt_decode(data[o:], columns=w, rows=hdph, k=-1,
+                                    black_is_1=True, end_of_block=False)
+        coll = np.unpackbits(
+            np.frombuffer(packed, dtype=np.uint8).reshape(hdph, -1), axis=1
+        )[:, :w].astype(np.uint8)
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)][: _AT_COUNT[template]]
+        mq = MQDecoder(data[o:])
+        cx = Contexts(1 << 16)
+        coll = decode_generic(mq, cx, w, hdph, template, at, False)
+    return [coll[:, k * hdpw : (k + 1) * hdpw].copy()
+            for k in range(graymax + 1)]
+
+
+def decode_grayscale(data: bytes, o: int, mmr: bool, template: int,
+                     w: int, h: int, bits: int, skip=None) -> np.ndarray:
+    """Gray-coded bitplane image decoding (Annex C) -> (h, w) int values.
+
+    Arithmetic planes share one MQ coder and context set; MMR planes are
+    one continuous MMR stream of bits*h rows (C.5)."""
+    planes = []
+    if mmr:
+        from . import ccitt
+
+        packed = ccitt.ccitt_decode(data[o:], columns=w, rows=bits * h,
+                                    k=-1, black_is_1=True, end_of_block=False)
+        allrows = np.unpackbits(
+            np.frombuffer(packed, dtype=np.uint8).reshape(bits * h, -1),
+            axis=1,
+        )[:, :w].astype(np.uint8)
+        planes = [allrows[j * h : (j + 1) * h] for j in range(bits)]
+    else:
+        at = ([(3 if template <= 1 else 2, -1), (-3, -1), (2, -2), (-2, -2)]
+              [: _AT_COUNT[template]])
+        mq = MQDecoder(data[o:])
+        cx = Contexts(1 << 16)
+        for _ in range(bits):
+            planes.append(
+                decode_generic(mq, cx, w, h, template, at, False, skip=skip)
+            )
+    # planes[0] is the MSB (decoded first); gray-decode downward.
+    value = planes[0].astype(np.int32)
+    prev = planes[0].astype(np.int32)
+    for p in planes[1:]:
+        bit = p.astype(np.int32) ^ prev
+        value = (value << 1) | bit
+        prev = bit
+    return value
+
+
+def _decode_halftone_segment(seg: Segment,
+                             patterns: Dict[int, List[np.ndarray]]):
+    """Halftone region (7.4.9 / 6.6): grayscale image indexes the referred
+    pattern dictionary; patterns composite along the skewed grid."""
+    data = seg.data
+    w, h, x, y, op, o = _region_info(data)
+    flags = data[o]
+    o += 1
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enableskip = (flags >> 3) & 1
+    comb_op = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", data, o)
+    o += 16
+    hrx, hry = struct.unpack_from(">HH", data, o)
+    o += 4
+    pats: List[np.ndarray] = []
+    for r in seg.referred:
+        pats.extend(patterns.get(r, []))
+    if not pats:
+        raise ValueError("JBIG2: halftone region without pattern dictionary")
+    if hgw * hgh > 16_000_000:
+        raise ValueError("JBIG2: implausible halftone grid")
+    hph, hpw = pats[0].shape
+    bits = max(1, (len(pats) - 1).bit_length())
+    # Cell origins on the (possibly skewed) grid, 1/256-pixel units (6.6.5).
+    mg = np.arange(hgh, dtype=np.int64)[:, None]
+    ng = np.arange(hgw, dtype=np.int64)[None, :]
+    cx = (hgx + mg * hry + ng * hrx) >> 8
+    cy = (hgy + mg * hrx - ng * hry) >> 8
+    skip = None
+    if enableskip:
+        skip = ((cx + hpw <= 0) | (cx >= w) | (cy + hph <= 0)
+                | (cy >= h)).astype(np.uint8)
+    gray = decode_grayscale(data, o, hmmr, template, hgw, hgh, bits,
+                            skip=skip)
+    bitmap = np.full((h, w), defpixel, dtype=np.uint8)
+    npat = len(pats)
+    for m in range(hgh):
+        for n in range(hgw):
+            if skip is not None and skip[m, n]:
+                continue
+            gi = int(gray[m, n])
+            if gi >= npat:
+                gi = npat - 1  # clamp out-of-range gray values
+            _compose(bitmap, pats[gi], int(cx[m, n]), int(cy[m, n]), comb_op)
+    return bitmap, x, y, op
+
+
 def _decode_refinement_segment(seg: Segment, page: np.ndarray):
     """Refinement region segment (7.4.7): refines the page region in place
     (the already-composed page pixels under the region are the reference)."""
@@ -1434,13 +1551,15 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
         segments.extend(parse_segments(globals_data))
     segments.extend(parse_segments(data))
     if not any(
-        s.type in (0, 4, 6, 7, 36, 38, 39, 40, 42, 43, 48) for s in segments
+        s.type in (0, 4, 6, 7, 16, 20, 22, 23, 36, 38, 39, 40, 42, 43, 48)
+        for s in segments
     ):
         raise ValueError("JBIG2: no decodable segments")
     page = np.zeros((height, width), dtype=np.uint8)
     page_default_set = False
     dicts: Dict[int, List[np.ndarray]] = {}
     tables: Dict[int, HuffmanTable] = {}
+    patterns: Dict[int, List[np.ndarray]] = {}
     for seg in segments:
         t = seg.type
         if t == 48:  # page information
@@ -1451,6 +1570,11 @@ def decode_jbig2(data: bytes, globals_data: Optional[bytes],
                 page_default_set = True
         elif t == 0:  # symbol dictionary
             _decode_symbol_segment(seg, dicts, tables)
+        elif t == 16:  # pattern dictionary
+            patterns[seg.number] = _decode_pattern_segment(seg)
+        elif t in (20, 22, 23):  # halftone region
+            bitmap, x, y, op = _decode_halftone_segment(seg, patterns)
+            _compose(page, bitmap, x, y, op)
         elif t == 53:  # custom Huffman table
             tables[seg.number] = parse_table_segment(seg.data)
         elif t in (36, 38, 39):  # generic region (intermediate/immediate)

@@ -1027,3 +1027,117 @@ def test_huffman_custom_table_in_text_region():
     expect = np.zeros((10, 20), np.uint8)
     expect[3:6, 4:6] = 1  # bottom at T=5
     assert np.array_equal(out, expect)
+
+
+# ---------------------------------------------------------------------------
+# Pattern dictionaries + halftone regions (6.6/6.7)
+# ---------------------------------------------------------------------------
+
+
+def pattern_dict_seg(hdpw, hdph, npat, number=2, mmr=False, seed=7):
+    """Random patterns; returns (segment, patterns)."""
+    from coherence_tpu.io import ccitt
+
+    rng = rnd(seed)
+    # graded density patterns (pattern k ~ k/npat coverage)
+    pats = []
+    for k in range(npat):
+        p = (rng.rand(hdph, hdpw) < (k / max(1, npat - 1))).astype(np.uint8)
+        pats.append(p)
+    coll = np.concatenate(pats, axis=1)
+    template = 0
+    if mmr:
+        payload = ccitt.ccitt_encode_g4(coll, columns=coll.shape[1])
+    else:
+        enc = J.MQEncoder()
+        cx = J.Contexts(1 << 16)
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        J.encode_generic(enc, cx, coll, template, at, False)
+        payload = enc.flush()
+    flags = (1 if mmr else 0) | (template << 1)
+    data = (bytes([flags, hdpw, hdph]) + struct.pack(">I", npat - 1)
+            + payload)
+    return seg(number, 16, [], 1, data), pats
+
+
+def halftone_region_seg(w, h, gray, npat, hdpw, hdph, number=3, referred=(2,),
+                        hgx=0, hgy=0, hrx=None, hry=0, mmr=False,
+                        enableskip=False, x=0, y=0):
+    """Encode the gray-coded bitplanes of ``gray`` (hgh, hgw)."""
+    from coherence_tpu.io import ccitt
+
+    hgh, hgw = gray.shape
+    if hrx is None:
+        hrx = hdpw << 8  # dense grid: one pattern width per cell
+    bits = max(1, (npat - 1).bit_length())
+    g = gray ^ (gray >> 1)
+    planes = [((g >> (bits - 1 - j)) & 1).astype(np.uint8)
+              for j in range(bits)]
+    template = 0
+    skip = None
+    if enableskip:
+        mg = np.arange(hgh, dtype=np.int64)[:, None]
+        ng = np.arange(hgw, dtype=np.int64)[None, :]
+        cx_ = (hgx + mg * hry + ng * hrx) >> 8
+        cy_ = (hgy + mg * hrx - ng * hry) >> 8
+        skip = ((cx_ + hdpw <= 0) | (cx_ >= w) | (cy_ + hdph <= 0)
+                | (cy_ >= h)).astype(np.uint8)
+    if mmr:
+        allrows = np.concatenate(planes, axis=0)
+        payload = ccitt.ccitt_encode_g4(allrows, columns=hgw)
+    else:
+        enc = J.MQEncoder()
+        cx = J.Contexts(1 << 16)
+        at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+        for p in planes:
+            if skip is not None:
+                p = p * (1 - skip)  # skipped pixels encode as 0
+            J.encode_generic(enc, cx, p, template, at, False)
+        payload = enc.flush()
+    flags = ((1 if mmr else 0) | (template << 1)
+             | ((1 if enableskip else 0) << 3) | (0 << 4) | (0 << 7))
+    data = (struct.pack(">IIII", w, h, x, y) + bytes([0]) + bytes([flags])
+            + struct.pack(">IIii", hgw, hgh, hgx, hgy)
+            + struct.pack(">HH", hrx, hry) + payload)
+    return seg(number, 22, list(referred), 1, data)
+
+
+@pytest.mark.parametrize("mmr", [False, True])
+def test_halftone_region_renders_grayscale(mmr):
+    rng = rnd(11)
+    hdpw = hdph = 4
+    npat = 8
+    dict_seg, pats = pattern_dict_seg(hdpw, hdph, npat, mmr=mmr)
+    gray = rng.randint(0, npat, (5, 6)).astype(np.int64)
+    ht = halftone_region_seg(24, 20, gray, npat, hdpw, hdph, mmr=mmr)
+    stream = page_info(24, 20) + dict_seg + ht
+    out = _unpack(J.decode_jbig2(stream, None, 24, 20), 24, 20)
+    expect = np.zeros((20, 24), np.uint8)
+    for m in range(5):
+        for n in range(6):
+            J._compose(expect, pats[int(gray[m, n])], n * 4, m * 4, 0)
+    assert np.array_equal(out, expect)
+
+
+def test_halftone_skewed_grid_and_skip():
+    rng = rnd(12)
+    hdpw = hdph = 3
+    npat = 4
+    dict_seg, pats = pattern_dict_seg(hdpw, hdph, npat)
+    hgw, hgh = 7, 6
+    gray = rng.randint(0, npat, (hgh, hgw)).astype(np.int64)
+    hgx, hgy = -2 << 8, 1 << 8
+    hrx, hry = (3 << 8) + 64, 32  # slightly skewed grid
+    ht = halftone_region_seg(20, 18, gray, npat, hdpw, hdph, hgx=hgx,
+                             hgy=hgy, hrx=hrx, hry=hry, enableskip=True)
+    stream = page_info(20, 18) + dict_seg + ht
+    out = _unpack(J.decode_jbig2(stream, None, 20, 18), 20, 18)
+    expect = np.zeros((18, 20), np.uint8)
+    for m in range(hgh):
+        for n in range(hgw):
+            px = (hgx + m * hry + n * hrx) >> 8
+            py = (hgy + m * hrx - n * hry) >> 8
+            if px + hdpw <= 0 or px >= 20 or py + hdph <= 0 or py >= 18:
+                continue
+            J._compose(expect, pats[int(gray[m, n])], px, py, 0)
+    assert np.array_equal(out, expect)
