@@ -80,6 +80,10 @@ class _LoadedFont:
         self.two_byte = False  # Type0 Identity-H: 2-byte codes
         self.widths: Dict[int, float] = {}  # code -> text-space width (/1000)
         self.default_width: Optional[float] = None
+        # Vertical writing (PDF 9.7.4.3): a -V CMap selects WMode 1.
+        self.vertical = False
+        self.dw2 = (0.88, -1.0)  # /DW2 default [880 -1000] (/1000)
+        self.w2: Dict[int, Tuple[float, float, float]] = {}  # cid -> w1,vx,vy
         self.cid_to_gid: Optional[bytes] = None  # CIDToGIDMap stream data
         self.differences: Dict[int, str] = {}  # /Encoding /Differences
         # Type 3 fonts (PDF 9.6.4): glyphs are content streams.
@@ -135,6 +139,15 @@ class _LoadedFont:
             return self.ttf.advance(self.gid_of_code(code)) / self.ttf.units_per_em
         return 0.5
 
+    def vmetrics_of_code(self, code: int) -> Tuple[float, float, float]:
+        """Vertical displacement w1 and position vector (vx, vy), all in
+        text space (PDF 9.7.4.3: defaults vx = w0/2, vy = DW2[0],
+        w1 = DW2[1])."""
+        got = self.w2.get(code)
+        if got is not None:
+            return got
+        return (self.dw2[1], self.width_of_code(code) / 2.0, self.dw2[0])
+
 
 def _font_file(pdf, descriptor) -> Optional[TT.TrueTypeFont]:
     if not isinstance(descriptor, dict):
@@ -189,6 +202,10 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
     subtype = subtype.v if isinstance(subtype, P.Name) else ""
     if subtype == "Type0":
         lf.two_byte = True  # Identity-H/V is the overwhelmingly common case
+        encname = res(fd.get("Encoding"))
+        encname = encname.v if isinstance(encname, P.Name) else ""
+        # Predefined -V CMaps (Identity-V, UniJIS-*-V, ...) select WMode 1.
+        lf.vertical = encname.endswith("-V")
         desc = res(fd.get("DescendantFonts"))
         child = res(desc[0]) if isinstance(desc, list) and desc else {}
         if isinstance(child, dict):
@@ -214,6 +231,35 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
                         for cc in range(c, c2 + 1):
                             lf.widths[cc] = wv
                         i += 3
+                    else:
+                        break
+            dw2 = res(child.get("DW2"))
+            if isinstance(dw2, list) and len(dw2) >= 2:
+                lf.dw2 = (float(res(dw2[0])) / 1000.0,
+                          float(res(dw2[1])) / 1000.0)
+            w2 = res(child.get("W2"))
+            if isinstance(w2, list):
+                # c [w1 vx vy ...]  or  c1 c2 w1 vx vy  (PDF 9.7.4.3)
+                i = 0
+                while i < len(w2):
+                    c = int(res(w2[i]))
+                    nxt = res(w2[i + 1]) if i + 1 < len(w2) else None
+                    if isinstance(nxt, list):
+                        for j in range(0, len(nxt) - 2, 3):
+                            lf.w2[c + j // 3] = tuple(
+                                float(res(nxt[j + k])) / 1000.0
+                                for k in range(3)
+                            )
+                        i += 2
+                    elif nxt is not None and i + 4 < len(w2):
+                        c2 = int(nxt)
+                        trip = tuple(
+                            float(res(w2[i + 2 + k])) / 1000.0
+                            for k in range(3)
+                        )
+                        for cc in range(c, c2 + 1):
+                            lf.w2[cc] = trip
+                        i += 5
                     else:
                         break
         if lf.ttf is None:
@@ -468,9 +514,15 @@ def text_objects_of_block(pdf, el: PG.TextBlock, clips=(), clip_sink=None) -> Li
         clip_run = attrs.textmode >= 4 and clip_sink is not None
         for code in font.codes_of_bytes(s):
             w0 = font.width_of_code(code)
+            if font.vertical:
+                w1, vx, vy = font.vmetrics_of_code(code)
             if (mode != 3 or clip_run) and size != 0.0:
                 # glyph space -> text space -> user space (PDF 9.4.4).
                 params = (size * th, 0.0, 0.0, size, 0.0, rise)
+                if font.vertical:
+                    # WMode 1: the glyph origin is displaced by the
+                    # position vector v (PDF 9.7.4.3 / 9.4.4).
+                    params = tr.matmul(params, (1.0, 0.0, 0.0, 1.0, -vx, -vy))
                 trm = tr.matmul(ctm, tr.matmul(tm, params))
                 gp = _glyph_path(font, code, trm)
                 if gp is not None:
@@ -479,8 +531,13 @@ def text_objects_of_block(pdf, el: PG.TextBlock, clips=(), clip_sink=None) -> Li
                     if clip_run:
                         clip_sink.extend(gp.subpaths)
             pad = tw if (code == 32 and not font.two_byte) else 0.0
-            tx = (w0 * size + tc + pad) * th
-            tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
+            if font.vertical:
+                # Advance along -y; Tz scales horizontal writing only.
+                ty = w1 * size + tc + pad
+                tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, 0.0, ty))
+            else:
+                tx = (w0 * size + tc + pad) * th
+                tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
         if subpaths and colour is not None and mode != 3:
             cs, vals = colour
             alpha = attrs.fill_alpha if mode in (0, 2) else attrs.stroke_alpha
@@ -550,8 +607,12 @@ def text_objects_of_block(pdf, el: PG.TextBlock, clips=(), clip_sink=None) -> Li
                     if isinstance(item, bytes):
                         show(item, attrs)
                     elif isinstance(item, (int, float)):
-                        tx = -float(item) / 1000.0 * size * th
-                        tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
+                        if font is not None and font.vertical:
+                            ty = -float(item) / 1000.0 * size
+                            tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, 0.0, ty))
+                        else:
+                            tx = -float(item) / 1000.0 * size * th
+                            tm = tr.matmul(tm, (1.0, 0.0, 0.0, 1.0, tx, 0.0))
         except Exception:
             continue  # malformed operator: skip, keep the rest of the run
     return out

@@ -467,3 +467,85 @@ def test_inline_image_named_colourspace_resolves():
     right = r4[8 - y0, 12 - x0]
     assert tuple(left) == (255, 0, 0, 255), left
     assert tuple(right) == (0, 0, 255, 255), right
+
+
+def test_type0_identity_v_stacks_vertically():
+    """Identity-V (WMode 1): glyphs advance downward by DW2/W2, the
+    position vector centres each glyph on the vertical baseline
+    (PDF 9.7.4.3; BEYOND REFERENCE — the reference never rasterizes
+    fonts)."""
+    data = open(DEJAVU, "rb").read()
+    f = TT.TrueTypeFont(data)
+    gH = f.gid_of_unicode(ord("H"))
+    ff = Stream({"Filter": Name("FlateDecode"), "Length1": len(data)},
+                zlib.compress(data))
+    font = {
+        "Type": Name("Font"), "Subtype": Name("Type0"),
+        "BaseFont": Name("DejaVuSans"), "Encoding": Name("Identity-V"),
+        "DescendantFonts": [{
+            "Type": Name("Font"), "Subtype": Name("CIDFontType2"),
+            "BaseFont": Name("DejaVuSans"), "DW": 1000,
+            "DW2": [880, -1000],
+            "CIDSystemInfo": {"Registry": b"Adobe", "Ordering": b"Identity"},
+            "FontDescriptor": {"Type": Name("FontDescriptor"), "FontFile2": ff},
+        }],
+    }
+    code = bytes([gH >> 8, gH & 255]) * 2  # "HH"
+    content = b"BT /F1 30 Tf 60 160 Td <" + code.hex().encode() + b"> Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 120, 200),
+                 resources={"Font": {"F1": font}})
+    scene, spr = _render(pdf, (1, 1, 120, 200))
+    assert spr is not None
+    m = np.asarray(spr.mask)
+    ys, xs = np.nonzero(m)
+    ys = ys + spr.box[1]
+    xs = xs + spr.box[0]
+    # two glyph clusters stacked in y, none in x
+    yspan = ys.max() - ys.min()
+    xspan = xs.max() - xs.min()
+    assert yspan > 40, (yspan, "second glyph placed a full em below")
+    assert xspan < 30, (xspan, "no horizontal advance in vertical mode")
+    # row histogram shows a gap between the two glyphs
+    rows = np.zeros(201, dtype=int)
+    for y in ys:
+        rows[y] += 1
+    nz = np.nonzero(rows)[0]
+    gaps = (np.diff(nz) > 3).sum()
+    assert gaps >= 1, "two vertically separated glyphs"
+
+
+def test_type0_w2_overrides_vertical_advance():
+    data = open(DEJAVU, "rb").read()
+    f = TT.TrueTypeFont(data)
+    gH = f.gid_of_unicode(ord("H"))
+    ff = Stream({"Filter": Name("FlateDecode"), "Length1": len(data)},
+                zlib.compress(data))
+
+    def make(w2):
+        child = {
+            "Type": Name("Font"), "Subtype": Name("CIDFontType2"),
+            "BaseFont": Name("DejaVuSans"), "DW": 1000,
+            "CIDSystemInfo": {"Registry": b"Adobe", "Ordering": b"Identity"},
+            "FontDescriptor": {"Type": Name("FontDescriptor"),
+                               "FontFile2": ff},
+        }
+        if w2 is not None:
+            child["W2"] = w2
+        font = {
+            "Type": Name("Font"), "Subtype": Name("Type0"),
+            "BaseFont": Name("DejaVuSans"), "Encoding": Name("Identity-V"),
+            "DescendantFonts": [child],
+        }
+        code = bytes([gH >> 8, gH & 255]) * 2
+        content = (b"BT /F1 30 Tf 60 160 Td <" + code.hex().encode()
+                   + b"> Tj ET")
+        pdf = mkpage(content, mediabox=(0, 0, 120, 200),
+                     resources={"Font": {"F1": font}})
+        _, spr = _render(pdf, (1, 1, 120, 200))
+        ys = np.nonzero(np.asarray(spr.mask))[0] + spr.box[1]
+        return ys.max() - ys.min()
+
+    # halving the vertical displacement tightens the stack
+    tight = make([gH, [-500, 300, 880]])
+    loose = make(None)  # DW2 default -1000
+    assert tight < loose - 8, (tight, loose)
