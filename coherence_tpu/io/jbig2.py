@@ -828,7 +828,8 @@ def decode_symbol_dict(mq: MQDecoder, flags: int, at, exflags_runs_allowed: bool
             if dw is OOB:
                 break
             symwidth += dw
-            if hcheight < 0 or symwidth < 0 or hcheight > 5000 or symwidth > 5000:
+            if (hcheight < 0 or symwidth < 0 or hcheight > 5000
+                    or symwidth > 5000 or hcheight * symwidth > 1_000_000):
                 raise ValueError("JBIG2: implausible symbol size")
             if len(new_symbols) >= num_new:
                 raise ValueError("JBIG2: too many symbols in dictionary")
@@ -866,7 +867,9 @@ def decode_symbol_dict(mq: MQDecoder, flags: int, at, exflags_runs_allowed: bool
     exported: List[np.ndarray] = []
     i = 0
     cur = 0
-    while i < len(allsyms) and len(exported) < num_ex:
+    for _ in range(2 * len(allsyms) + 64):  # zero-runs only toggle phase
+        if i >= len(allsyms) or len(exported) >= num_ex:
+            break
         run = decode_int(mq, ints.get("IAEX"))
         if run is OOB or run < 0:
             raise ValueError("JBIG2: bad export run")
@@ -903,6 +906,8 @@ def decode_text_region(mq: MQDecoder, w: int, h: int, num_instances: int,
     if gr is None:
         gr = Contexts(1 << 13)
     bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
+    if num_instances > w * h + 1024:
+        raise ValueError("JBIG2: implausible instance count")
     stript = decode_int(mq, ints.get("IADT"))
     if stript is OOB:
         raise ValueError("JBIG2: bad IADT")
@@ -1000,6 +1005,8 @@ def decode_text_region_huffman(
     FS/DS/DT/RDW/RDH/RDX/RDY/RSIZE tables; the symbol-ID code table is read
     from ``r`` first (7.4.4.5), then the stream byte-aligns."""
     sbstrips = 1 << log_strips
+    if num_instances > w * h + 1024:
+        raise ValueError("JBIG2: implausible instance count")
     symtab = read_symbol_code_table(r, len(symbols))
     r.align()
     bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
@@ -1103,7 +1110,8 @@ def decode_symbol_dict_huffman(
             if dw is OOB:
                 break
             symwidth += dw
-            if hcheight < 0 or symwidth < 1 or hcheight > 5000 or symwidth > 5000:
+            if (hcheight < 0 or symwidth < 1 or hcheight > 5000
+                    or symwidth > 5000 or hcheight * symwidth > 1_000_000):
                 raise ValueError("JBIG2: implausible symbol size")
             if len(new_symbols) + len(hcwidths) >= num_new:
                 raise ValueError("JBIG2: too many symbols in dictionary")
@@ -1174,7 +1182,9 @@ def decode_symbol_dict_huffman(
     exported: List[np.ndarray] = []
     i = 0
     cur = 0
-    while i < len(allsyms) and len(exported) < num_ex:
+    for _ in range(2 * len(allsyms) + 64):  # zero-runs only toggle phase
+        if i >= len(allsyms) or len(exported) >= num_ex:
+            break
         run = standard_table(1).decode(r)
         if run is OOB or run < 0:
             raise ValueError("JBIG2: bad export run")
@@ -1253,6 +1263,11 @@ def parse_segments(data: bytes) -> List[Segment]:
 def _region_info(data: bytes) -> Tuple[int, int, int, int, int, int]:
     """Region segment information field (7.4.1): w, h, x, y, op, offset."""
     w, h, x, y = struct.unpack_from(">IIII", data, 0)
+    if w * h > 64_000_000 or w < 1 or h < 1:
+        # shared sanity cap: a corrupted header must not drive a
+        # multi-gigabyte allocation (text/halftone/refinement regions
+        # allocate (h, w) up front)
+        raise ValueError("JBIG2: implausible region size")
     op = data[16] & 7
     return w, h, x, y, op, 17
 
@@ -1319,6 +1334,8 @@ def _decode_symbol_segment(seg: Segment, dicts: Dict[int, List[np.ndarray]],
         rat, o = _read_at(data, o, 2)
     num_ex, num_new = struct.unpack_from(">II", data, o)
     o += 8
+    if num_new > 100_000 or num_ex > 100_000:
+        raise ValueError("JBIG2: implausible symbol count")
     input_symbols: List[np.ndarray] = []
     reftables: List[HuffmanTable] = []
     for r in seg.referred:

@@ -1141,3 +1141,41 @@ def test_halftone_skewed_grid_and_skip():
                 continue
             J._compose(expect, pats[int(gray[m, n])], px, py, 0)
     assert np.array_equal(out, expect)
+
+
+def test_corrupted_streams_fail_cleanly():
+    """Truncations and byte flips over every stream family must either
+    decode or raise promptly — never hang or crash the process (the PDF
+    image layer catches and falls back to the gray placeholder)."""
+    rng = rnd(99)
+    streams = []
+    bm = (rng.rand(16, 20) < 0.4).astype(np.uint8)
+    streams.append(page_info(20, 16) + generic_region_seg(bm))
+    box = np.ones((6, 4), dtype=np.uint8)
+    d1, o1 = symbol_dict_seg([box])
+    streams.append(page_info(20, 16) + d1
+                   + text_region_seg(20, 16, [(2, [(1, 0)])], nsyms=1,
+                                     widths=(4,)))
+    d2, o2 = huffman_symbol_dict_seg([box], mmr=True)
+    streams.append(page_info(20, 16) + d2
+                   + huffman_text_region_seg(20, 16, [(2, [(1, 0)])], o2))
+    pd, pats = pattern_dict_seg(4, 4, 4)
+    gray = rng.randint(0, 4, (3, 4)).astype(np.int64)
+    streams.append(page_info(20, 16) + pd
+                   + halftone_region_seg(20, 16, gray, 4, 4, 4))
+    for si, stream in enumerate(streams):
+        for trial in range(60):
+            mode = trial % 3
+            data = bytearray(stream)
+            if mode == 0:
+                data = data[: rng.randint(1, len(data))]
+            elif mode == 1:
+                data[rng.randint(0, len(data))] ^= 1 << rng.randint(0, 8)
+            else:
+                data = data[: rng.randint(1, len(data))]
+                if data:
+                    data[rng.randint(0, len(data))] ^= 0xFF
+            try:
+                J.decode_jbig2(bytes(data), None, 20, 16)
+            except Exception:
+                pass  # clean failure is fine; hanging is not
