@@ -84,6 +84,8 @@ class _LoadedFont:
         self.vertical = False
         self.dw2 = (0.88, -1.0)  # /DW2 default [880 -1000] (/1000)
         self.w2: Dict[int, Tuple[float, float, float]] = {}  # cid -> w1,vx,vy
+        # Embedded CMap stream (PDF 9.7.5.3): variable-length code -> CID.
+        self.cmap = None
         self.cid_to_gid: Optional[bytes] = None  # CIDToGIDMap stream data
         self.differences: Dict[int, str] = {}  # /Encoding /Differences
         # Type 3 fonts (PDF 9.6.4): glyphs are content streams.
@@ -93,6 +95,9 @@ class _LoadedFont:
         self.t3_resources: dict = {}
 
     def codes_of_bytes(self, s: bytes) -> List[int]:
+        if self.cmap is not None:
+            # Embedded CMap: codespace-driven splitting, codes -> CIDs.
+            return [self.cmap.cid(n, c) for n, c in self.cmap.split(s)]
         if not self.two_byte:
             return list(s)
         return [
@@ -202,10 +207,20 @@ def _load_font(pdf, fd: dict) -> _LoadedFont:
     subtype = subtype.v if isinstance(subtype, P.Name) else ""
     if subtype == "Type0":
         lf.two_byte = True  # Identity-H/V is the overwhelmingly common case
-        encname = res(fd.get("Encoding"))
-        encname = encname.v if isinstance(encname, P.Name) else ""
-        # Predefined -V CMaps (Identity-V, UniJIS-*-V, ...) select WMode 1.
-        lf.vertical = encname.endswith("-V")
+        enc0 = res(fd.get("Encoding"))
+        if isinstance(enc0, P.Stream):
+            # Embedded CMap stream (PDF 9.7.5.3; BEYOND REFERENCE).
+            from ..io import cmap as CM
+
+            try:
+                lf.cmap = CM.parse_cmap(enc0.decode())
+                lf.vertical = lf.cmap.wmode == 1
+            except Exception:
+                lf.cmap = None
+        else:
+            encname = enc0.v if isinstance(enc0, P.Name) else ""
+            # Predefined -V CMaps (Identity-V, UniJIS-*-V, ...) = WMode 1.
+            lf.vertical = encname.endswith("-V")
         desc = res(fd.get("DescendantFonts"))
         child = res(desc[0]) if isinstance(desc, list) and desc else {}
         if isinstance(child, dict):

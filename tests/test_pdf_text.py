@@ -549,3 +549,82 @@ def test_type0_w2_overrides_vertical_advance():
     tight = make([gH, [-500, 300, 880]])
     loose = make(None)  # DW2 default -1000
     assert tight < loose - 8, (tight, loose)
+
+
+def test_parse_embedded_cmap():
+    from coherence_tpu.io import cmap as CM
+
+    src = b"""%!PS-Adobe-3.0 Resource-CMap
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/Identity-H usecmap
+/CMapName /Custom-V def
+/WMode 1 def
+2 begincodespacerange
+<00> <7F>
+<8140> <9FFC>
+endcodespacerange
+2 begincidrange
+<20> <7E> 1
+<8140> <817E> 633
+endcidrange
+1 begincidchar
+<8230> 1000
+endcidchar
+endcmap
+CMapName currentdict /CMap defineresource pop
+end end"""
+    cm = CM.parse_cmap(src)
+    assert cm.wmode == 1
+    assert cm.base is CM.IDENTITY_H
+    # 1-byte space, 2-byte kanji range
+    assert cm.split(b"\x20\x81\x41\x7e") == [(1, 0x20), (2, 0x8141), (1, 0x7E)]
+    assert cm.cid(1, 0x20) == 1
+    assert cm.cid(1, 0x7E) == 95
+    assert cm.cid(2, 0x8141) == 634
+    assert cm.cid(2, 0x8230) == 1000
+    # unmapped codes fall through to the usecmap base
+    assert cm.cid(2, 0xBEEF) == 0xBEEF
+
+
+def test_type0_embedded_cmap_renders_single_byte_codes():
+    """An embedded CMap with a 1-byte codespace maps latin bytes to CIDs;
+    the glyph paints identically to the Identity-H 2-byte form."""
+    data = open(DEJAVU, "rb").read()
+    f = TT.TrueTypeFont(data)
+    gA = f.gid_of_unicode(ord("A"))
+    ff = Stream({"Filter": Name("FlateDecode"), "Length1": len(data)},
+                zlib.compress(data))
+    cmap_src = ("""/CIDInit /ProcSet findresource begin
+begincmap
+/WMode 0 def
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 begincidchar
+<41> %d
+endcidchar
+endcmap end""" % gA).encode()
+    child = {
+        "Type": Name("Font"), "Subtype": Name("CIDFontType2"),
+        "BaseFont": Name("DejaVuSans"), "DW": 700,
+        "CIDSystemInfo": {"Registry": b"Adobe", "Ordering": b"Identity"},
+        "FontDescriptor": {"Type": Name("FontDescriptor"), "FontFile2": ff},
+    }
+    font = {
+        "Type": Name("Font"), "Subtype": Name("Type0"),
+        "BaseFont": Name("DejaVuSans"),
+        "Encoding": Stream({}, cmap_src),
+        "DescendantFonts": [child],
+    }
+    content = b"BT /F1 50 Tf 20 20 Td (A) Tj ET"
+    pdf = mkpage(content, mediabox=(0, 0, 120, 100),
+                 resources={"Font": {"F1": font}})
+    scene, spr = _render(pdf, (1, 1, 120, 100))
+    assert spr is not None and len(scene) == 1
+    m = np.asarray(spr.mask)
+    assert int(m.sum()) > 200
+    midrow = m[m.shape[0] // 3]
+    runs = np.diff(midrow.astype(int)).clip(0).sum()
+    assert runs >= 2, "two strokes of the A"
