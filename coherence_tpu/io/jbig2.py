@@ -13,9 +13,8 @@ dictionaries + halftone regions (6.6/6.7: gray-coded bitplanes arithmetic
 or MMR, skewed grids, skip bitmaps), and the HUFFMAN variants (Annex B: standard tables B.1-B.15, custom table
 segments, runcode symbol-ID assignment, collective height-class bitmaps
 raw or MMR, refining dictionaries/regions with byte-aligned arithmetic
-refinement data).  The only unsupported corner is Huffman AGGREGATE
-symbol coding (REFAGGNINST > 1 under SDHUFF), which raises ``ValueError``
-(callers fall back to the gray placeholder).
+refinement data, and AGGREGATE symbol coding — REFAGGNINST > 1 under
+SDHUFF decodes the embedded fixed-length-code text region of 6.5.8.2.1).
 
 The MQ arithmetic coder (Annex E) and the integer/ID decoding procedures
 (Annex A) are transcribed from the spec.  ``tests/test_jbig2.py``
@@ -1000,15 +999,24 @@ def decode_text_region_huffman(
     r: BitReader, data: bytes, w: int, h: int, num_instances: int,
     symbols: List[np.ndarray], tabs: dict, log_strips: int, refcorner: int,
     transposed: int, comb_op: int, default_pixel: int, dsoffset: int,
-    refine: bool, rtemplate: int, rat) -> np.ndarray:
+    refine: bool, rtemplate: int, rat,
+    embedded_symcodelen=None) -> np.ndarray:
     """6.4.5 Huffman text region decoding.  ``tabs`` holds the selected
     FS/DS/DT/RDW/RDH/RDX/RDY/RSIZE tables; the symbol-ID code table is read
-    from ``r`` first (7.4.4.5), then the stream byte-aligns."""
+    from ``r`` first (7.4.4.5), then the stream byte-aligns.
+
+    With ``embedded_symcodelen`` the region is the aggregate bitmap of a
+    Huffman symbol dictionary (6.5.8.2.1, Table 17): symbol IDs are plain
+    fixed-length codes of that many bits and NO symbol-ID code table (or
+    byte alignment) precedes the instance data."""
     sbstrips = 1 << log_strips
     if num_instances > w * h + 1024:
         raise ValueError("JBIG2: implausible instance count")
-    symtab = read_symbol_code_table(r, len(symbols))
-    r.align()
+    if embedded_symcodelen is None:
+        symtab = read_symbol_code_table(r, len(symbols))
+        r.align()
+    else:
+        symtab = None
     bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
     stript = tabs["DT"].decode(r)
     if stript is OOB:
@@ -1036,7 +1044,8 @@ def decode_text_region_huffman(
             first = False
             curt = r.read(log_strips) if sbstrips > 1 else 0
             tt = stript + curt
-            sid = symtab.decode(r)
+            sid = (symtab.decode(r) if symtab is not None
+                   else r.read(embedded_symcodelen))
             if sid is OOB or sid >= len(symbols):
                 raise ValueError("JBIG2: symbol id out of range")
             sym = symbols[sid]
@@ -1118,27 +1127,50 @@ def decode_symbol_dict_huffman(
             totwidth += symwidth
             if sdrefagg:
                 refaggninst = tag.decode(r)
-                if refaggninst != 1:
-                    raise ValueError(
-                        "JBIG2: Huffman aggregate symbol coding unsupported"
-                    )
+                if refaggninst is OOB or refaggninst < 1:
+                    raise ValueError("JBIG2: bad REFAGGNINST")
                 allsofar = list(input_symbols) + new_symbols
-                sid = r.read(symcodelen)
-                rdx = standard_table(15).decode(r)
-                rdy = standard_table(15).decode(r)
-                bmsize = standard_table(1).decode(r)
-                if sid >= len(allsofar):
-                    raise ValueError("JBIG2: bad refinement reference")
-                r.align()
-                start = r.byte_offset
-                end = start + bmsize if bmsize else len(data)
-                mq = MQDecoder(data[start:end])
-                gr = Contexts(1 << 13)
-                bm = decode_refinement(
-                    mq, gr, symwidth, hcheight, rtemplate, rat,
-                    allsofar[sid], rdx, rdy, False,
-                )
-                r.pos = end * 8
+                if refaggninst == 1:
+                    # 6.5.8.2.2: single refinement of an earlier symbol.
+                    sid = r.read(symcodelen)
+                    rdx = standard_table(15).decode(r)
+                    rdy = standard_table(15).decode(r)
+                    bmsize = tbm.decode(r)  # SDHUFFBMSIZE (6.5.8.2.2)
+                    if (OOB in (rdx, rdy, bmsize) or bmsize < 0
+                            or sid >= len(allsofar)):
+                        raise ValueError("JBIG2: bad refinement reference")
+                    r.align()
+                    start = r.byte_offset
+                    end = start + bmsize if bmsize else len(data)
+                    mq = MQDecoder(data[start:end])
+                    gr = Contexts(1 << 13)
+                    bm = decode_refinement(
+                        mq, gr, symwidth, hcheight, rtemplate, rat,
+                        allsofar[sid], rdx, rdy, False,
+                    )
+                    r.pos = end * 8
+                else:
+                    # 6.5.8.2.1: aggregate bitmap as an embedded Huffman
+                    # text region with the Table-17 parameter assignments
+                    # (FS B.6, DS B.8, DT B.11, RD* B.15, RSIZE B.1;
+                    # fixed-length symbol codes; TOPLEFT, OR, strips=1).
+                    tabs17 = {
+                        "FS": standard_table(6),
+                        "DS": standard_table(8),
+                        "DT": standard_table(11),
+                        "RDW": standard_table(15),
+                        "RDH": standard_table(15),
+                        "RDX": standard_table(15),
+                        "RDY": standard_table(15),
+                        "RSIZE": standard_table(1),
+                    }
+                    bm = decode_text_region_huffman(
+                        r, data, symwidth, hcheight, refaggninst, allsofar,
+                        tabs17, log_strips=0, refcorner=1, transposed=0,
+                        comb_op=0, default_pixel=0, dsoffset=0,
+                        refine=True, rtemplate=rtemplate, rat=rat,
+                        embedded_symcodelen=symcodelen,
+                    )
                 new_symbols.append(bm)
             else:
                 hcwidths.append(symwidth)

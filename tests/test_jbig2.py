@@ -987,6 +987,66 @@ def test_huffman_refagg_symbol_dict():
     assert np.array_equal(out, expect)
 
 
+def test_huffman_aggregate_symbol_dict():
+    """SDHUFF + SDREFAGG with REFAGGNINST > 1: the new symbol decodes as an
+    embedded Huffman text region (6.5.8.2.1, Table 17) of two instances —
+    the imported symbol placed plain, then a refined copy beside it."""
+    base = np.zeros((6, 5), np.uint8)
+    base[:, 2] = 1
+    base[3, :] = 1
+    refined = np.zeros((6, 6), np.uint8)
+    refined[:, :5] = base
+    refined[0, 5] = 1
+    refined[5, 5] = 1
+    base_dict, _ = huffman_symbol_dict_seg([base], number=2)
+
+    bw = BitWriter()
+    b1, b2, b4, b6, b8, b11, b15 = (
+        J.standard_table(n) for n in (1, 2, 4, 6, 8, 11, 15))
+    huff_write(bw, b4, 6)    # DH: height class 6
+    huff_write(bw, b2, 12)   # DW: aggregate symbol is 6x12
+    huff_write(bw, b1, 2)    # REFAGGNINST = 2
+    symcodelen = 1           # total symbols = 1 input + 1 new
+    # Embedded text region (no symbol-ID code table, no alignment).
+    huff_write(bw, b11, 1)   # STRIPT = -1
+    huff_write(bw, b11, 1)   # strip at T = 0
+    huff_write(bw, b6, 0)    # FS: S = 0
+    bw.write(0, symcodelen)  # symbol id 0 (the import)
+    bw.write(0, 1)           # RI = 0: plain placement
+    huff_write(bw, b8, 2)    # DS: next S = curs(4) + 2 = 6
+    bw.write(0, symcodelen)  # symbol id 0 again
+    bw.write(1, 1)           # RI = 1: refined instance
+    for v in (1, 0, 0, 0):   # RDW/RDH/RDX/RDY (refined is 6x6)
+        huff_write(bw, b15, v)
+    enc = J.MQEncoder()
+    gr = J.Contexts(1 << 13)
+    J.encode_refinement(enc, gr, refined, 0, None, base, 0, 0, False)
+    payload = enc.flush()
+    huff_write(bw, b1, len(payload))  # RSIZE (B.1)
+    bw.append_bytes(payload)          # byte-aligned MQ refinement data
+    huff_write(bw, b8, J.OOB)         # end of strip
+    huff_write(bw, b2, J.OOB)         # end of height class
+    huff_write(bw, b1, 0)    # export runs: skip 0
+    huff_write(bw, b1, 2)    # export both symbols
+    flags = 1 | (1 << 1)     # SDHUFF | SDREFAGG
+    rat = b"".join(struct.pack(">bb", ax, ay) for ax, ay in J.NOMINAL_R_AT)
+    data = (struct.pack(">H", flags) + rat + struct.pack(">II", 2, 1)
+            + bw.tobytes())
+    agg_dict = seg(3, 0, [2], 1, data)
+
+    aggregate = np.zeros((6, 12), np.uint8)
+    J._compose(aggregate, base, 0, 0, 0)
+    J._compose(aggregate, refined, 6, 0, 0)
+    text = text_region_seg(30, 10, [(2, [(1, 0), (8, 1)])], nsyms=2,
+                           widths=(5, 12), number=4, referred=(3,))
+    stream = page_info(30, 10) + base_dict + agg_dict + text
+    out = _unpack(J.decode_jbig2(stream, None, 30, 10), 30, 10)
+    expect = np.zeros((10, 30), np.uint8)
+    J._compose(expect, base, 1, 2, 0)
+    J._compose(expect, aggregate, 8, 2, 0)
+    assert np.array_equal(out, expect)
+
+
 def test_huffman_custom_table_in_text_region():
     # Custom DT table (selector 3) carried by a type-53 segment.
     bw = BitWriter()
