@@ -615,6 +615,7 @@ def pdf_of_bytes(data: bytes) -> Pdf:
     # direct `N G obj` found by the scan wins over a compressed copy (it is
     # the incremental-update form).
     proto = Pdf(objects, {})
+    direct_nums = set(objects)
     for obj in list(objects.values()):
         if isinstance(obj, Stream):
             obj._pdf = proto
@@ -631,7 +632,10 @@ def pdf_of_bytes(data: bytes) -> Pdf:
                         off = int(head.next_token())
                         pairs.append((num, off))
                     for num, off in pairs:
-                        if num not in objects:
+                        # Streams iterate in file order, so a later ObjStm
+                        # (an incremental update) overrides an earlier
+                        # compressed copy — but never a direct `N G obj`.
+                        if num not in direct_nums:
                             objects[num] = _Parser(body, first + off).parse()
                 except Exception:
                     continue

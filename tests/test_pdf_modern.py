@@ -263,6 +263,34 @@ def test_direct_object_wins_over_objstm_copy():
     assert pdf.resolve(pdf.pages()[0]["MediaBox"]) == [0, 0, 50, 50]
 
 
+def test_later_objstm_wins_over_earlier():
+    # Incremental-update form where the update itself is compressed: a
+    # second ObjStm appended to the file redefines object 3 — the LATER
+    # compressed copy must win over the original one.
+    data = _modern_pdf_bytes()
+    page = {
+        "Type": Name("Page"),
+        "Parent": Ref(2),
+        "MediaBox": [0, 0, 70, 70],
+        "Resources": {},
+        "Contents": Ref(5),
+    }
+    body = _ser(page) + b"\n"
+    head = b"3 0\n"
+    payload = zlib.compress(head + body)
+    update = (
+        b"7 0 obj\n<< /Type /ObjStm /N 1 /First "
+        + str(len(head)).encode()
+        + b" /Length "
+        + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    pdf = pdf_of_bytes(data + update)
+    assert pdf.resolve(pdf.pages()[0]["MediaBox"]) == [0, 0, 70, 70]
+
+
 # ---------------------------------------------------------------------------
 # Function types 0 and 4 (Pdffun parity, pdfgraphics.mli:37-49)
 # ---------------------------------------------------------------------------
