@@ -436,7 +436,14 @@ def eval_function(f: PdfFunction, t):
     """Evaluate at input(s) `t` — a scalar for 1-in functions or a sequence
     for multi-input (Type 0/4) ones — clamped to the domain.  All four
     kinds per the PDF spec (Pdffun.eval_function parity); outputs clamp to
-    /Range when present."""
+    /Range when present.  A tuple of functions (the /Function-array form:
+    n separate 1-out functions, one per colour component) evaluates each
+    and concatenates the outputs."""
+    if isinstance(f, tuple):
+        out = []
+        for sub in f:
+            out.extend(eval_function(sub, t))
+        return tuple(out)
     ts = [float(v) for v in t] if isinstance(t, (tuple, list)) else [float(t)]
     t = min(max(ts[0], f.domain[0]), f.domain[1])
     if f.kind == 2:
@@ -1053,10 +1060,19 @@ def read_shading(pdf: Pdf, matrix: Matrix, extgstate, sh) -> Shading:
         return (False, False)
 
     if st == 1:
+        fn1 = pdf.resolve(dd.get("Function"))
+        if isinstance(fn1, list):
+            # /Function array: n 1-out functions, one per component.
+            parsed1 = (tuple(parse_function(pdf, x) for x in fn1)
+                       if fn1 else None)
+            if parsed1 is not None and len(parsed1) == 1:
+                parsed1 = parsed1[0]
+        else:
+            parsed1 = parse_function(pdf, fn1) if fn1 is not None else None
         kind = FunctionShadingK(
             floats("Domain", 4, (0.0, 1.0, 0.0, 1.0)),
             _matrix_entry(pdf, dd),
-            parse_function(pdf, dd.get("Function")),
+            parsed1,
         )
     elif st == 2:
         kind = AxialShadingK(
@@ -2037,7 +2053,10 @@ def _shading_dict(s: Shading):
         d["Domain"] = list(k.domain)
         if k.matrix != _ID:
             d["Matrix"] = list(k.matrix)
-        d["Function"] = _function_dict(k.function)
+        if isinstance(k.function, tuple):
+            d["Function"] = [_function_dict(f) for f in k.function]
+        elif k.function is not None:
+            d["Function"] = _function_dict(k.function)
     elif isinstance(k, MeshShadingK) and k.triangles:
         # Any mesh kind re-serializes as free-form Gouraud triangles
         # (type 4): patches were already subdivided at read time.

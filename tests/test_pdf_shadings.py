@@ -395,3 +395,55 @@ def test_function_shading_type1_renders():
     mid = at(50, 40)
     assert 90 < mid[0] < 160, mid
     cache.clear()
+
+
+def test_function_shading_type1_function_array_renders():
+    """Type 1 with /Function as an ARRAY of n one-out functions (one per
+    colour component, PDF 8.7.4.5.2) — outputs concatenate per component."""
+    from coherence_tpu.io.pdf import Stream
+
+    cache.clear()
+    mk = lambda body: Stream(
+        {
+            "FunctionType": 4,
+            "Domain": [0.0, 100.0, 0.0, 100.0],
+            "Range": [0.0, 1.0],
+        },
+        body,
+    )
+    fns = [
+        mk(b"{ pop 100 div }"),          # r = x/100
+        mk(b"{ pop pop 0 }"),            # g = 0
+        mk(b"{ pop 100 div neg 1 add }"),  # b = 1 - x/100
+    ]
+    sh = Stream(
+        {
+            "ShadingType": 1,
+            "ColorSpace": Name("DeviceRGB"),
+            "Domain": [0.0, 100.0, 0.0, 100.0],
+            "Function": fns,
+        },
+        b"",
+    )
+    pdf = mkpage(
+        b"/Sh0 sh", mediabox=(0, 0, 100, 80), resources={"Shading": {"Sh0": sh}}
+    )
+    g = PG.graphic_of_page(pdf, _page_dict(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    assert scene
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 100, 80)))
+    x0, y0, _, _ = spr.box
+    r4 = np.asarray(spr.rgba)
+    left = r4[40 - y0, 10 - x0]
+    right = r4[40 - y0, 90 - x0]
+    assert left[3] > 200 and right[3] > 200
+    assert left[0] < 60 and left[2] > 190, left    # blue at x=10
+    assert right[0] > 190 and right[2] < 60, right  # red at x=90
+    # The writer round-trips the array form.
+    out = PG.page_of_graphic(g, mediabox=(0, 0, 100, 80))
+    pdf2 = pdf_of_bytes(pdf_to_bytes(out))
+    g2 = PG.graphic_of_page(pdf2, _page_dict(pdf2))
+    sh2 = next(e for e in g2.elements if isinstance(e, PG.GShading))
+    assert isinstance(sh2.shading.kind.function, tuple)
+    assert len(sh2.shading.kind.function) == 3
+    cache.clear()
