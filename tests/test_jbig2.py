@@ -987,10 +987,9 @@ def test_huffman_refagg_symbol_dict():
     assert np.array_equal(out, expect)
 
 
-def test_huffman_aggregate_symbol_dict():
-    """SDHUFF + SDREFAGG with REFAGGNINST > 1: the new symbol decodes as an
-    embedded Huffman text region (6.5.8.2.1, Table 17) of two instances —
-    the imported symbol placed plain, then a refined copy beside it."""
+def _huffman_aggregate_stream():
+    """Full stream for an SDHUFF+SDREFAGG dictionary whose new symbol is an
+    embedded two-instance text region; returns (stream, base, refined)."""
     base = np.zeros((6, 5), np.uint8)
     base[:, 2] = 1
     base[3, :] = 1
@@ -1033,13 +1032,19 @@ def test_huffman_aggregate_symbol_dict():
     data = (struct.pack(">H", flags) + rat + struct.pack(">II", 2, 1)
             + bw.tobytes())
     agg_dict = seg(3, 0, [2], 1, data)
+    text = text_region_seg(30, 10, [(2, [(1, 0), (8, 1)])], nsyms=2,
+                           widths=(5, 12), number=4, referred=(3,))
+    return page_info(30, 10) + base_dict + agg_dict + text, base, refined
 
+
+def test_huffman_aggregate_symbol_dict():
+    """SDHUFF + SDREFAGG with REFAGGNINST > 1: the new symbol decodes as an
+    embedded Huffman text region (6.5.8.2.1, Table 17) of two instances —
+    the imported symbol placed plain, then a refined copy beside it."""
+    stream, base, refined = _huffman_aggregate_stream()
     aggregate = np.zeros((6, 12), np.uint8)
     J._compose(aggregate, base, 0, 0, 0)
     J._compose(aggregate, refined, 6, 0, 0)
-    text = text_region_seg(30, 10, [(2, [(1, 0), (8, 1)])], nsyms=2,
-                           widths=(5, 12), number=4, referred=(3,))
-    stream = page_info(30, 10) + base_dict + agg_dict + text
     out = _unpack(J.decode_jbig2(stream, None, 30, 10), 30, 10)
     expect = np.zeros((10, 30), np.uint8)
     J._compose(expect, base, 1, 2, 0)
@@ -1223,6 +1228,7 @@ def test_corrupted_streams_fail_cleanly():
     gray = rng.randint(0, 4, (3, 4)).astype(np.int64)
     streams.append(page_info(20, 16) + pd
                    + halftone_region_seg(20, 16, gray, 4, 4, 4))
+    streams.append(_huffman_aggregate_stream()[0])
     for si, stream in enumerate(streams):
         for trial in range(60):
             mode = trial % 3
