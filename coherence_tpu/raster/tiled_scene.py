@@ -1302,8 +1302,10 @@ def render_sharded(ts: TiledScene, background, order, mesh, interpret: bool = Fa
     """Multi-chip frame render: tile ROWS shard over the mesh; each device
     runs the tiled kernel on its band with its own per-tile lists.
 
-    The atlas replicates (object rasters are small); the per-band scalar
-    lists are built host-side and stacked with padding.  Compositing is
+    The atlas is BANDED, not replicated: `BandedAtlas` repacks each band's
+    referenced pieces into a per-device shard (~1/n_dev of the global atlas
+    bytes) and the per-band scalar lists index BAND-LOCAL slots.  The lists
+    are built host-side and stacked with padding.  Compositing is
     spatially local, so there is no cross-device communication at all —
     scale-out is embarrassingly parallel until filters need halos
     (parallel/mesh.blur_pass handles those via sharded convs).
@@ -1431,7 +1433,8 @@ def render_dirty_sharded(
 ):
     """Multi-chip IN-PLACE dirty-tile re-render: the frame shards by tile
     rows over the mesh; each device re-renders its band's dirty tiles with
-    the compacted-grid kernel (_kernel_subset).  The atlas replicates; the
+    the compacted-grid kernel (_kernel_subset).  The atlas is BANDED
+    (`BandedAtlas`, ~1/n_dev bytes per device, band-local slot ids); the
     per-band scalar lists are built host-side and stacked.  No cross-device
     communication — dirty tiles are spatially local to their band.
 

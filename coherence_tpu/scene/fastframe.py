@@ -867,9 +867,11 @@ class DeviceView:
     def use_mesh(self, mesh, interpret: bool = False):
         """Shard this view's frame by tile rows over `mesh` (the production
         multi-chip path): full renders go through render_sharded, dirty
-        renders through render_dirty_sharded — per-band Pallas kernels, the
-        atlas replicated, zero cross-device traffic.  `interpret` runs the
-        Pallas kernels in interpret mode (CPU meshes)."""
+        renders through render_dirty_sharded — per-band Pallas kernels over
+        a BANDED atlas (`raster.tiled_scene.BandedAtlas`: each device holds
+        only its band's referenced pieces, ~1/n_dev of the global atlas
+        bytes), zero cross-device traffic.  `interpret` runs the Pallas
+        kernels in interpret mode (CPU meshes)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert self.ts.nty % mesh.devices.size == 0, (mesh, self.ts.nty)
