@@ -880,10 +880,41 @@ class Engine:
 
         movex = lambda n: (lambda o: R.transform_renderobject(tr.Translate(n, 0.0), o))
         movexy = lambda p: (lambda o: R.transform_renderobject(tr.Translate(*p), o))
+
+        def border_of_obj(width, colour, obj):
+            """Stroked-border highlight of a Path / Path-filter object
+            (engine.ml:1315-1330): same path, mitred 1-px stroke, the
+            object's own transform, Over."""
+            geom = obj.geometry
+            if isinstance(geom, R.FilterG):
+                geom = geom.filter.geometry
+            if not (isinstance(geom, R.Basic) and isinstance(geom.shape, R.PathShape)):
+                raise ValueError("Can't use border here")
+            spec = gshapes.StrokeSpec(
+                startcap=gshapes.ButtCap,
+                join=gshapes.MitredJoin,
+                endcap=gshapes.ButtCap,
+                mitrelimit=1.0,
+                linewidth=width,
+            )
+            return R.Obj(
+                ident.new_ids(),
+                R.Basic(rfills.plain(colour), R.StrokedPathShape(geom.shape.path, spec)),
+                obj.transform,
+                R.OVER,
+            )
+
+        bordercol = C.dissolve(C.black, delta=128)
+        wf = move(R.Centre, (150.0, 550.0))(E.wireframe())
+        bf = move(R.Centre, (300.0, 550.0))(E.blurfilter())
+        mf = move(R.Centre, (450.0, 550.0))(E.monofilter())
         objs = [
-            move(R.Centre, (150.0, 550.0))(E.wireframe()),
-            move(R.Centre, (300.0, 550.0))(E.blurfilter()),
-            move(R.Centre, (450.0, 550.0))(E.monofilter()),
+            border_of_obj(1.0, bordercol, wf),
+            wf,
+            border_of_obj(1.0, bordercol, bf),
+            bf,
+            border_of_obj(1.0, bordercol, mf),
+            mf,
             move(R.TopLeft, (50.0, 10.0))(scale(1.3)(flipy(E.mintext1()))),
             move(R.Centre, (300.0, 150.0))(scale(0.6)(E.brushcircle())),
             move(R.Centre, (450.0, 350.0))(fade(128)(blur(3)(scale(2.0)(flipy(E.logo()))))),

@@ -304,3 +304,31 @@ def test_frag_debug_window_mirrors_fragments():
     # The debug window received the same fragment pixels.
     assert tuple(fb[30, 30]) == (255, 0, 0)
     assert eng.old_debug_coords is not None
+
+
+def test_opendemos_filter_borders():
+    """The Minimal Rendering demo frames each of the three filter objects
+    with a 1-px dissolved-black stroked border (engine.ml:1315-1332,
+    1361-1368): border objects precede their filter object, share its
+    transform, and render visible stroke pixels."""
+    eng = A.Engine()
+    eng.opendemos()
+    view = eng.views[0]
+    scene = view.scene
+    for i in (0, 2, 4):
+        border, obj = scene[i], scene[i + 1]
+        assert isinstance(border.geometry, R.Basic)
+        assert isinstance(border.geometry.shape, R.StrokedPathShape)
+        spec = border.geometry.shape.spec
+        assert spec.linewidth == 1.0 and spec.join == gshapes.MitredJoin
+        assert border.transform == obj.transform
+        inner = obj.geometry.filter.geometry
+        assert border.geometry.shape.path is inner.shape.path
+    # The first border strokes the wireframe filter's circle: rendering it
+    # alone must paint ring pixels.
+    border = scene[0]
+    box = R.bounds_of_basicshape(border)
+    spr = R.render_simple_scene([border], region.shape_of_box(box))
+    canvas = region.flatten_sprite(0, spr, C.clear)
+    arr = np.asarray(canvas.rgba)
+    assert (arr[..., 3] > 0).any()
