@@ -1,11 +1,11 @@
-"""Standard-14 font metrics from AFM files (PDF 9.6.2.2: the base fonts'
-widths may be omitted from the font dictionary; a conforming reader knows
-them).  BEYOND REFERENCE: the reference never rasterizes text, so it needs
-no metrics at all; here the matplotlib-bundled URW AFMs (metric-compatible
-clones: Nimbus Sans/Roman/Mono, Standard Symbols, Dingbats) supply exact
-advances for non-embedded standard fonts.  Everything degrades gracefully
-to the fallback face's own advances when matplotlib is absent.
-"""
+"""Standard-14 font metrics (PDF 9.6.2.2: the base fonts' widths may be
+omitted from the font dictionary; a conforming reader knows them).  BEYOND
+REFERENCE: the reference never rasterizes text, so it needs no metrics at
+all; here a bundled widths table (``data/std14_widths.txt.gz``, generated
+from the URW metric-compatible clones of the Adobe 14: Nimbus
+Sans/Roman/Mono, Standard Symbols, Dingbats) supplies exact advances for
+non-embedded standard fonts with NO environment dependency.  matplotlib's
+AFMs remain the cross-validation oracle in tests only."""
 
 from __future__ import annotations
 
@@ -64,50 +64,83 @@ def std14_name(base_font: str) -> Optional[str]:
     return fam
 
 
-def _afm_dir() -> Optional[str]:
-    try:
-        import matplotlib
-    except Exception:
-        return None
-    p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data", "fonts", "afm")
-    return p if os.path.isdir(p) else None
-
-
 _CHAR_RE = re.compile(rb"C\s+(-?\d+)\s*;\s*WX\s+(-?\d+)\s*;\s*N\s+(\S+)\s*;")
 
 # (code -> width, glyphname -> width) per standard-14 name; None = no AFM.
 _CACHE: Dict[str, Optional[Tuple[Dict[int, float], Dict[str, float]]]] = {}
 
 
+def _load_bundled() -> None:
+    """Parse the bundled widths table into _CACHE (all 14 fonts at once)."""
+    import gzip
+
+    path = os.path.join(os.path.dirname(__file__), "data", "std14_widths.txt.gz")
+    with gzip.open(path, "rt", encoding="ascii") as f:
+        font = None
+        by_code: Dict[int, float] = {}
+        by_name: Dict[str, float] = {}
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("["):
+                if font is not None:
+                    _CACHE[font] = (by_code, by_name)
+                font = line[1:-1]
+                by_code, by_name = {}, {}
+            else:
+                code_s, wx_s, name = line.split(" ", 2)
+                code, wx = int(code_s), float(wx_s)
+                by_name[name] = wx
+                if code >= 0:
+                    by_code[code] = wx
+        if font is not None:
+            _CACHE[font] = (by_code, by_name)
+
+
+def matplotlib_afm_widths(std_name: str):
+    """Width tables parsed straight from matplotlib's bundled URW AFM files
+    — the cross-validation ORACLE for the bundled table; returns None when
+    matplotlib is absent.  Production code uses afm_widths()."""
+    try:
+        import matplotlib
+    except Exception:
+        return None
+    stem = _AFM_STEMS.get(std_name)
+    if stem is None:
+        return None
+    path = os.path.join(
+        os.path.dirname(matplotlib.__file__), "mpl-data", "fonts", "afm", stem + ".afm"
+    )
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    by_code: Dict[int, float] = {}
+    by_name: Dict[str, float] = {}
+    for m in _CHAR_RE.finditer(data):
+        code, wx, name = int(m.group(1)), float(m.group(2)), m.group(3).decode("ascii")
+        by_name[name] = wx
+        if code >= 0:
+            by_code[code] = wx
+    return (by_code, by_name) if by_name else None
+
+
 def afm_widths(std_name: str):
     """``(by_code, by_name)`` width tables in glyph units (1000/em) for a
     standard-14 name, or None.  ``by_code`` uses the AFM's own default
     encoding (AdobeStandard for the text faces; the builtin symbolic
-    encodings for Symbol/ZapfDingbats)."""
+    encodings for Symbol/ZapfDingbats).  Served from the bundled table —
+    no environment dependency."""
     got = _CACHE.get(std_name, "miss")
     if got != "miss":
         return got
-    out = None
-    stem = _AFM_STEMS.get(std_name)
-    d = _afm_dir() if stem else None
-    if d is not None:
-        path = os.path.join(d, stem + ".afm")
-        try:
-            with open(path, "rb") as f:
-                data = f.read()
-            by_code: Dict[int, float] = {}
-            by_name: Dict[str, float] = {}
-            for m in _CHAR_RE.finditer(data):
-                code, wx, name = int(m.group(1)), float(m.group(2)), m.group(3).decode("ascii")
-                by_name[name] = wx
-                if code >= 0:
-                    by_code[code] = wx
-            if by_name:
-                out = (by_code, by_name)
-        except Exception:
-            out = None
-    _CACHE[std_name] = out
-    return out
+    if std_name not in _AFM_STEMS:
+        _CACHE[std_name] = None
+        return None
+    _load_bundled()
+    return _CACHE.get(std_name)
 
 
 # WinAnsiEncoding code -> glyph name (PDF 32000-1 Annex D.2).  ASCII shares

@@ -1,7 +1,9 @@
 """Standard-14 font metrics (PDF 9.6.2.2: /Widths may be omitted for the
 base fonts; the reader knows them) — BEYOND REFERENCE: exact advances from
-the matplotlib-bundled URW AFM clones, applied when a non-embedded
-standard font carries no /Widths."""
+the BUNDLED widths table (data/std14_widths.txt.gz, generated from the URW
+AFM clones), applied when a non-embedded standard font carries no /Widths.
+No environment dependency; matplotlib is only the cross-validation oracle
+in test_bundled_matches_matplotlib_afms."""
 
 import pytest
 
@@ -9,9 +11,21 @@ from coherence_tpu.io import afm
 from coherence_tpu.io.pdf import Name, mkpage
 from coherence_tpu.scene import pdftext
 
-pytestmark = pytest.mark.skipif(
-    afm.afm_widths("Helvetica") is None, reason="matplotlib AFMs unavailable"
-)
+
+def test_bundled_table_always_available():
+    for name in afm._AFM_STEMS:
+        got = afm.afm_widths(name)
+        assert got is not None, name
+        by_code, by_name = got
+        assert len(by_name) > 180 and len(by_code) > 140, name
+
+
+def test_bundled_matches_matplotlib_afms():
+    """Cross-validate every bundled entry against the matplotlib AFM oracle."""
+    if afm.matplotlib_afm_widths("Helvetica") is None:
+        pytest.skip("matplotlib AFMs unavailable")
+    for name in afm._AFM_STEMS:
+        assert afm.afm_widths(name) == afm.matplotlib_afm_widths(name), name
 
 
 def test_known_adobe_widths():
