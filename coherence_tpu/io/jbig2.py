@@ -1139,9 +1139,19 @@ def decode_symbol_dict_huffman(
                     if (OOB in (rdx, rdy, bmsize) or bmsize < 0
                             or sid >= len(allsofar)):
                         raise ValueError("JBIG2: bad refinement reference")
+                    if bmsize == 0:
+                        # An implicit-length refinement bitmap: resuming the
+                        # Huffman stream would need the MQ decoder's exact
+                        # byte consumption (ambiguous through its lookahead).
+                        # Fail cleanly rather than silently eating the rest
+                        # of the segment and corrupting later symbols.
+                        raise ValueError(
+                            "JBIG2: BMSIZE=0 refinement in symbol dictionary "
+                            "unsupported"
+                        )
                     r.align()
                     start = r.byte_offset
-                    end = start + bmsize if bmsize else len(data)
+                    end = start + bmsize
                     mq = MQDecoder(data[start:end])
                     gr = Contexts(1 << 13)
                     bm = decode_refinement(

@@ -566,6 +566,10 @@ def pdf_of_bytes(data: bytes) -> Pdf:
     """
     objects: Dict[int, PdfObj] = {}
     gens: Dict[int, int] = {}
+    # File offset of each object number's winning definition: incremental
+    # updates append, so LATER byte offset = newer definition, whether the
+    # definition is a direct `N G obj` or lives inside a later ObjStm.
+    obj_off: Dict[int, int] = {}
     for m in _OBJ_RE.finditer(data):
         # Reject matches inside streams by attempting a parse; later
         # definitions override earlier ones (incremental updates).
@@ -603,6 +607,7 @@ def pdf_of_bytes(data: bytes) -> Pdf:
         else:
             lex.p = save
         objects[num] = obj
+        obj_off[num] = m.start()
     # Resolve Ref lengths now that all objects are known.
     for obj in objects.values():
         if isinstance(obj, Stream):
@@ -611,34 +616,41 @@ def pdf_of_bytes(data: bytes) -> Pdf:
                 obj.raw = obj.raw[: objects[length.num]]
     _decrypt_objects(objects, gens, data)
     # Unpack object streams (PDF 7.5.7): decode each /Type /ObjStm, parse
-    # the (objnum, offset) header pairs, then each contained object.  A
-    # direct `N G obj` found by the scan wins over a compressed copy (it is
-    # the incremental-update form).
+    # the (objnum, offset) header pairs, then each contained object.
+    # Precedence is by FILE OFFSET of the defining container: a compressed
+    # copy wins iff its ObjStm's `N G obj` appears later in the file than
+    # the current winning definition (direct or another ObjStm's) — so an
+    # Acrobat full save with object streams correctly overrides stale
+    # direct objects from earlier revisions, and vice versa.
     proto = Pdf(objects, {})
-    direct_nums = set(objects)
-    for obj in list(objects.values()):
+    for obj in objects.values():
         if isinstance(obj, Stream):
             obj._pdf = proto
-            t = obj.dict.get("Type")
-            if isinstance(t, Name) and t.v == "ObjStm":
-                try:
-                    body = obj.decode()
-                    n = proto.resolve(obj.dict.get("N", 0))
-                    first = proto.resolve(obj.dict.get("First", 0))
-                    head = _Lexer(body[:first])
-                    pairs = []
-                    for _ in range(int(n)):
-                        num = int(head.next_token())
-                        off = int(head.next_token())
-                        pairs.append((num, off))
-                    for num, off in pairs:
-                        # Streams iterate in file order, so a later ObjStm
-                        # (an incremental update) overrides an earlier
-                        # compressed copy — but never a direct `N G obj`.
-                        if num not in direct_nums:
-                            objects[num] = _Parser(body, first + off).parse()
-                except Exception:
-                    continue
+    objstms = sorted(
+        (obj_off.get(num, -1), num)
+        for num, obj in objects.items()
+        if isinstance(obj, Stream)
+        and isinstance(obj.dict.get("Type"), Name)
+        and obj.dict["Type"].v == "ObjStm"
+    )
+    for stm_off, stm_num in objstms:
+        obj = objects[stm_num]
+        try:
+            body = obj.decode()
+            n = proto.resolve(obj.dict.get("N", 0))
+            first = proto.resolve(obj.dict.get("First", 0))
+            head = _Lexer(body[:first])
+            pairs = []
+            for _ in range(int(n)):
+                num = int(head.next_token())
+                off = int(head.next_token())
+                pairs.append((num, off))
+            for num, off in pairs:
+                if obj_off.get(num, -1) < stm_off:
+                    objects[num] = _Parser(body, first + off).parse()
+                    obj_off[num] = stm_off
+        except Exception:
+            continue
     # Trailer(s): scan for `trailer` dicts; merge (later wins for Root).
     # Xref-stream files have no `trailer` keyword — their /Type /XRef
     # stream dict IS the trailer (PDF 7.5.8.2), so merge those too.

@@ -291,6 +291,47 @@ def test_later_objstm_wins_over_earlier():
     assert pdf.resolve(pdf.pages()[0]["MediaBox"]) == [0, 0, 70, 70]
 
 
+def test_later_objstm_wins_over_earlier_direct():
+    # Acrobat full-save form: a direct object from an old revision followed
+    # by an ObjStm update that recompresses it.  Precedence is by file
+    # offset of the defining container, so the LATER ObjStm copy must beat
+    # the stale direct `3 0 obj`.
+    data = _modern_pdf_bytes()
+    direct = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 50 50] "
+        b"/Resources << >> /Contents 5 0 R >>\nendobj\n"
+    )
+    page = {
+        "Type": Name("Page"),
+        "Parent": Ref(2),
+        "MediaBox": [0, 0, 80, 80],
+        "Resources": {},
+        "Contents": Ref(5),
+    }
+    body = _ser(page) + b"\n"
+    head = b"3 0\n"
+    payload = zlib.compress(head + body)
+    update = (
+        b"7 0 obj\n<< /Type /ObjStm /N 1 /First "
+        + str(len(head)).encode()
+        + b" /Length "
+        + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    pdf = pdf_of_bytes(data + direct + update)
+    assert pdf.resolve(pdf.pages()[0]["MediaBox"]) == [0, 0, 80, 80]
+    # And the mirror case: the direct definition appended AFTER that ObjStm
+    # wins again.
+    newer = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 60 60] "
+        b"/Resources << >> /Contents 5 0 R >>\nendobj\n"
+    )
+    pdf2 = pdf_of_bytes(data + direct + update + newer)
+    assert pdf2.resolve(pdf2.pages()[0]["MediaBox"]) == [0, 0, 60, 60]
+
+
 # ---------------------------------------------------------------------------
 # Function types 0 and 4 (Pdffun parity, pdfgraphics.mli:37-49)
 # ---------------------------------------------------------------------------
