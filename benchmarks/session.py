@@ -1,0 +1,327 @@
+"""End-to-end interactive session benchmark THROUGH the display protocol.
+
+The reference's reason to exist is redraw-at-mouse-drag rate through a TCP
+socket to a GUI process (engine.ml:208-221 paints the minimal update region,
+main.py:219-226 blits it).  Every other bench number here is an
+engine-internal frame loop; this one measures what the USER sees: the
+latency from a client input event to the repainted pixels arriving back at
+the client, over the real wire protocol, with the real engine event loop,
+picking, selection handles, undo recording and cache coherence in the path.
+
+Session (per resolution):
+  1. click the translucent blob (render-based picking), then drag it
+     N_DRAG steps — per-step latency = LeftDragging sent -> RefreshWindow
+     pixels landed client-side;
+  2. move the blur slider over the selection (changeblur re-filters the
+     object and repaints its bloated dirty window);
+  3. rubberband-zoom into the lion with the Zoom tool (full-window
+     re-render at the new transform), then right-click to zoom back out.
+
+Engine and client run as two threads of one process connected by a real
+localhost TCP socket (exactly test_checkpoint_client.py's topology — the
+reference also ran both processes on one box).  Prints one JSON line per
+resolution with median/p95 latencies and the client-observed drag fps.
+
+Usage: python benchmarks/session.py [1080p|4k|demo|all]
+"""
+
+import json
+import os
+import socket
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DRAG = 100
+N_WARM = 8
+BLUR_STEPS = [1, 2, 3, 4, 5, 6, 5, 4, 3, 2]
+
+
+def _cache_cfg():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
+
+
+def blob_coords(W: int, H: int):
+    return int(W * 0.22), int(H * 0.25), max(24, H // 18)
+
+
+def build_scene(W: int, H: int):
+    """Lion scaled to the window + blur-filter band + draggable blob."""
+    import coherence_tpu.colour as C
+    import coherence_tpu.transform as tr
+    from coherence_tpu import ident
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.raster import convolve as rconvolve
+    from coherence_tpu.raster import fills as rfills
+    from coherence_tpu.scene import examples as E, filters as F, render as R
+
+    lion = E.smalllion()
+    xmin, xmax, ymin, ymax = R.bounds_of_basicshape(lion)
+    scale = (H * 0.9) / max(xmax - xmin, ymax - ymin)
+    lion_obj = R.transform_renderobject_many(
+        [
+            tr.Translate(W * 0.05, H * 0.95),
+            tr.Scale((0.0, 0.0), 1.0, -1.0),
+            tr.Scale((0.0, 0.0), scale, scale),
+            tr.Translate(-xmin, -ymin),
+        ],
+        lion,
+    )
+    # Blur-filter band over the middle of the lion (filters.ml:247-261).
+    filt = R.Obj(
+        ident.new_ids(),
+        F.blur(
+            R.Basic(
+                rfills.plain(C.white),
+                R.rectangle(W * 0.30, H * 0.45, W * 0.40, H * 0.25),
+            ),
+            rconvolve.mkgaussian(3),
+        ),
+        (),
+        R.OVER,
+    )
+    # Draggable translucent blob, clear of the filter so picking hits it.
+    bx, by, br = blob_coords(W, H)
+    blob = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(C.red, delta=160)),
+            R.PathShape(gshapes.circle(float(bx), float(by), float(br))),
+        ),
+        (),
+        R.OVER,
+    )
+    return [blob, filt, lion_obj], (bx, by, br)
+
+
+def engine_thread(conn, W, H, ready, fail):
+    """Engine endpoint: build the view, paint it, then serve events."""
+    try:
+        from coherence_tpu.gui.app import Engine, background_obj
+        from coherence_tpu.gui.window import RemoteDisplay
+        from coherence_tpu.raster import region
+        from coherence_tpu.scene import render as R
+
+        eng = Engine(display=RemoteDisplay(conn))
+        scene, _ = build_scene(W, H)
+        view = R.View(
+            scene=scene,
+            pages=[],
+            background=[background_obj()],
+            master_update=region.shape_of_box((0, 0, W, H)),
+        )
+        eng.views.append(view)
+        view.window = eng.wx.make_window("session", W, H, 0, 0, 0, 0)
+        eng.force_update_whole(view)
+        ready["t_first_paint"] = time.perf_counter()
+        eng.run()
+    except Exception as e:  # noqa: BLE001 — surfaced by the driver thread
+        fail.append(e)
+
+
+class TimingClient:
+    """HeadlessClient wrapper that timestamps pixel arrivals."""
+
+    def __init__(self, conn):
+        from coherence_tpu.gui import client as cl
+
+        outer = self
+
+        class _C(cl.HeadlessClient):
+            def _on_refresh(self, w):
+                outer.refreshes += 1
+                outer.last_refresh = time.perf_counter()
+
+        self.c = _C(conn)
+        self.refreshes = 0
+        self.last_refresh = 0.0
+
+    def await_refresh(self, min_new: int = 1) -> float:
+        """Serve messages until >= min_new refreshes arrive; returns the
+        arrival time of the last one (pixels already in the window image)."""
+        target = self.refreshes + min_new
+        while self.refreshes < target:
+            if not self.c.handle_one():
+                raise RuntimeError("engine closed mid-session")
+        return self.last_refresh
+
+    def drain(self):
+        """Serve whatever is pending without blocking (extra refreshes from
+        a multi-repaint action fold into the current step, not the next)."""
+        self.c.pump()
+
+    def barrier(self, win: int):
+        """Full engine sync: a 1x1 PaintRect repaints through the whole
+        pipeline, and FIFO event order means every prior event has been
+        completely handled (including ones with no repaint of their own,
+        e.g. a first-click selection) when its refresh lands."""
+        # 2x2: refresh_window skips degenerate (1-wide) rects.
+        self.c.paint(win, 0, 0, 2, 2)
+        self.await_refresh()
+        self.drain()
+
+
+def _stats(xs):
+    xs = sorted(xs)
+    med = xs[len(xs) // 2]
+    p95 = xs[min(len(xs) - 1, int(len(xs) * 0.95))]
+    return med, p95
+
+
+def run_session(W: int, H: int, label: str):
+    _cache_cfg()
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    from coherence_tpu.gui import talk
+
+    ready, fail = {}, []
+    t_build0 = time.perf_counter()
+    client_conn = None
+    eng_t = None
+    try:
+        # Engine connects as the benchmark's second endpoint.
+        def _accept():
+            sock, _ = server.accept()
+            ready["engine_conn"] = talk.Connection(sock)
+
+        acc = threading.Thread(target=_accept)
+        acc.start()
+        client_conn = talk.connect(port)
+        acc.join()
+        server.close()
+        eng_t = threading.Thread(
+            target=engine_thread, args=(ready["engine_conn"], W, H, ready, fail)
+        )
+        eng_t.start()
+
+        tc = TimingClient(client_conn)
+        c = tc.c
+        tc.await_refresh()  # initial full paint landed client-side
+        tc.drain()
+        if fail:
+            raise fail[0]
+        first_paint_s = time.perf_counter() - t_build0
+        win = next(iter(c.windows))
+        bx, by, br = blob_coords(W, H)
+
+        # --- phase 1: pick + drag -----------------------------------------
+        c.mouse = (bx, by)
+        c.send_event("LeftDown", win, bx, by)
+        tc.barrier(win)  # picking done (a first click repaints nothing)
+        drag_lat = []
+        x, y = bx, by
+        for k in range(N_WARM + N_DRAG):
+            dx, dy = (5, 3) if (k // 40) % 2 == 0 else (-5, -3)
+            x, y = x + dx, y + dy
+            t0 = time.perf_counter()
+            c.mouse = (x, y)
+            c.send_event("LeftDragging", win, x, y)
+            t1 = tc.await_refresh()
+            tc.drain()
+            if k >= N_WARM:  # first steps mint program shapes
+                drag_lat.append(t1 - t0)
+        c.send_event("LeftUp", win, x, y)
+        tc.barrier(win)
+
+        # --- phase 2: blur slider over the selection ----------------------
+        blur_lat = []
+        for v in BLUR_STEPS:
+            t0 = time.perf_counter()
+            c.send_event("BlurSlider", win, v)
+            t1 = tc.await_refresh()
+            tc.drain()
+            blur_lat.append(t1 - t0)
+        c.send_event("BlurSlider", win, 0)
+        tc.await_refresh()
+        tc.barrier(win)
+
+        # --- phase 3: rubberband zoom (full re-render), then zoom out -----
+        c.send_event("Button", 2, win)  # wire order: (button, window)
+        tc.barrier(win)  # tool switched (no repaint of its own)
+        zx0, zy0 = int(W * 0.3), int(H * 0.3)
+        zx1, zy1 = int(W * 0.7), int(H * 0.7)
+        c.mouse = (zx0, zy0)
+        c.send_event("LeftDown", win, zx0, zy0)
+        tc.barrier(win)  # the 1px rubberband seed repaint is skipped
+        for fx in (0.4, 0.55, 0.7):
+            px, py = int(W * fx), int(H * fx)
+            c.mouse = (px, py)
+            c.send_event("LeftDragging", win, px, py)
+            tc.await_refresh()
+        tc.drain()
+        t0 = time.perf_counter()
+        c.mouse = (zx1, zy1)
+        c.send_event("LeftUp", win, zx1, zy1)
+        zoom_in_s = tc.await_refresh() - t0
+        tc.drain()
+        t0 = time.perf_counter()
+        c.mouse = (W // 2, H // 2)
+        c.send_event("RightDown", win, W // 2, H // 2)
+        c.send_event("RightUp", win, W // 2, H // 2)
+        zoom_out_s = tc.await_refresh() - t0
+        tc.drain()
+
+        c.send_event("AppClose")
+        while c.running and c.handle_one():
+            pass
+    finally:
+        if client_conn is not None:
+            client_conn.close()
+        if eng_t is not None:
+            eng_t.join(timeout=60)
+    if fail:
+        raise fail[0]
+
+    dmed, dp95 = _stats(drag_lat)
+    bmed, bp95 = _stats(blur_lat)
+    print(
+        json.dumps(
+            {
+                "metric": f"session_{label}_drag_fps_at_client",
+                "value": round(1.0 / dmed, 1),
+                "unit": "fps",
+                "vs_baseline": round((1.0 / dmed) / 60.0, 3),
+                "extra": {
+                    "drag_latency_ms": {
+                        "median": round(dmed * 1e3, 2),
+                        "p95": round(dp95 * 1e3, 2),
+                    },
+                    "blur_slider_latency_ms": {
+                        "median": round(bmed * 1e3, 2),
+                        "p95": round(bp95 * 1e3, 2),
+                    },
+                    "zoom_in_s": round(zoom_in_s, 3),
+                    "zoom_out_s": round(zoom_out_s, 3),
+                    "first_paint_s": round(first_paint_s, 2),
+                    "drag_steps": N_DRAG,
+                    "resolution": f"{W}x{H}",
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "1080p"
+    sizes = {"demo": (646, 400), "1080p": (1920, 1080), "4k": (3840, 2160)}
+    for key in sizes if which == "all" else [which]:
+        W, H = sizes[key]
+        run_session(W, H, key)
+
+
+if __name__ == "__main__":
+    main()

@@ -177,7 +177,10 @@ class Engine:
     # --- rendering entry points (engine.ml:208-252) ---------------------------
 
     def render_rect(self, win, x, y, w, h):
-        clip = box_intersect((0, 0, 1279, 1023), (x, y, x + w - 1, y + h - 1))
+        # engine.ml:211-212 clips to the fixed 1280x1024 canvas; our
+        # framebuffers scale with the window, so clip to the actual extent.
+        cw, ch = self.wx.canvas_size(win)
+        clip = box_intersect((0, 0, cw - 1, ch - 1), (x, y, x + w - 1, y + h - 1))
         if clip is None:
             return
         x0, y0, x1, y1 = clip

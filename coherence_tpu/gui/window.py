@@ -335,8 +335,17 @@ class WindowSystem:
 
     def make_window(self, name, sx, sy, dx, dy, ex, ey, toolbar=True) -> int:
         w = self.display.make_window(name, sx, sy, dx, dy, ex, ey, toolbar)
-        self.framebuffers[w] = np.zeros((CANVAS_H, CANVAS_W, 3), dtype=np.uint8)
+        # The reference fixes every framebuffer at 1280x1024 (wxgui.ml:262);
+        # here it grows with the window so 1080p/4K sessions paint fully.
+        self.framebuffers[w] = np.zeros(
+            (max(CANVAS_H, sy), max(CANVAS_W, sx), 3), dtype=np.uint8
+        )
         return w
+
+    def canvas_size(self, w) -> Tuple[int, int]:
+        """(width, height) of the window's framebuffer."""
+        fb = self.framebuffers[w]
+        return fb.shape[1], fb.shape[0]
 
     def delete_window(self, w):
         self.framebuffers.pop(w, None)
@@ -405,9 +414,9 @@ class WindowSystem:
         xmin, ymin, xmax, ymax = rect
         if xmin == xmax or ymin == ymax or w not in self.framebuffers:
             return
-        xmin, ymin = max(0, xmin), max(0, ymin)
-        xmax, ymax = min(CANVAS_W - 1, xmax), min(CANVAS_H - 1, ymax)
         fb = self.framebuffers[w]
+        xmin, ymin = max(0, xmin), max(0, ymin)
+        xmax, ymax = min(fb.shape[1] - 1, xmax), min(fb.shape[0] - 1, ymax)
         data = fb[ymin : ymax + 1, xmin : xmax + 1].tobytes()
         self.display.refresh_window(
             w, xmin, ymin, xmax - xmin + 1, ymax - ymin + 1, data

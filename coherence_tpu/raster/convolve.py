@@ -100,12 +100,34 @@ def radius_of_kernel(k: Kernel) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _weight_limbs(w) -> list:
+    """Base-256 digit planes of non-negative integer weights.
+
+    Exactness on the MXU by construction: TPU convs at DEFAULT precision
+    truncate f32 inputs to bf16, which represents integers exactly only up
+    to 256 — a weight like 319 (the radius-16 Gaussian table) silently
+    loses bits.  Splitting every weight into 8-bit digits makes each
+    multiplicand bf16-exact, each product < 2^16, and each per-limb f32
+    accumulator sum(digits)*255 < 2^24 for any realistic tap count, so the
+    DEFAULT-precision conv is bit-exact without paying for HIGHEST."""
+    w = [int(v) for v in np.asarray(w, dtype=np.int64).reshape(-1)]
+    assert all(v >= 0 for v in w), "weights must be non-negative"
+    limbs = []
+    shift = 0
+    while any(v >> shift for v in w) or shift == 0:
+        digits = [(v >> shift) & 0xFF for v in w]
+        assert sum(digits) * 255 < (1 << 24), "limb accumulator overflow"
+        limbs.append((shift, digits))
+        shift += 8
+    return limbs
+
+
 @functools.partial(jax.jit, static_argnames=("weights", "axis"))
 def _conv1d_exact(img, *, weights: tuple, axis: int):
     """Exact integer correlation of int32 (H, W, 4) along axis (0=y, 1=x)
-    with SAME zero padding.  weights: tuple of python ints (non-negative)."""
+    with SAME zero padding.  weights: tuple of python ints (non-negative);
+    input values must fit in a byte (0..255)."""
     w = np.asarray(weights, dtype=np.int64)
-    maxsum = int(np.abs(w).sum()) * 255  # max accumulator per channel
     x = img.astype(jnp.float32)
     n = len(weights)
     pad = (n - 1) // 2
@@ -124,18 +146,17 @@ def _conv1d_exact(img, *, weights: tuple, axis: int):
         )
         return out[:, :, :, 0].transpose(1, 2, 0)
 
-    if maxsum < (1 << 24):
-        return jnp.round(conv_with(tuple(int(v) for v in w))).astype(jnp.int32)
-    hi = tuple(int(v) >> 8 for v in w)
-    lo = tuple(int(v) & 0xFF for v in w)
-    out_hi = jnp.round(conv_with(hi)).astype(jnp.int32)
-    out_lo = jnp.round(conv_with(lo)).astype(jnp.int32)
-    return (out_hi << 8) + out_lo
+    total = None
+    for shift, digits in _weight_limbs(w):
+        part = jnp.round(conv_with(digits)).astype(jnp.int32) << shift
+        total = part if total is None else total + part
+    return total
 
 
 @functools.partial(jax.jit, static_argnames=("weights",))
 def _conv2d_exact(img, *, weights: tuple):
-    """Exact integer 2D correlation of int32 (H, W, 4), SAME zero padding."""
+    """Exact integer 2D correlation of int32 (H, W, 4), SAME zero padding.
+    Byte-limb split as in _conv1d_exact (MXU bf16-exactness)."""
     w = np.asarray(weights, dtype=np.int64)
     n = w.shape[0]
     x = img.astype(jnp.float32)
@@ -153,14 +174,11 @@ def _conv2d_exact(img, *, weights: tuple):
         )
         return out[:, :, :, 0].transpose(1, 2, 0)
 
-    maxsum = int(np.abs(w).sum()) * 255
-    if maxsum < (1 << 24):
-        return jnp.round(conv_with(tuple(map(tuple, w)))).astype(jnp.int32)
-    hi = tuple(tuple(int(v) >> 8 for v in row) for row in w)
-    lo = tuple(tuple(int(v) & 0xFF for v in row) for row in w)
-    return (jnp.round(conv_with(hi)).astype(jnp.int32) << 8) + jnp.round(
-        conv_with(lo)
-    ).astype(jnp.int32)
+    total = None
+    for shift, digits in _weight_limbs(w):
+        part = jnp.round(conv_with(digits)).astype(jnp.int32) << shift
+        total = part if total is None else total + part
+    return total
 
 
 def _setcanvas_xy(sums, total: int):

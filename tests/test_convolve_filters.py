@@ -289,3 +289,29 @@ def test_filter_dirty_composition():
     # The blur's dirty fn bloats within the filter.
     assert region.shapesize(out) >= region.shapesize(initial)
     assert region.is_null_shape(region.shape_difference(initial, out))
+
+
+def test_weight_limbs_byte_planes():
+    # Byte-limb split: every digit bf16-exact, reconstruction exact.  This
+    # is what keeps the MXU conv bit-exact for weights > 255 (e.g. the
+    # radius-16 Gaussian's 265/319 taps, caught by the TPU kernel gate).
+    for w in [(1, 2, 1), (265, 319, 512), (70000, 140000, 70000), (0, 0, 0)]:
+        limbs = rconvolve._weight_limbs(np.asarray(w))
+        recon = [0] * len(w)
+        for shift, digits in limbs:
+            assert all(0 <= d <= 255 for d in digits)
+            for i, d in enumerate(digits):
+                recon[i] += d << shift
+        assert tuple(recon) == w
+
+
+def test_radius16_gaussian_exact():
+    # Weights 265/319 are not bf16-exact; the limb split must keep the conv
+    # integer-exact (differential vs the slow int64 oracle).
+    k = rconvolve.mkgaussian(16)
+    assert max(k.values) > 255
+    canvas = random_canvas(12, 80)
+    mask = np.ones((12, 80), dtype=bool)
+    got = np.asarray(rconvolve.convolve_canvas(k, canvas, np.asarray(mask)))
+    expect = ref_xy_convolve(canvas, mask, k.radius, k.values, k.total)
+    assert np.array_equal(got, expect)
