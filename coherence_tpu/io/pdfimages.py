@@ -12,7 +12,8 @@ CalGray/CalRGB, ICCBased (by /N), Lab (CIE inverse + sRGB encode),
 Indexed (any base), Separation/DeviceN
 (tint transform via ``pdfgraphics.eval_function``); /Decode arrays;
 stencil masks (/ImageMask, painted with the fill colour current at the
-``Do``/``BI`` op); soft masks (/SMask); DCTDecode via PIL.  Unsupported
+``Do``/``BI`` op); soft masks (/SMask); DCTDecode via the from-scratch
+``io/jpeg.py`` (JPXDecode still via PIL).  Unsupported
 exotica (JPXDecode without a PIL plugin, JBIG2) raise ``ValueError`` and
 the scene layer falls back to the same gray placeholder the unsupported
 shading kinds use.
@@ -242,22 +243,37 @@ def _rgb_of_components(pdf, kind, payload, comps):
 
 
 def _pil_rgb(codec: str, data: bytes, w: int, h: int):
-    """Decode a DCT/JPX payload via PIL -> ((h, w, 3) float RGB, alpha?)."""
-    from PIL import Image as PILImage
+    """Decode a DCT/JPX payload -> ((h, w, 3) float RGB, alpha?).
 
-    img = PILImage.open(_io.BytesIO(data))
-    alpha = None
-    if img.mode in ("RGBA", "LA", "PA"):
-        rgba = np.asarray(img.convert("RGBA"), dtype=np.float64) / 255.0
-        alpha = rgba[..., 3]
-        rgb = rgba[..., :3]
-    elif img.mode == "CMYK":
-        c = np.asarray(img, dtype=np.float64) / 255.0
-        # Adobe JPEGs store inverted CMYK; PIL leaves them as-is.  Use the
-        # same collapse as _rgb_of_components on the non-inverted data.
-        rgb = _rgb_of_components(None, "cmyk", None, c)
+    DCTDecode goes through the from-scratch decoder (``io/jpeg.py``,
+    byte-identical to libjpeg — see tests/test_jpeg.py); only JPXDecode
+    still uses PIL's plugin."""
+    if codec in ("DCTDecode", "DCT"):
+        from . import jpeg as _jpeg
+
+        dec = _jpeg.decode(data)
+        px = dec.pixels.astype(np.float64) / 255.0
+        if dec.n_components == 1:
+            rgb = np.repeat(px, 3, axis=-1)
+        elif dec.n_components == 3:
+            rgb = px
+        else:  # true (un-inverted) CMYK
+            rgb = _rgb_of_components(None, "cmyk", None, px)
+        alpha = None
     else:
-        rgb = np.asarray(img.convert("RGB"), dtype=np.float64) / 255.0
+        from PIL import Image as PILImage
+
+        img = PILImage.open(_io.BytesIO(data))
+        alpha = None
+        if img.mode in ("RGBA", "LA", "PA"):
+            rgba = np.asarray(img.convert("RGBA"), dtype=np.float64) / 255.0
+            alpha = rgba[..., 3]
+            rgb = rgba[..., :3]
+        elif img.mode == "CMYK":
+            c = np.asarray(img, dtype=np.float64) / 255.0
+            rgb = _rgb_of_components(None, "cmyk", None, c)
+        else:
+            rgb = np.asarray(img.convert("RGB"), dtype=np.float64) / 255.0
     if rgb.shape[:2] != (h, w):
         rgb = _resize_nearest(rgb, h, w)
         if alpha is not None:
