@@ -21,6 +21,7 @@ Object model: Python natives —
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple, Union
@@ -721,7 +722,13 @@ def _ser(o: PdfObj) -> bytes:
     return str(o).encode()
 
 
-def pdf_to_bytes(pdf: Pdf) -> bytes:
+def pdf_to_bytes(pdf: Pdf, modern: bool = False) -> bytes:
+    """Serialize.  ``modern=False`` writes a classic PDF 1.4 file with an
+    uncompressed xref table; ``modern=True`` writes PDF 1.5 compressed
+    cross-reference: non-stream objects packed into /Type /ObjStm object
+    streams and a /Type /XRef cross-reference stream instead of a trailer
+    (camlpdf Pdfwrite parity via /root/reference/Makefile:20; PDF 7.5.7,
+    7.5.8)."""
     # Streams are only legal as indirect objects: hoist any Stream nested
     # inside a dict/list (e.g. a tiling-pattern stream placed directly in a
     # page's /Resources by page_of_graphic) into its own object.
@@ -746,6 +753,8 @@ def pdf_to_bytes(pdf: Pdf) -> bytes:
         objects[num] = hoist(objects[num], top=True)
     pdf = Pdf(objects, pdf.trailer)
 
+    if modern:
+        return _pdf_to_bytes_modern(pdf)
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(pdf.objects):
@@ -769,9 +778,89 @@ def pdf_to_bytes(pdf: Pdf) -> bytes:
     return bytes(out)
 
 
-def pdf_to_file(pdf: Pdf, path: str):
+_OBJSTM_CHUNK = 100  # objects per object stream (Acrobat uses ~200)
+
+
+def _pdf_to_bytes_modern(pdf: Pdf) -> bytes:
+    """PDF 1.5 output: object streams + an xref stream.  Objects must
+    already be hoisted (every Stream is a top-level object).
+
+    Layout: all non-stream objects are packed into /Type /ObjStm streams
+    (their xref entries are type 2: stream number + index); stream objects
+    and the ObjStms themselves are written directly (type 1: byte offset);
+    the file ends with a /Type /XRef stream carrying the trailer entries
+    and the packed [type, field2, field3] table (PDF 7.5.8.2), and a
+    plain ``startxref`` pointing at it."""
+    nums = sorted(pdf.objects)
+    packable = [n for n in nums if not isinstance(pdf.objects[n], Stream)]
+    direct = [n for n in nums if isinstance(pdf.objects[n], Stream)]
+    next_num = max(nums) + 1 if nums else 1
+
+    in_stm: Dict[int, Tuple[int, int]] = {}  # num -> (objstm num, index)
+    objstms: List[Tuple[int, "Stream"]] = []
+    for start in range(0, len(packable), _OBJSTM_CHUNK):
+        chunk = packable[start : start + _OBJSTM_CHUNK]
+        header = bytearray()
+        body = bytearray()
+        for i, n in enumerate(chunk):
+            header += f"{n} {len(body)} ".encode()
+            body += _ser(pdf.objects[n]) + b"\n"
+            in_stm[n] = (next_num, i)
+        stm = Stream(
+            {
+                "Type": Name("ObjStm"),
+                "N": len(chunk),
+                "First": len(header),
+                "Filter": Name("FlateDecode"),
+            },
+            zlib.compress(bytes(header) + bytes(body)),
+        )
+        objstms.append((next_num, stm))
+        next_num += 1
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+    for n in direct:
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + _ser(pdf.objects[n]) + b"\nendobj\n"
+    for n, stm in objstms:
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + _ser(stm) + b"\nendobj\n"
+
+    xref_num = next_num
+    xref_pos = len(out)
+    offsets[xref_num] = xref_pos
+    size = xref_num + 1
+    # W = [1 4 2]: 1-byte type, 4-byte offset/stream-number, 2-byte
+    # gen/index.  Entry 0 is the head of the (empty) free list.
+    rows = bytearray()
+    for num in range(size):
+        if num in offsets:
+            rows += struct.pack(">BIH", 1, offsets[num], 0)
+        elif num in in_stm:
+            s, i = in_stm[num]
+            rows += struct.pack(">BIH", 2, s, i)
+        else:
+            rows += struct.pack(">BIH", 0, 0, 0xFFFF)
+    xd: dict = {
+        "Type": Name("XRef"),
+        "Size": size,
+        "W": [1, 4, 2],
+        "Filter": Name("FlateDecode"),
+    }
+    for k in ("Root", "Info", "ID"):
+        if k in pdf.trailer:
+            xd[k] = pdf.trailer[k]
+    out += f"{xref_num} 0 obj\n".encode()
+    out += _ser(Stream(xd, zlib.compress(bytes(rows))))
+    out += b"\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def pdf_to_file(pdf: Pdf, path: str, modern: bool = False):
     with open(path, "wb") as f:
-        f.write(pdf_to_bytes(pdf))
+        f.write(pdf_to_bytes(pdf, modern=modern))
 
 
 def mkpage(content: bytes, mediabox=(0, 0, 612, 792), resources=None) -> Pdf:

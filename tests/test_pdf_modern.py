@@ -477,3 +477,110 @@ def test_sampled_shading_renders_real_ramp():
     last = fill.single(64, 0)
     assert C.red_of_colour(first) > 200 and C.blue_of_colour(first) < 50
     assert C.blue_of_colour(last) > 200 and C.red_of_colour(last) < 50
+
+
+# ---------------------------------------------------------------------------
+# Writer: compressed cross-reference output (camlpdf Pdfwrite parity)
+# ---------------------------------------------------------------------------
+
+
+def _one_page_pdf():
+    from coherence_tpu.io.pdf import mkpage
+
+    # content with a filled rect, a stroked path and an inline image
+    content = (
+        b"0.9 0.2 0.1 rg 40 40 200 120 re f "
+        b"0 0 1 RG 5 w 60 300 m 260 420 l S "
+        b"q 80 0 0 60 300 80 cm BI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+        b"\xff\x00\x00\x00\xff\x00\x00\x00\xff\xff\xff\x00 EI Q"
+    )
+    pdf = mkpage(content, mediabox=(0, 0, 400, 500))
+    # a few extra indirect objects to pack into object streams
+    nxt = max(pdf.objects) + 1
+    for i in range(7):
+        pdf.objects[nxt + i] = {"Probe": i, "Vals": [i, i * 2, Name("X")]}
+    return pdf
+
+
+def test_modern_writer_structure():
+    from coherence_tpu.io.pdf import pdf_to_bytes
+
+    pdf = _one_page_pdf()
+    data = pdf_to_bytes(pdf, modern=True)
+    assert data.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in data and b"/XRef" in data
+    assert b"\ntrailer" not in data  # xref stream carries the trailer
+    assert b"\nxref\n" not in data  # no classic table
+    # startxref points at the xref stream object
+    tail = data.rsplit(b"startxref", 1)[1]
+    pos = int(tail.split()[0])
+    assert data[pos : pos + 1].isdigit()
+    assert b"/Type /XRef" in data[pos : pos + 400]
+
+
+def test_modern_writer_rereads_and_resolves():
+    from coherence_tpu.io.pdf import pdf_of_bytes, pdf_to_bytes
+
+    pdf = _one_page_pdf()
+    back = pdf_of_bytes(pdf_to_bytes(pdf, modern=True))
+    page = back.pages()[0]
+    assert back.get(page, "MediaBox") == [0, 0, 400, 500]
+    # packed plain objects survive
+    probes = sorted(
+        o["Probe"] for o in back.objects.values()
+        if isinstance(o, dict) and "Probe" in o
+    )
+    assert probes == list(range(7))
+
+
+def test_modern_and_classic_render_identically():
+    from coherence_tpu.io.pdf import pdf_of_bytes, pdf_to_bytes
+    from coherence_tpu.io import pdfgraphics as PG
+    from coherence_tpu.raster import region
+    from coherence_tpu.scene import cache, pdfscene, render as R
+
+    def raster(pdf):
+        pages = pdf.resolve(pdf.resolve(pdf.trailer["Root"])["Pages"])
+        page = pdf.resolve(pages["Kids"][0])
+        g = PG.graphic_of_page(pdf, page)
+        scene = pdfscene.scene_of_graphic(pdf, g)
+        spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 200, 250)))
+        assert spr is not None
+        return np.asarray(spr.rgba).copy(), np.asarray(spr.mask).copy()
+
+    src = _one_page_pdf()
+    classic = pdf_of_bytes(pdf_to_bytes(src, modern=False))
+    modern = pdf_of_bytes(pdf_to_bytes(src, modern=True))
+    cache.clear()
+    rgba_c, mask_c = raster(classic)
+    cache.clear()
+    rgba_m, mask_m = raster(modern)
+    cache.clear()
+    np.testing.assert_array_equal(mask_c, mask_m)
+    np.testing.assert_array_equal(rgba_c, rgba_m)
+
+
+def test_modern_writer_gaps_become_free_entries():
+    from coherence_tpu.io.pdf import Ref, pdf_of_bytes, pdf_to_bytes
+
+    pdf = _one_page_pdf()
+    # sparse numbering: leave a hole in the object table
+    pdf.objects[50] = {"Sparse": True}
+    back = pdf_of_bytes(pdf_to_bytes(pdf, modern=True))
+    assert back.resolve(Ref(50))["Sparse"] is True
+    # an unused number resolves to nothing, not garbage
+    assert back.resolve(Ref(23)) is None
+
+
+def test_modern_writer_many_objects_multiple_objstms():
+    from coherence_tpu.io.pdf import Ref, pdf_of_bytes, pdf_to_bytes, mkpage
+
+    pdf = mkpage(b"")
+    nxt = max(pdf.objects) + 1
+    for i in range(250):
+        pdf.objects[nxt + i] = {"I": i}
+    data = pdf_to_bytes(pdf, modern=True)
+    assert data.count(b"/ObjStm") >= 3  # >100 per-stream cap
+    back = pdf_of_bytes(data)
+    for i in (0, 99, 100, 249):
+        assert back.resolve(Ref(nxt + i))["I"] == i
