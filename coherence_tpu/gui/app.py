@@ -1082,9 +1082,30 @@ def rehandle_selections(selections):
 # --- scene diffing (engine.ml:560-641) ---------------------------------------
 
 
+def _obj_same_content(a, b) -> bool:
+    """True when two same-idset objects would render identically.
+
+    Transparency slides keep the idset on purpose (trans_renderobject,
+    engine.ml:57-70: the cached sprite doesn't depend on the PreTrans
+    alpha) — so undo/redo can legally restore an object that shares its
+    idset with the current one but differs in compop, transform or (for
+    filter lenses) geometry.  Those must count as changed."""
+    if a is b:
+        return True
+    if a.compop != b.compop or a.transform != b.transform:
+        return False
+    if a.geometry is b.geometry:
+        return True
+    try:
+        return bool(a.geometry == b.geometry)
+    except Exception:
+        return False
+
+
 def scene_changes(s, s2):
-    """Dirty shape between two scenes: symmetric difference, depth changes,
-    and filter dirty transfer (engine.ml:599-641)."""
+    """Dirty shape between two scenes: symmetric difference, content
+    changes under a shared idset, depth changes, and filter dirty
+    transfer (engine.ml:599-641)."""
     ids_s = [o.idset for o in s]
     ids_s2 = [o.idset for o in s2]
     in_both = set(i for i in ids_s) & set(ids_s2)
@@ -1093,6 +1114,12 @@ def scene_changes(s, s2):
         for o in list(s) + list(s2)
         if o.idset not in in_both
     ]
+    by_id = {o.idset: o for o in s}
+    by_id2 = {o.idset: o for o in s2}
+    for i in in_both:
+        if not _obj_same_content(by_id[i], by_id2[i]):
+            changed.append(R.shapeonly_of_basicshape(by_id[i]))
+            changed.append(R.shapeonly_of_basicshape(by_id2[i]))
     # Depth-order changes among shared objects.
     order_s = [i for i in ids_s if i in in_both]
     order_s2 = [i for i in ids_s2 if i in in_both]

@@ -1273,9 +1273,21 @@ def render_simple_scene(scene, shape):
 
 
 def plaindirty(o: Obj, n: Obj, u):
-    """Dirty region for a transformed plain-filled object (render.ml:1376-1382)."""
+    """Dirty region for a transformed plain-filled object (render.ml:1376-1382).
+
+    BEYOND REFERENCE for filters: the filter blend alpha is the Gaussian AA
+    rasterization of the lens (spriteof_filter ``alpha_in_update``), whose
+    32x32-table-at-16x fringe reaches up to 1px INSIDE the geometric
+    minshape — so "fully covered before and after" does not imply
+    blend-invariant there.  The reference leaves a <=7/255 ghost ring on
+    filter transforms (render.ml:1376-1382 with render.ml:1097's AA alpha);
+    we erode the minshapes by the AA footprint so incremental frames equal
+    from-scratch renders exactly (tests/test_cache_fuzz.py)."""
     shp_o, minshp_o = shape_of_basicshape(o)
     shp_n, minshp_n = shape_of_basicshape(n)
+    if isinstance(o.geometry, FilterG) or isinstance(n.geometry, FilterG):
+        minshp_o = region.erode(1, 1, minshp_o)
+        minshp_n = region.erode(1, 1, minshp_n)
     return s_int(s_uni(s_diff(shp_o, minshp_n), s_diff(shp_n, minshp_o)), u)
 
 
