@@ -479,26 +479,24 @@ def config5():
     warm = sorted(zoom_times[1:])
     zoom_s = warm[len(warm) // 2]
 
-    # Prefetched first visit: the app layer predicts the next zoom scale
-    # during idle time (DeviceView.prefetch_scene) so a NEVER-VISITED
-    # scale restores like a warm one.  4x is not in the 2-entry cache
-    # (the loop above leaves 1x/2x); prefetch and reset each mint their
-    # own transformed objects, as the real zoom tool does.
-    def mint_4x():
-        return [
-            R.transform_renderobject_many(
-                zoom_in, R.transform_renderobject_many(zoom_in, o)
-            )
-            for o in cur
-        ]
+    # Speculative first visit (VERDICT r3 item 7): during idle the app
+    # layer prefetches BOTH zoom directions from the current scene
+    # (DeviceView.prefetch_zoom_candidates) so a NEVER-VISITED scale
+    # restores like a warm one.  After the loop cur sits at 1x with
+    # 1x/2x in the cache — 0.5x is the never-visited direction; the
+    # real step mints its own transformed objects, as the zoom tool
+    # does, and hits by content digest.
+    from coherence_tpu.scene.fastframe import scene_build_cache_stats
 
-    view.prefetch_scene(mint_4x())  # idle-time work, untimed
-    objs_4x = mint_4x()  # the real step mints its own objects (untimed,
-    t0 = time.time()     # matching the loop above's accounting)
-    view.reset_scene(objs_4x, tiled=True)
+    scene_build_cache_stats(reset=True)
+    view.prefetch_zoom_candidates(cur)  # idle-time work, untimed
+    objs_half = [R.transform_renderobject_many(zoom_out, o) for o in cur]
+    t0 = time.time()
+    view.reset_scene(objs_half, tiled=True)
     view.render(full=True)
     int(jnp.sum(view.frame[::128, ::128] & 0xFF))
     zoom_prefetched_s = time.time() - t0
+    prefetch_stats = scene_build_cache_stats()
 
     emit(
         "interactive_4k_1000prims_fps",
@@ -514,6 +512,8 @@ def config5():
             "zoom_step_s": round(zoom_s, 2),
             "zoom_first_step_s": round(zoom_first_s, 2),
             "zoom_prefetched_step_s": round(zoom_prefetched_s, 2),
+            "zoom_prefetch_hits": prefetch_stats["hits"],
+            "zoom_prefetch_misses": prefetch_stats["misses"],
             "build_s": round(build_s, 1),
             "objects": len(objs) + 1,
             "pieces": n_pieces,

@@ -366,13 +366,26 @@ def _brush_extract(o: R.Obj):
 
 
 # Scene-build cache (build_tiled_scene): content digest -> (atlas
-# snapshot, n_pieces, positional piece lists).  Two entries cover the zoom
-# tool's toggle between adjacent scales; each holds one atlas-sized device
-# buffer.
+# snapshot, n_pieces, positional piece lists).  Four entries cover the
+# zoom tool's speculative set (both zoom directions prefetched from idle,
+# DeviceView.prefetch_zoom_candidates) plus the current and last-visited
+# scales; each holds one atlas-sized device buffer.
 from collections import OrderedDict as _OrderedDict
 
 _SCENE_BUILD_CACHE: "dict" = _OrderedDict()
-_SCENE_BUILD_CACHE_MAX = 2
+_SCENE_BUILD_CACHE_MAX = 4
+
+# Hit-rate accounting for cacheable builds (VERDICT r3 item 7: "measure
+# hit rate in the config-5 session").
+_SCENE_BUILD_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def scene_build_cache_stats(reset: bool = False) -> dict:
+    out = dict(_SCENE_BUILD_CACHE_STATS)
+    if reset:
+        _SCENE_BUILD_CACHE_STATS["hits"] = 0
+        _SCENE_BUILD_CACHE_STATS["misses"] = 0
+    return out
 
 
 @jax.jit
@@ -541,6 +554,7 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
         ):
             snap_data, snap_n, snap_entries = hit
             _SCENE_BUILD_CACHE.move_to_end(digest)
+            _SCENE_BUILD_CACHE_STATS["hits"] += 1
             ts._data = _copy_atlas_kernel(snap_data)
             ts._n_pieces = snap_n
             ts._free_runs = []
@@ -548,6 +562,7 @@ def build_tiled_scene(ts: TiledScene, keyed_objs, staged=None) -> None:
                 ts.pieces[key] = entries
             _tick("scene-build cache restore (atlas copy + piece lists)")
             return
+        _SCENE_BUILD_CACHE_STATS["misses"] += 1
 
     for key in culled:
         ts.pieces[key] = []
@@ -947,6 +962,36 @@ class DeviceView:
         if digest is None or digest in _SCENE_BUILD_CACHE:
             return
         build_tiled_scene(ts, keyed, staged=staged)
+
+    def prefetch_zoom_candidates(
+        self,
+        scene: List[R.Obj],
+        cx: Optional[float] = None,
+        cy: Optional[float] = None,
+        factors=(2.0, 0.5),
+    ) -> None:
+        """Speculatively build the scenes the zoom tool would produce next
+        (VERDICT r3 item 7): for each factor, the whole-scene scale about
+        the viewport centre, staged + built into the scene-build cache
+        from idle time.  Uses the zoom tool's exact transform recipe
+        (translate-scale-translate composed via transform_renderobject_many,
+        engine.ml:1015-1057 semantics) so the content digest of a real
+        later zoom step matches bit-for-bit and restores in one atlas
+        copy.  Run this from an idle/side thread; the live view is
+        untouched."""
+        from .. import transform as tr
+
+        cx = self.pw / 2.0 if cx is None else float(cx)
+        cy = self.ph / 2.0 if cy is None else float(cy)
+        for f in factors:
+            tmat = [
+                tr.Translate(cx, cy),
+                tr.Scale((0.0, 0.0), float(f), float(f)),
+                tr.Translate(-cx, -cy),
+            ]
+            self.prefetch_scene(
+                [R.transform_renderobject_many(tmat, o) for o in scene]
+            )
 
     def add_object(self, o: R.Obj, index: Optional[int] = None):
         self._install(o, full_sprite_of_object(o), index)

@@ -436,3 +436,66 @@ def test_prefetch_scene_makes_reset_a_cache_hit():
         TR.TileBuild.flush = orig_flush
     dv.render(full=True)
     assert (dv.read() == ref).all()
+
+
+def test_prefetch_zoom_candidates_hits_both_directions():
+    """prefetch_zoom_candidates stages the zoom tool's 2x and 0.5x next
+    scenes into the build cache from idle; a later real zoom step in
+    EITHER direction (fresh object ids, tool-minted transforms) must
+    restore without running any flush and count as a cache hit."""
+    from coherence_tpu import transform as tr
+    from coherence_tpu.raster import tile_raster as TR
+    from coherence_tpu.scene import fastframe as FF
+    from coherence_tpu.scene import render as R
+
+    FF._SCENE_BUILD_CACHE_MAX = 4  # the autouse fixture disables + restores
+
+    def base_scene():
+        return [
+            _poly([(10.0, 10.0), (500.0, 30.0), (250.0, 250.0)], C.crimson),
+            _poly([(30.0, 200.0), (600.0, 220.0), (300.0, 40.0)], C.wheat,
+                  alpha=150),
+        ]
+
+    def zoom_tmat(f):
+        return [
+            tr.Translate(W / 2.0, H / 2.0),
+            tr.Scale((0.0, 0.0), f, f),
+            tr.Translate(-W / 2.0, -H / 2.0),
+        ]
+
+    def zoomed(f):
+        return [
+            R.transform_renderobject_many(zoom_tmat(f), o) for o in base_scene()
+        ]
+
+    # Ground truths for both directions.
+    refs = {}
+    for f in (2.0, 0.5):
+        dvr = FF.DeviceView(W, H)
+        dvr.set_scene(zoomed(f), tiled=True)
+        dvr.render(full=True)
+        refs[f] = dvr.read()
+    FF.scene_build_cache_clear()
+
+    dv = FF.DeviceView(W, H)
+    dv.set_scene(base_scene(), tiled=True)
+    dv.render(full=True)
+    FF.scene_build_cache_stats(reset=True)
+    dv.prefetch_zoom_candidates(base_scene())
+
+    orig_flush = TR.TileBuild.flush
+
+    def boom(self, combined=None):
+        raise AssertionError("cache hit expected: flush must not run")
+
+    for f in (2.0, 0.5):
+        TR.TileBuild.flush = boom
+        try:
+            dv.reset_scene(zoomed(f), tiled=True)
+        finally:
+            TR.TileBuild.flush = orig_flush
+        dv.render(full=True)
+        assert (dv.read() == refs[f]).all()
+    stats = FF.scene_build_cache_stats()
+    assert stats["hits"] == 2 and stats["misses"] >= 2  # 2 prefetch builds
