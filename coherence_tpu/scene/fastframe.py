@@ -981,8 +981,11 @@ class DeviceView:
         untouched."""
         from .. import transform as tr
 
-        cx = self.pw / 2.0 if cx is None else float(cx)
-        cy = self.ph / 2.0 if cy is None else float(cy)
+        # Logical frame centre — NOT the tile-padded pw/ph: the zoom tool
+        # scales about width/2, height/2, and the content digest only
+        # matches if the transform floats are bit-identical.
+        cx = self.width / 2.0 if cx is None else float(cx)
+        cy = self.height / 2.0 if cy is None else float(cy)
         for f in factors:
             tmat = [
                 tr.Translate(cx, cy),

@@ -442,13 +442,19 @@ def test_prefetch_zoom_candidates_hits_both_directions():
     """prefetch_zoom_candidates stages the zoom tool's 2x and 0.5x next
     scenes into the build cache from idle; a later real zoom step in
     EITHER direction (fresh object ids, tool-minted transforms) must
-    restore without running any flush and count as a cache hit."""
+    restore without running any flush and count as a cache hit.
+
+    Dims are deliberately NOT tile-aligned: the zoom tool scales about
+    the LOGICAL frame centre, and a prefetch centred on the padded pw/ph
+    mints different transform floats, so the digest silently misses
+    (caught on hardware in the r4 config-5 run: hits=0)."""
     from coherence_tpu import transform as tr
     from coherence_tpu.raster import tile_raster as TR
     from coherence_tpu.scene import fastframe as FF
     from coherence_tpu.scene import render as R
 
     FF._SCENE_BUILD_CACHE_MAX = 4  # the autouse fixture disables + restores
+    ZW, ZH = 500, 250  # pads to 512 x 256: centre != padded centre
 
     def base_scene():
         return [
@@ -459,9 +465,9 @@ def test_prefetch_zoom_candidates_hits_both_directions():
 
     def zoom_tmat(f):
         return [
-            tr.Translate(W / 2.0, H / 2.0),
+            tr.Translate(ZW / 2.0, ZH / 2.0),
             tr.Scale((0.0, 0.0), f, f),
-            tr.Translate(-W / 2.0, -H / 2.0),
+            tr.Translate(-ZW / 2.0, -ZH / 2.0),
         ]
 
     def zoomed(f):
@@ -472,13 +478,13 @@ def test_prefetch_zoom_candidates_hits_both_directions():
     # Ground truths for both directions.
     refs = {}
     for f in (2.0, 0.5):
-        dvr = FF.DeviceView(W, H)
+        dvr = FF.DeviceView(ZW, ZH)
         dvr.set_scene(zoomed(f), tiled=True)
         dvr.render(full=True)
         refs[f] = dvr.read()
     FF.scene_build_cache_clear()
 
-    dv = FF.DeviceView(W, H)
+    dv = FF.DeviceView(ZW, ZH)
     dv.set_scene(base_scene(), tiled=True)
     dv.render(full=True)
     FF.scene_build_cache_stats(reset=True)
