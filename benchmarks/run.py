@@ -490,6 +490,9 @@ def config5():
 
     scene_build_cache_stats(reset=True)
     view.prefetch_zoom_candidates(cur)  # idle-time work, untimed
+    # Drain the prefetch's device work before the timer starts — it ran
+    # during idle; unsynced, its builds queue ahead of the timed step.
+    int(jnp.sum(view.frame[::256, ::256] & 0xFF))
     objs_half = [R.transform_renderobject_many(zoom_out, o) for o in cur]
     t0 = time.time()
     view.reset_scene(objs_half, tiled=True)

@@ -318,10 +318,182 @@ def run_session(W: int, H: int, label: str):
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "1080p"
     sizes = {"demo": (646, 400), "1080p": (1920, 1080), "4k": (3840, 2160)}
-    for key in sizes if which == "all" else [which]:
-        W, H = sizes[key]
-        run_session(W, H, key)
+    for key in [which] if which != "all" else list(sizes):
+        if key.startswith("fast"):
+            W, H = sizes[key[4:]]
+            run_fast_session(W, H, key[4:])
+        else:
+            W, H = sizes[key]
+            run_session(W, H, key)
 
+
+
+
+# --- TPU-path session: FastSession (gui/fastserver.py) ------------------------
+
+
+def fast_scene(W: int, H: int):
+    """Same visual session as build_scene, split for FastSession: static
+    lion objects, the draggable blob (animated reserved slot), and the
+    blur lens geometry (the filter itself lives in FilteredDisplay)."""
+    import coherence_tpu.colour as C
+    import coherence_tpu.transform as tr
+    from coherence_tpu import ident
+    from coherence_tpu.geometry import shapes as gshapes
+    from coherence_tpu.raster import fills as rfills
+    from coherence_tpu.scene import examples as E, render as R
+
+    lion = E.smalllion()
+    xmin, xmax, ymin, ymax = R.bounds_of_basicshape(lion)
+    scale = (H * 0.9) / max(xmax - xmin, ymax - ymin)
+    lion_obj = R.transform_renderobject_many(
+        [
+            tr.Translate(W * 0.05, H * 0.95),
+            tr.Scale((0.0, 0.0), 1.0, -1.0),
+            tr.Scale((0.0, 0.0), scale, scale),
+            tr.Translate(-xmin, -ymin),
+        ],
+        lion,
+    )
+    objs = list(lion_obj.geometry.objects)
+    bx, by, br = blob_coords(W, H)
+    blob = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.dissolve(C.red, delta=160)),
+            R.PathShape(gshapes.circle(0.0, 0.0, float(br))),
+        ),
+        (tr.Translate(float(bx), float(by)),),
+        R.OVER,
+    )
+    f_geom = R.Obj(
+        ident.new_ids(),
+        R.Basic(
+            rfills.plain(C.white),
+            R.rectangle(W * 0.30, H * 0.45, W * 0.40, H * 0.25),
+        ),
+        (),
+        R.OVER,
+    )
+    return objs, blob, f_geom, (bx, by, br)
+
+
+def run_fast_session(W: int, H: int, label: str):
+    """The serving configuration: FastSession (TPU fused animated path)
+    behind the same wire protocol; the client measures event -> pixels.
+    Drag + blur-slider phases (zoom is config 5's scene-rebuild metric)."""
+    _cache_cfg()
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    from coherence_tpu.gui import talk
+
+    ready, fail = {}, []
+    t_build0 = time.perf_counter()
+    client_conn = None
+    srv_t = None
+    try:
+        def _accept():
+            sock, _ = server.accept()
+            ready["conn"] = talk.Connection(sock)
+
+        acc = threading.Thread(target=_accept)
+        acc.start()
+        client_conn = talk.connect(port)
+        acc.join()
+        server.close()
+
+        objs, blob, f_geom, (bx, by, br) = fast_scene(W, H)
+
+        def server_thread():
+            try:
+                from coherence_tpu.gui.fastserver import FastSession
+
+                sess = FastSession(
+                    ready["conn"], W, H, objs, blob, f_geom, blur_radius=3
+                )
+                ready["sess"] = sess
+                sess.run()
+            except Exception as e:  # noqa: BLE001
+                fail.append(e)
+
+        srv_t = threading.Thread(target=server_thread)
+        srv_t.start()
+
+        tc = TimingClient(client_conn)
+        c = tc.c
+        tc.await_refresh()  # initial full frame landed client-side
+        tc.drain()
+        if fail:
+            raise fail[0]
+        first_paint_s = time.perf_counter() - t_build0
+        win = next(iter(c.windows))
+
+        # --- drag phase (each LeftDragging -> exactly one window refresh)
+        c.mouse = (bx, by)
+        c.send_event("LeftDown", win, bx, by)
+        drag_lat = []
+        x, y = bx, by
+        for k in range(N_WARM + N_DRAG):
+            dx, dy = (5, 3) if (k // 40) % 2 == 0 else (-5, -3)
+            x, y = x + dx, y + dy
+            t0 = time.perf_counter()
+            c.mouse = (x, y)
+            c.send_event("LeftDragging", win, x, y)
+            t1 = tc.await_refresh()
+            tc.drain()
+            if k >= N_WARM:
+                drag_lat.append(t1 - t0)
+        c.send_event("LeftUp", win, x, y)
+
+        # --- blur slider (full reblend + full-frame ship each)
+        blur_lat = []
+        for v in BLUR_STEPS:
+            t0 = time.perf_counter()
+            c.send_event("BlurSlider", win, v)
+            t1 = tc.await_refresh()
+            tc.drain()
+            blur_lat.append(t1 - t0)
+
+        c.send_event("AppClose")
+        while c.running and c.handle_one():
+            pass
+    finally:
+        if client_conn is not None:
+            client_conn.close()
+        if srv_t is not None:
+            srv_t.join(timeout=120)
+    if fail:
+        raise fail[0]
+
+    dmed, dp95 = _stats(drag_lat)
+    bmed, bp95 = _stats(blur_lat)
+    print(
+        json.dumps(
+            {
+                "metric": f"session_fast_{label}_drag_fps_at_client",
+                "value": round(1.0 / dmed, 1),
+                "unit": "fps",
+                "vs_baseline": round((1.0 / dmed) / 60.0, 3),
+                "extra": {
+                    "drag_latency_ms": {
+                        "median": round(dmed * 1e3, 2),
+                        "p95": round(dp95 * 1e3, 2),
+                    },
+                    "blur_slider_latency_ms": {
+                        "median": round(bmed * 1e3, 2),
+                        "p95": round(bp95 * 1e3, 2),
+                    },
+                    "first_paint_s": round(first_paint_s, 2),
+                    "drag_steps": N_DRAG,
+                    "resolution": f"{W}x{H}",
+                },
+            }
+        ),
+        flush=True,
+    )
 
 if __name__ == "__main__":
     main()

@@ -150,13 +150,13 @@ def _kernel(starts_ref, idxs_ref, bg_ref, atlas_hbm, out_ref, scratch, sems):
             atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
         )
 
-    @pl.when(lo < hi)
-    def _():
-        piece_copy(lo, jax.lax.rem(lo, N_BUF)).start()
-
-    @pl.when(lo + 1 < hi)
-    def _():
-        piece_copy(lo + 1, jax.lax.rem(lo + 1, N_BUF)).start()
+    # Prime the full ring: with only 2 slots primed the pipeline never got
+    # deeper than 2 regardless of N_BUF (the body issues k+N_BUF only after
+    # waiting k).
+    for j in range(N_BUF):
+        @pl.when(lo + j < hi)
+        def _(j=j):
+            piece_copy(lo + j, jax.lax.rem(lo + j, N_BUF)).start()
 
     def cond(state):
         k, acc, open_any = state
@@ -526,13 +526,10 @@ def _kernel_subset(coords_ref, spans_ref, idxs_ref, bg_ref, frame_ref, atlas_hbm
                 atlas_hbm.at[idxs_ref[k]], scratch.at[slot], sems.at[slot]
             )
 
-        @pl.when(lo < hi)
-        def _():
-            piece_copy(lo, jax.lax.rem(lo, N_BUF)).start()
-
-        @pl.when(lo + 1 < hi)
-        def _():
-            piece_copy(lo + 1, jax.lax.rem(lo + 1, N_BUF)).start()
+        for j in range(N_BUF):  # prime the full ring (see _kernel)
+            @pl.when(lo + j < hi)
+            def _(j=j):
+                piece_copy(lo + j, jax.lax.rem(lo + j, N_BUF)).start()
 
         def cond(state):
             k, acc, open_any = state
