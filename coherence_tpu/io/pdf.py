@@ -20,6 +20,7 @@ Object model: Python natives —
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct
 import zlib
@@ -550,7 +551,15 @@ def _decrypt_objects(objects: Dict[int, PdfObj], gens: Dict[int, int], data: byt
             )
             if not skip:
                 obj.raw = handler.decrypt_stream(obj.raw, num, gen)
-            walk_strings(obj.dict, num, gen)
+            if tname == "XRef":
+                # The xref stream doubles as the trailer; its /ID strings
+                # are never encrypted (PDF 7.5.8.2).
+                saved_id = obj.dict.pop("ID", None)
+                walk_strings(obj.dict, num, gen)
+                if saved_id is not None:
+                    obj.dict["ID"] = saved_id
+            else:
+                walk_strings(obj.dict, num, gen)
         else:
             walk_strings(obj, num, gen)
             if isinstance(obj, bytes):
@@ -661,7 +670,7 @@ def pdf_of_bytes(data: bytes) -> Pdf:
         if isinstance(obj, Stream):
             t = obj.dict.get("Type")
             if isinstance(t, Name) and t.v == "XRef":
-                for k in ("Root", "Info", "ID", "Size"):
+                for k in ("Root", "Info", "ID", "Size", "Encrypt"):
                     if k in obj.dict:
                         trailer[k] = obj.dict[k]
     for m in re.finditer(rb"trailer", data):
@@ -722,13 +731,20 @@ def _ser(o: PdfObj) -> bytes:
     return str(o).encode()
 
 
-def pdf_to_bytes(pdf: Pdf, modern: bool = False) -> bytes:
+def pdf_to_bytes(pdf: Pdf, modern: bool = False, encrypt: Optional[dict] = None) -> bytes:
     """Serialize.  ``modern=False`` writes a classic PDF 1.4 file with an
     uncompressed xref table; ``modern=True`` writes PDF 1.5 compressed
     cross-reference: non-stream objects packed into /Type /ObjStm object
     streams and a /Type /XRef cross-reference stream instead of a trailer
     (camlpdf Pdfwrite parity via /root/reference/Makefile:20; PDF 7.5.7,
-    7.5.8)."""
+    7.5.8).
+
+    ``encrypt`` turns on the standard security handler (camlpdf Pdfwrite
+    encryption parity): a kwargs dict for `pdfcrypt.build_encryption`,
+    e.g. ``{"revision": 4, "user_pw": b"", "owner_pw": b"secret"}``.
+    Every string and stream is encrypted per PDF 7.6.2 (streams inside
+    object streams via the ObjStm's own key; the /Encrypt dictionary,
+    /ID strings and the xref stream stay clear)."""
     # Streams are only legal as indirect objects: hoist any Stream nested
     # inside a dict/list (e.g. a tiling-pattern stream placed directly in a
     # page's /Resources by page_of_graphic) into its own object.
@@ -751,10 +767,41 @@ def pdf_to_bytes(pdf: Pdf, modern: bool = False) -> bytes:
 
     for num in sorted(list(objects)):
         objects[num] = hoist(objects[num], top=True)
-    pdf = Pdf(objects, pdf.trailer)
+    trailer_src = dict(pdf.trailer)
+    # In-memory objects are plaintext (the reader decrypts on load): a stale
+    # /Encrypt from a previously-read encrypted file must not survive a
+    # re-write, or readers would "decrypt" the plaintext.  Drop the orphaned
+    # encryption dictionary too.
+    stale_enc = trailer_src.pop("Encrypt", None)
+    if isinstance(stale_enc, Ref):
+        objects.pop(stale_enc.num, None)
+
+    handler = None
+    enc_num = None
+    if encrypt is not None:
+        from .pdfcrypt import build_encryption
+
+        ids = trailer_src.get("ID")
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        else:
+            digest = hashlib.md5()
+            for num in sorted(objects):
+                digest.update(_ser(objects[num]))
+            id0 = digest.digest()
+            trailer_src["ID"] = [id0, id0]
+        enc_dict, handler = build_encryption(id0=id0, **encrypt)
+        enc_num = (max(objects) + 1) if objects else 1
+        objects[enc_num] = enc_dict
+        trailer_src["Encrypt"] = Ref(enc_num)
+    pdf = Pdf(objects, trailer_src)
 
     if modern:
-        return _pdf_to_bytes_modern(pdf)
+        return _pdf_to_bytes_modern(pdf, handler, enc_num)
+    if handler is not None:
+        for num in sorted(objects):
+            if num != enc_num:
+                objects[num] = _encrypt_object(objects[num], num, 0, handler)
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(pdf.objects):
@@ -778,10 +825,32 @@ def pdf_to_bytes(pdf: Pdf, modern: bool = False) -> bytes:
     return bytes(out)
 
 
+def _encrypt_object(o: PdfObj, num: int, gen: int, handler) -> PdfObj:
+    """Writer-side counterpart of `_decrypt_objects`' walk: encrypt every
+    string (and a Stream's raw bytes) with the object's key.  XRef streams
+    and (when /EncryptMetadata is false) /Metadata streams stay clear, per
+    PDF 7.5.8.2 / 7.6.2."""
+    if isinstance(o, Stream):
+        t = o.dict.get("Type")
+        tname = t.v if isinstance(t, Name) else ""
+        skip = tname == "XRef" or (
+            tname == "Metadata" and not handler.encrypt_metadata
+        )
+        raw = o.raw if skip else handler.encrypt_stream(o.raw, num, gen)
+        return Stream(_encrypt_object(o.dict, num, gen, handler), raw, o._pdf)
+    if isinstance(o, dict):
+        return {k: _encrypt_object(v, num, gen, handler) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_encrypt_object(v, num, gen, handler) for v in o]
+    if isinstance(o, bytes):
+        return handler.encrypt_string(o, num, gen)
+    return o
+
+
 _OBJSTM_CHUNK = 100  # objects per object stream (Acrobat uses ~200)
 
 
-def _pdf_to_bytes_modern(pdf: Pdf) -> bytes:
+def _pdf_to_bytes_modern(pdf: Pdf, handler=None, enc_num: Optional[int] = None) -> bytes:
     """PDF 1.5 output: object streams + an xref stream.  Objects must
     already be hoisted (every Stream is a top-level object).
 
@@ -792,7 +861,11 @@ def _pdf_to_bytes_modern(pdf: Pdf) -> bytes:
     and the packed [type, field2, field3] table (PDF 7.5.8.2), and a
     plain ``startxref`` pointing at it."""
     nums = sorted(pdf.objects)
-    packable = [n for n in nums if not isinstance(pdf.objects[n], Stream)]
+    # The /Encrypt dictionary must stay directly accessible (and clear) —
+    # it cannot live in an ObjStm whose decryption needs it.
+    packable = [
+        n for n in nums if not isinstance(pdf.objects[n], Stream) and n != enc_num
+    ]
     direct = [n for n in nums if isinstance(pdf.objects[n], Stream)]
     next_num = max(nums) + 1 if nums else 1
 
@@ -804,8 +877,13 @@ def _pdf_to_bytes_modern(pdf: Pdf) -> bytes:
         body = bytearray()
         for i, n in enumerate(chunk):
             header += f"{n} {len(body)} ".encode()
+            # Strings inside an ObjStm are covered by the stream's own
+            # encryption — never re-encrypted individually (PDF 7.5.7).
             body += _ser(pdf.objects[n]) + b"\n"
             in_stm[n] = (next_num, i)
+        raw = zlib.compress(bytes(header) + bytes(body))
+        if handler is not None:
+            raw = handler.encrypt_stream(raw, next_num, 0)
         stm = Stream(
             {
                 "Type": Name("ObjStm"),
@@ -813,16 +891,22 @@ def _pdf_to_bytes_modern(pdf: Pdf) -> bytes:
                 "First": len(header),
                 "Filter": Name("FlateDecode"),
             },
-            zlib.compress(bytes(header) + bytes(body)),
+            raw,
         )
         objstms.append((next_num, stm))
         next_num += 1
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: Dict[int, int] = {}
+    if enc_num is not None:
+        offsets[enc_num] = len(out)
+        out += f"{enc_num} 0 obj\n".encode() + _ser(pdf.objects[enc_num]) + b"\nendobj\n"
     for n in direct:
         offsets[n] = len(out)
-        out += f"{n} 0 obj\n".encode() + _ser(pdf.objects[n]) + b"\nendobj\n"
+        obj = pdf.objects[n]
+        if handler is not None:
+            obj = _encrypt_object(obj, n, 0, handler)
+        out += f"{n} 0 obj\n".encode() + _ser(obj) + b"\nendobj\n"
     for n, stm in objstms:
         offsets[n] = len(out)
         out += f"{n} 0 obj\n".encode() + _ser(stm) + b"\nendobj\n"
@@ -848,7 +932,7 @@ def _pdf_to_bytes_modern(pdf: Pdf) -> bytes:
         "W": [1, 4, 2],
         "Filter": Name("FlateDecode"),
     }
-    for k in ("Root", "Info", "ID"):
+    for k in ("Root", "Info", "ID", "Encrypt"):
         if k in pdf.trailer:
             xd[k] = pdf.trailer[k]
     out += f"{xref_num} 0 obj\n".encode()

@@ -1,10 +1,11 @@
-"""PDF standard security handler (PDF 7.6): RC4 and AES decryption.
+"""PDF standard security handler (PDF 7.6): RC4 and AES, both directions.
 
 BEYOND THE BUNDLED ASSETS, camlpdf parity: the reference links camlpdf,
-which reads encrypted files (Pdfcrypt); io/pdf.py calls in here when a
-trailer carries /Encrypt.  Supports the Standard filter revisions 2-4
-(RC4 40-128 bit, AESV2) and 5/6 (AESV3, AES-256 incl. the Algorithm 2.B
-hardened hash), with the empty user password or a supplied one.
+which reads AND writes encrypted files (Pdfcrypt/Pdfwrite); io/pdf.py
+calls in here when a trailer carries /Encrypt, and the writer calls
+`build_encryption` to mint one.  Supports the Standard filter revisions
+2-4 (RC4 40-128 bit, AESV2) and 5/6 (AESV3, AES-256 incl. the Algorithm
+2.B hardened hash), with the empty user password or a supplied one.
 
 AES is implemented in pure Python (no external crypto dependency —
 decryption throughput is bounded by typical content-stream sizes, and
@@ -14,10 +15,11 @@ hot rendering never touches this path).
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 from typing import Optional
 
-__all__ = ["StandardSecurityHandler", "rc4"]
+__all__ = ["StandardSecurityHandler", "build_encryption", "rc4"]
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -301,3 +303,171 @@ class StandardSecurityHandler:
         if self.str_identity:
             return data
         return self._decrypt(data, num, gen, self.str_aes)
+
+    # -- encryption (writer side; PDF 7.6.2 Algorithm 1/1.A) ------------------
+
+    _rand = staticmethod(os.urandom)  # overridable for deterministic tests
+
+    def _encrypt(self, data: bytes, num: int, gen: int, aes: bool) -> bytes:
+        key = self._object_key(num, gen, aes)
+        if not aes:
+            return rc4(key, data)
+        pad = 16 - len(data) % 16  # PKCS#5: always 1..16 bytes of padding
+        iv = self._rand(16)
+        return iv + aes_cbc_encrypt(key, iv, data + bytes([pad]) * pad)
+
+    def encrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.stm_identity:
+            return data
+        return self._encrypt(data, num, gen, self.stm_aes)
+
+    def encrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.str_identity:
+            return data
+        return self._encrypt(data, num, gen, self.str_aes)
+
+
+# --- writer-side key setup (PDF 7.6.3.4 Algorithms 2-5, 7.6.4.4 8-10) --------
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def _compute_o_r234(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry for revisions 2-4."""
+    h = hashlib.md5(_pad_pw(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:n]
+    o = rc4(key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def build_encryption(
+    id0: bytes,
+    user_pw: bytes = b"",
+    owner_pw: Optional[bytes] = None,
+    revision: int = 4,
+    permissions: int = -4,
+    encrypt_metadata: bool = True,
+    rand=None,
+):
+    """Mint a standard-security /Encrypt dictionary and the matching handler.
+
+    camlpdf `Pdfwrite` accepts an encryption spec when saving
+    (/root/reference/Makefile:20); this is the writer-side counterpart of
+    `StandardSecurityHandler`.  Returns ``(enc_dict, handler)`` where
+    ``enc_dict`` values use plain Python types (crypt-filter names as
+    ``pdf.Name``) and ``handler`` is ready to `encrypt_string`/
+    `encrypt_stream`.  Revisions: 2 (RC4-40), 3 (RC4-128), 4 (AES-128),
+    5/6 (AES-256).  ``rand`` overrides os.urandom for deterministic tests.
+
+    The handler is rebuilt FROM the minted dictionary via the normal
+    constructor (authenticating with the user password), so a key-setup
+    bug cannot silently cancel against the decrypt path.
+    """
+    from .pdf import Name  # local: pdf.py imports this module lazily too
+
+    rand = rand or os.urandom
+    r = int(revision)
+    p = int(permissions)
+    enc: dict = {"Filter": Name("Standard"), "R": r, "P": p}
+    if r in (2, 3):
+        n = 5 if r == 2 else 16
+        enc["V"] = 1 if r == 2 else 2
+        enc["Length"] = n * 8
+        o = _compute_o_r234(owner_pw or b"", user_pw, r, n)
+        enc["O"] = o
+        # Algorithm 2: the file key (inline: needs O and P before U exists).
+        h = hashlib.md5()
+        h.update(_pad_pw(user_pw))
+        h.update(o)
+        h.update(struct.pack("<I", p & 0xFFFFFFFF))
+        h.update(id0)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        if r == 2:  # Algorithm 4
+            enc["U"] = rc4(key, _PAD)
+        else:  # Algorithm 5
+            u = rc4(key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                u = rc4(bytes(b ^ i for b in key), u)
+            enc["U"] = u + b"\x00" * 16
+    elif r == 4:
+        n = 16
+        enc["V"] = 4
+        enc["Length"] = 128
+        enc["EncryptMetadata"] = bool(encrypt_metadata)
+        o = _compute_o_r234(owner_pw or b"", user_pw, 4, n)
+        enc["O"] = o
+        h = hashlib.md5()
+        h.update(_pad_pw(user_pw))
+        h.update(o)
+        h.update(struct.pack("<I", p & 0xFFFFFFFF))
+        h.update(id0)
+        if not encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        u = rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in key), u)
+        enc["U"] = u + b"\x00" * 16
+        enc["CF"] = {
+            "StdCF": {"CFM": Name("AESV2"), "AuthEvent": Name("DocOpen"), "Length": 16}
+        }
+        enc["StmF"] = Name("StdCF")
+        enc["StrF"] = Name("StdCF")
+    elif r in (5, 6):
+        enc["V"] = 5
+        enc["Length"] = 256
+        enc["EncryptMetadata"] = bool(encrypt_metadata)
+        upw = (user_pw or b"")[:127]
+        opw = (owner_pw if owner_pw is not None else user_pw or b"")[:127]
+        file_key = rand(32)
+
+        def hsh(data, salt, udata=b""):
+            if r == 5:
+                return hashlib.sha256(data + salt + udata).digest()
+            return _hash_2b(data, salt, udata)
+
+        uvs, uks = rand(8), rand(8)
+        u = hsh(upw, uvs) + uvs + uks  # Algorithm 8
+        enc["U"] = u
+        enc["UE"] = aes_cbc_encrypt(hsh(upw, uks), b"\x00" * 16, file_key)
+        ovs, oks = rand(8), rand(8)
+        enc["O"] = hsh(opw, ovs, u[:48]) + ovs + oks  # Algorithm 9
+        enc["OE"] = aes_cbc_encrypt(hsh(opw, oks, u[:48]), b"\x00" * 16, file_key)
+        perms = (  # Algorithm 10: AES-ECB of the permissions block
+            struct.pack("<I", p & 0xFFFFFFFF)
+            + b"\xff\xff\xff\xff"
+            + (b"T" if encrypt_metadata else b"F")
+            + b"adb"
+            + rand(4)
+        )
+        enc["Perms"] = aes_cbc_encrypt(file_key, b"\x00" * 16, perms)
+        enc["CF"] = {
+            "StdCF": {"CFM": Name("AESV3"), "AuthEvent": Name("DocOpen"), "Length": 32}
+        }
+        enc["StmF"] = Name("StdCF")
+        enc["StrF"] = Name("StdCF")
+    else:
+        raise ValueError(f"unsupported standard-security revision {revision}")
+
+    handler = StandardSecurityHandler(enc, id0, user_pw)
+    if r in (5, 6):
+        # The constructor re-derives the key by authenticating /U + /UE;
+        # a mismatch here means the key setup above is broken.
+        assert handler.key == file_key, "R5/R6 key setup self-check failed"
+    handler._rand = rand
+    return enc, handler

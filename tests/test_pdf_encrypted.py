@@ -196,3 +196,125 @@ def test_encrypted_strings_decrypt_and_render():
     px = r4[35 - y0, 35 - x0]
     assert px[0] > 200 and px[3] > 200, px
     cache.clear()
+
+# --- writer-side encryption (pdfcrypt.build_encryption + pdf_to_bytes) -------
+#
+# camlpdf's Pdfwrite can save encrypted files (the reference links all of
+# camlpdf, /root/reference/Makefile:20); these tests round-trip every
+# supported revision through OUR OWN reader, whose key derivation the tests
+# above already pinned against a spec transcription.
+
+from coherence_tpu.io.pdf import Name, Ref, Stream, mkpage, pdf_to_bytes
+
+
+class _DetRand:
+    """Deterministic byte source standing in for os.urandom in tests."""
+
+    def __init__(self, seed: int = 0):
+        self.n = seed
+
+    def __call__(self, k: int) -> bytes:
+        out = bytes(((self.n + i) * 37 + 11) % 256 for i in range(k))
+        self.n += k
+        return out
+
+
+_BINARY = bytes(range(256)) + b"\r\n\\()\r tricky"
+
+
+def _sample_pdf():
+    pdf = mkpage(_CONTENT, mediabox=(0, 0, 100, 100))
+    pdf.objects[5] = {"Title": b"Top (Secret) Title", "Blob": _BINARY}
+    pdf.trailer["Info"] = Ref(5)
+    return pdf
+
+
+def _roundtrip(revision, modern, user_pw=b"", owner_pw=b"hunter2"):
+    data = pdf_to_bytes(
+        _sample_pdf(),
+        modern=modern,
+        encrypt={
+            "revision": revision,
+            "user_pw": user_pw,
+            "owner_pw": owner_pw,
+            "rand": _DetRand(revision),
+        },
+    )
+    # Nothing sensitive appears in clear: neither the content stream (it is
+    # Flate-compressed then encrypted) nor any string.
+    assert b"Secret" not in data
+    assert _BINARY not in data
+    import zlib as _z
+
+    assert _z.compress(_CONTENT) not in data
+    pdf = pdf_of_bytes(data)
+    assert pdf.page_content(_page(pdf)) == _CONTENT
+    info = pdf.resolve(pdf.trailer["Info"])
+    assert info["Title"] == b"Top (Secret) Title"
+    assert info["Blob"] == _BINARY
+    return data, pdf
+
+
+def test_write_encrypted_all_revisions_classic_and_modern():
+    for revision in (2, 3, 4, 5, 6):
+        for modern in (False, True):
+            _roundtrip(revision, modern)
+
+
+def test_write_encrypted_deterministic():
+    a, _ = _roundtrip(4, False)
+    b, _ = _roundtrip(4, False)
+    assert a == b
+
+
+def test_write_encrypted_dict_shape():
+    data, pdf = _roundtrip(6, True)
+    enc = pdf.resolve(pdf.trailer["Encrypt"])
+    assert enc["V"] == 5 and enc["R"] == 6
+    assert len(enc["U"]) == 48 and len(enc["O"]) == 48
+    assert len(enc["UE"]) == 32 and len(enc["OE"]) == 32
+    assert len(enc["Perms"]) == 16
+    # /O, /U etc. in the encryption dictionary are stored CLEAR: the reader
+    # must see them verbatim to derive the key.
+    data2, pdf2 = _roundtrip(2, False)
+    enc2 = pdf2.resolve(pdf2.trailer["Encrypt"])
+    assert len(enc2["O"]) == 32 and len(enc2["U"]) == 32 and enc2["V"] == 1
+
+
+def test_write_encrypted_owner_password_authenticates_r6():
+    """The owner password derives the same file key via /O + /OE."""
+    from coherence_tpu.io.pdfcrypt import StandardSecurityHandler, build_encryption
+
+    enc, handler = build_encryption(
+        id0=_ID0, user_pw=b"", owner_pw=b"ownerpw", revision=6, rand=_DetRand(9)
+    )
+    again = StandardSecurityHandler(enc, _ID0, b"ownerpw")
+    assert again.key == handler.key
+
+
+def test_unencrypted_rewrite_of_decrypted_pdf_stays_plaintext():
+    """Re-saving a decrypted file without `encrypt` must drop /Encrypt."""
+    data, pdf = _roundtrip(4, False)
+    out = pdf_to_bytes(pdf)
+    assert b"Encrypt" not in out
+    pdf2 = pdf_of_bytes(out)
+    assert pdf2.page_content(_page(pdf2)) == _CONTENT
+
+
+def test_write_encrypted_renders_after_reread():
+    import numpy as np
+
+    from coherence_tpu.io import pdfgraphics as PG
+    from coherence_tpu.raster import region
+    from coherence_tpu.scene import cache, pdfscene, render as R
+
+    cache.clear()
+    _, pdf = _roundtrip(6, True)
+    g = PG.graphic_of_page(pdf, _page(pdf))
+    scene = pdfscene.scene_of_graphic(pdf, g)
+    spr = R.render_simple_scene(scene, region.shape_of_box((1, 1, 100, 100)))
+    x0, y0, _, _ = spr.box
+    r4 = np.asarray(spr.rgba)
+    px = r4[35 - y0, 35 - x0]
+    assert px[0] > 200 and px[3] > 200, px
+    cache.clear()
