@@ -13,15 +13,14 @@ Indexed (any base), Separation/DeviceN
 (tint transform via ``pdfgraphics.eval_function``); /Decode arrays;
 stencil masks (/ImageMask, painted with the fill colour current at the
 ``Do``/``BI`` op); soft masks (/SMask); DCTDecode via the from-scratch
-``io/jpeg.py`` (JPXDecode still via PIL).  Unsupported
-exotica (JPXDecode without a PIL plugin, JBIG2) raise ``ValueError`` and
+``io/jpeg.py``, JPXDecode through ``io/jp2.py``.  Unsupported
+exotica raise ``ValueError`` and
 the scene layer falls back to the same gray placeholder the unsupported
 shading kinds use.
 """
 
 from __future__ import annotations
 
-import io as _io
 import math
 from typing import List, Optional, Tuple
 
@@ -245,9 +244,11 @@ def _rgb_of_components(pdf, kind, payload, comps):
 def _pil_rgb(codec: str, data: bytes, w: int, h: int):
     """Decode a DCT/JPX payload -> ((h, w, 3) float RGB, alpha?).
 
-    DCTDecode goes through the from-scratch decoder (``io/jpeg.py``,
-    byte-identical to libjpeg — see tests/test_jpeg.py); only JPXDecode
-    still uses PIL's plugin."""
+    Both image codecs are from-scratch now: DCTDecode via ``io/jpeg.py``
+    (byte-identical to libjpeg — tests/test_jpeg.py) and JPXDecode via
+    ``io/jp2.py`` (exact for reversible 5/3 streams, within 1 code of
+    OpenJPEG for irreversible 9/7 — tests/test_jp2.py).  PIL remains a
+    test-time oracle only."""
     if codec in ("DCTDecode", "DCT"):
         from . import jpeg as _jpeg
 
@@ -261,19 +262,21 @@ def _pil_rgb(codec: str, data: bytes, w: int, h: int):
             rgb = _rgb_of_components(None, "cmyk", None, px)
         alpha = None
     else:
-        from PIL import Image as PILImage
+        from . import jp2 as _jp2
 
-        img = PILImage.open(_io.BytesIO(data))
-        alpha = None
-        if img.mode in ("RGBA", "LA", "PA"):
-            rgba = np.asarray(img.convert("RGBA"), dtype=np.float64) / 255.0
-            alpha = rgba[..., 3]
-            rgb = rgba[..., :3]
-        elif img.mode == "CMYK":
-            c = np.asarray(img, dtype=np.float64) / 255.0
-            rgb = _rgb_of_components(None, "cmyk", None, c)
-        else:
-            rgb = np.asarray(img.convert("RGB"), dtype=np.float64) / 255.0
+        img = _jp2.decode(data)
+        rgb, alpha = img.rgba8()
+        ncolor = len(img.planes) - (1 if img.alpha_index is not None else 0)
+        if ncolor == 4:  # CMYK JPX (no enumerated-CS match): convert
+            cm = np.stack(
+                [
+                    p.astype(np.float64) / float((1 << d) - 1)
+                    for i, (p, d) in enumerate(zip(img.planes, img.depths))
+                    if i != img.alpha_index
+                ],
+                axis=-1,
+            )
+            rgb = _rgb_of_components(None, "cmyk", None, cm)
     if rgb.shape[:2] != (h, w):
         rgb = _resize_nearest(rgb, h, w)
         if alpha is not None:
