@@ -1,4 +1,4 @@
-"""BASELINE.md benchmark configs (python benchmarks/run.py [1-5|all]).
+"""BASELINE.md benchmark configs (python benchmarks/run.py [1-6|all]).
 
 Each config prints one JSON line.  Timings force completion with scalar
 readbacks (the axon transport's block_until_ready does not block).
@@ -8,6 +8,9 @@ readbacks (the axon transport's block_until_ready does not block).
   3  animated sprite over static lion at 1080p (== bench.py headline)
   4  blur/convolve filter over a 1080p frame
   5  4K frame, 1000 primitives: full composite + dirty-window recomposite
+  6  end-to-end interactive session THROUGH the display protocol: client-
+     observed event->pixel latency (benchmarks/session.py — engine path at
+     1080p, FastSession TPU path at 1080p and 4K)
 """
 
 import json
@@ -524,9 +527,23 @@ def config5():
     )
 
 
+def config6():
+    """Client-observed latency through the real wire protocol (VERDICT r3
+    item 2): the session benchmark measures event -> repainted-pixels AT
+    the socket client, not in the engine loop.  Engine path at 1080p plus
+    the FastSession (fused TPU step) serving path at 1080p and 4K."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import session as S
+
+    S.run_session(1920, 1080, "1080p")
+    S.run_fast_session(1920, 1080, "1080p")
+    S.run_fast_session(3840, 2160, "4k")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    cfgs = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    cfgs = {"1": config1, "2": config2, "3": config3, "4": config4,
+            "5": config5, "6": config6}
     if which == "all":
         for k in sorted(cfgs):
             cfgs[k]()
