@@ -59,6 +59,11 @@ F_BOX = (40, 320, 1680, 1060)
 ATLAS_CAP = 1024
 BACKEND_INIT_S = 0.0
 
+# Wall-clock attribution of the serial build phases (emitted in extra as
+# build_breakdown so a weather outlier like r4's build_s=18.9 is
+# attributable from the artifact alone — VERDICT r4 item 5).
+BUILD_PHASES = {}
+
 _FORCE = []
 
 
@@ -379,14 +384,16 @@ def build():
     _dbg = os.environ.get("BENCH_DEBUG")
     _last = [_time.time(), _time.thread_time()]
 
-    def _tick(label):
+    def _tick(label, phase=None):
+        now, cpu = _time.time(), _time.thread_time()
+        if phase:
+            BUILD_PHASES[phase] = round(now - _last[0], 2)
         if _dbg:
-            now, cpu = _time.time(), _time.thread_time()
             print(
                 f"# {label}: {now - _last[0]:.1f}s (cpu {cpu - _last[1]:.1f}s)",
                 flush=True,
             )
-            _last[0], _last[1] = now, cpu
+        _last[0], _last[1] = now, cpu
 
     from coherence_tpu.raster import convolve as rconvolve
     from coherence_tpu.scene.fastframe import (
@@ -398,7 +405,7 @@ def build():
 
     geom_th.join()
     objs, blob, f_geom = side["objs"], side["blob"], side["f_geom"]
-    _tick("geometry joined (sweep+staging ran during backend init)")
+    _tick("geometry joined (sweep+staging ran during backend init)", phase="stage_join_s")
 
     # The filter alpha plane is scene-independent: build it on a SIDE
     # THREAD while the main thread builds the scene (its programs load
@@ -414,7 +421,7 @@ def build():
     # (zoom toggling); this bench builds once, so skip its snapshot copy.
     _ff._SCENE_BUILD_CACHE_MAX = 0
     view = DeviceView(W, H, atlas_cap=ATLAS_CAP)
-    _tick("DeviceView init (background + atlas prealloc)")
+    _tick("DeviceView init (background + atlas prealloc)", phase="view_init_s")
 
     # The animated blob's raster is scene-independent: sweep + rasterize it
     # on a side thread while the main thread builds the scene (the tile
@@ -426,17 +433,17 @@ def build():
     blob_th.start()
 
     view.set_scene(objs, tiled=True, staged=side["staged"])
-    _tick("set_scene (device half: flush+paste)")
+    _tick("set_scene (device half: flush+paste)", phase="flush_s")
 
     # The blob moves via in-place reserved-slot atlas updates, topmost in z.
     blob_th.join()
     blob_spr = side["blob_spr"]
-    _tick("blob raster (joined side thread)")
+    _tick("blob raster (joined side thread)", phase="blob_join_s")
     blob_key = blob.idset
     view.sprites[blob_key] = blob_spr
     view.order.insert(0, blob_key)
     view.make_animated(blob_key)
-    _tick("make_animated (reserve+shatter)")
+    _tick("make_animated (reserve+shatter)", phase="make_animated_s")
 
     # The scene (and so every per-frame program's shape key) is final:
     # load the fused animated-frame program and the plain-loop programs
@@ -454,15 +461,15 @@ def build():
 
     alpha_th.join()
     f_alpha = side["f_alpha"]
-    _tick("alpha_plane (joined side thread)")
+    _tick("alpha_plane (joined side thread)", phase="alpha_join_s")
 
     # full_refresh renders the content (every tile is dirty after
     # set_scene) through the dirty kernel and blur-blends the display.
     disp = FilteredDisplay(view, f_alpha, kernel)
     disp.full_refresh()
-    _tick("initial content render + filtered frame")
+    _tick("initial content render + filtered frame", phase="initial_render_s")
     pw_th.join()
-    _tick("prewarm joined (fused + plain loop programs)")
+    _tick("prewarm joined (fused + plain loop programs)", phase="prewarm_join_s")
     return view, disp, blob_key, kernel, f_alpha
 
 
@@ -583,6 +590,32 @@ def main():
     for name, msg in smoke["failures"]:
         print(f"# KERNEL GATE FAIL {name}: {msg}", flush=True)
 
+    # Client-observed session metrics (VERDICT r4 item 1): the fast-serving
+    # session at 1080p THROUGH the real wire protocol — event -> repainted
+    # pixels AT THE CLIENT, the number the project exists for.  60 drags
+    # keep the added wall time ~1 min; the full sweep (engine mode, 4K) is
+    # benchmarks/run.py config6.
+    session = {}
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        import session as session_mod
+
+        t0 = time.time()
+        r = session_mod.run_fast_session(1920, 1080, "1080p", n_drag=60)
+        session = {
+            "session_client_fps_1080p": r["value"],
+            "session_drag_p95_ms": r["extra"]["drag_latency_ms"]["p95"],
+            "session_drag_median_ms": r["extra"]["drag_latency_ms"]["median"],
+            "session_blur_median_ms": r["extra"]["blur_slider_latency_ms"]["median"],
+            "session_s": round(time.time() - t0, 1),
+        }
+    except Exception as e:  # noqa: BLE001 — the headline must still print
+        session = {"session_error": f"{type(e).__name__}: {e}"}
+        print(f"# session bench failed: {e}", flush=True)
+
     result = {
         "metric": "lion_1080p_blurfilter_sprite_fps",
         "value": round(fps, 2),
@@ -594,7 +627,9 @@ def main():
             "device_frame_ms": None if device_ms is None else round(device_ms, 4),
             "device_fps": None if device_fps is None else round(device_fps),
             "build_s": round(build_time - BACKEND_INIT_S, 1),
+            "build_breakdown": dict(BUILD_PHASES),
             "backend_init_s": round(BACKEND_INIT_S, 1),
+            **session,
             "blur_radius": BLUR_RADIUS,
             "frames": 400,
             "kernels_verified": smoke["kernels_verified"],

@@ -104,7 +104,7 @@ def build_scene(W: int, H: int):
     return [blob, filt, lion_obj], (bx, by, br)
 
 
-def engine_thread(conn, W, H, ready, fail):
+def engine_thread(conn, W, H, ready, fail, scene_override=None):
     """Engine endpoint: build the view, paint it, then serve events."""
     try:
         from coherence_tpu.gui.app import Engine, background_obj
@@ -113,7 +113,10 @@ def engine_thread(conn, W, H, ready, fail):
         from coherence_tpu.scene import render as R
 
         eng = Engine(display=RemoteDisplay(conn))
-        scene, _ = build_scene(W, H)
+        if scene_override is not None:
+            scene = scene_override[0]
+        else:
+            scene, _ = build_scene(W, H)
         view = R.View(
             scene=scene,
             pages=[],
@@ -178,7 +181,15 @@ def _stats(xs):
     return med, p95
 
 
-def run_session(W: int, H: int, label: str):
+def run_session(W: int, H: int, label: str, n_drag: int = None,
+                n_warm: int = None, blur_steps=None, scene=None):
+    """Engine-mode session.  Returns the result dict (also printed as one
+    JSON line).  `n_drag`/`n_warm`/`blur_steps` default to the module
+    constants; `scene` overrides the built scene with
+    (objects, (bx, by, br)) for cheap CI runs."""
+    n_drag = N_DRAG if n_drag is None else n_drag
+    n_warm = N_WARM if n_warm is None else n_warm
+    blur_steps = BLUR_STEPS if blur_steps is None else blur_steps
     _cache_cfg()
     server = socket.socket()
     server.bind(("127.0.0.1", 0))
@@ -203,7 +214,8 @@ def run_session(W: int, H: int, label: str):
         acc.join()
         server.close()
         eng_t = threading.Thread(
-            target=engine_thread, args=(ready["engine_conn"], W, H, ready, fail)
+            target=engine_thread,
+            args=(ready["engine_conn"], W, H, ready, fail, scene),
         )
         eng_t.start()
 
@@ -215,7 +227,7 @@ def run_session(W: int, H: int, label: str):
             raise fail[0]
         first_paint_s = time.perf_counter() - t_build0
         win = next(iter(c.windows))
-        bx, by, br = blob_coords(W, H)
+        bx, by, br = scene[1] if scene is not None else blob_coords(W, H)
 
         # --- phase 1: pick + drag -----------------------------------------
         c.mouse = (bx, by)
@@ -223,7 +235,7 @@ def run_session(W: int, H: int, label: str):
         tc.barrier(win)  # picking done (a first click repaints nothing)
         drag_lat = []
         x, y = bx, by
-        for k in range(N_WARM + N_DRAG):
+        for k in range(n_warm + n_drag):
             dx, dy = (5, 3) if (k // 40) % 2 == 0 else (-5, -3)
             x, y = x + dx, y + dy
             t0 = time.perf_counter()
@@ -231,14 +243,14 @@ def run_session(W: int, H: int, label: str):
             c.send_event("LeftDragging", win, x, y)
             t1 = tc.await_refresh()
             tc.drain()
-            if k >= N_WARM:  # first steps mint program shapes
+            if k >= n_warm:  # first steps mint program shapes
                 drag_lat.append(t1 - t0)
         c.send_event("LeftUp", win, x, y)
         tc.barrier(win)
 
         # --- phase 2: blur slider over the selection ----------------------
         blur_lat = []
-        for v in BLUR_STEPS:
+        for v in blur_steps:
             t0 = time.perf_counter()
             c.send_event("BlurSlider", win, v)
             t1 = tc.await_refresh()
@@ -287,32 +299,29 @@ def run_session(W: int, H: int, label: str):
 
     dmed, dp95 = _stats(drag_lat)
     bmed, bp95 = _stats(blur_lat)
-    print(
-        json.dumps(
-            {
-                "metric": f"session_{label}_drag_fps_at_client",
-                "value": round(1.0 / dmed, 1),
-                "unit": "fps",
-                "vs_baseline": round((1.0 / dmed) / 60.0, 3),
-                "extra": {
-                    "drag_latency_ms": {
-                        "median": round(dmed * 1e3, 2),
-                        "p95": round(dp95 * 1e3, 2),
-                    },
-                    "blur_slider_latency_ms": {
-                        "median": round(bmed * 1e3, 2),
-                        "p95": round(bp95 * 1e3, 2),
-                    },
-                    "zoom_in_s": round(zoom_in_s, 3),
-                    "zoom_out_s": round(zoom_out_s, 3),
-                    "first_paint_s": round(first_paint_s, 2),
-                    "drag_steps": N_DRAG,
-                    "resolution": f"{W}x{H}",
-                },
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": f"session_{label}_drag_fps_at_client",
+        "value": round(1.0 / dmed, 1),
+        "unit": "fps",
+        "vs_baseline": round((1.0 / dmed) / 60.0, 3),
+        "extra": {
+            "drag_latency_ms": {
+                "median": round(dmed * 1e3, 2),
+                "p95": round(dp95 * 1e3, 2),
+            },
+            "blur_slider_latency_ms": {
+                "median": round(bmed * 1e3, 2),
+                "p95": round(bp95 * 1e3, 2),
+            },
+            "zoom_in_s": round(zoom_in_s, 3),
+            "zoom_out_s": round(zoom_out_s, 3),
+            "first_paint_s": round(first_paint_s, 2),
+            "drag_steps": n_drag,
+            "resolution": f"{W}x{H}",
+        },
+    }
+    print(json.dumps(result), flush=True)
+    return result
 
 
 def main():
@@ -378,10 +387,20 @@ def fast_scene(W: int, H: int):
     return objs, blob, f_geom, (bx, by, br)
 
 
-def run_fast_session(W: int, H: int, label: str):
+def run_fast_session(W: int, H: int, label: str, n_drag: int = None,
+                     n_warm: int = None, blur_steps=None, scene=None,
+                     check_pixels: bool = False):
     """The serving configuration: FastSession (TPU fused animated path)
     behind the same wire protocol; the client measures event -> pixels.
-    Drag + blur-slider phases (zoom is config 5's scene-rebuild metric)."""
+    Drag + blur-slider phases (zoom is config 5's scene-rebuild metric).
+
+    Returns the result dict (also printed as one JSON line).  `scene`
+    overrides the lion scene with (objs, blob, f_geom, (bx, by, br));
+    `check_pixels` asserts the client-side window equals the server's
+    display plane after the drag and blur phases (the CI behavior smoke)."""
+    n_drag = N_DRAG if n_drag is None else n_drag
+    n_warm = N_WARM if n_warm is None else n_warm
+    blur_steps = BLUR_STEPS if blur_steps is None else blur_steps
     _cache_cfg()
     server = socket.socket()
     server.bind(("127.0.0.1", 0))
@@ -405,7 +424,9 @@ def run_fast_session(W: int, H: int, label: str):
         acc.join()
         server.close()
 
-        objs, blob, f_geom, (bx, by, br) = fast_scene(W, H)
+        objs, blob, f_geom, (bx, by, br) = (
+            scene if scene is not None else fast_scene(W, H)
+        )
 
         def server_thread():
             try:
@@ -424,6 +445,7 @@ def run_fast_session(W: int, H: int, label: str):
 
         tc = TimingClient(client_conn)
         c = tc.c
+        c.app_start()  # FastSession blocks on this handshake (fastserver.py:75)
         tc.await_refresh()  # initial full frame landed client-side
         tc.drain()
         if fail:
@@ -431,12 +453,25 @@ def run_fast_session(W: int, H: int, label: str):
         first_paint_s = time.perf_counter() - t_build0
         win = next(iter(c.windows))
 
+        def _assert_pixels():
+            """Client-side window equals the server's display plane — the
+            wire protocol shipped exactly the pixels the engine rendered."""
+            import numpy as _np
+
+            srv = _np.asarray(ready["sess"].disp.rgba)[..., :3].astype(_np.uint8)
+            cli = c.windows[win].image[:H, :W]
+            if not _np.array_equal(cli, srv):
+                raise AssertionError(
+                    f"client pixels diverge from the server display plane: "
+                    f"{int((cli != srv).any(-1).sum())} pixels"
+                )
+
         # --- drag phase (each LeftDragging -> exactly one window refresh)
         c.mouse = (bx, by)
         c.send_event("LeftDown", win, bx, by)
         drag_lat = []
         x, y = bx, by
-        for k in range(N_WARM + N_DRAG):
+        for k in range(n_warm + n_drag):
             dx, dy = (5, 3) if (k // 40) % 2 == 0 else (-5, -3)
             x, y = x + dx, y + dy
             t0 = time.perf_counter()
@@ -444,18 +479,22 @@ def run_fast_session(W: int, H: int, label: str):
             c.send_event("LeftDragging", win, x, y)
             t1 = tc.await_refresh()
             tc.drain()
-            if k >= N_WARM:
+            if k >= n_warm:
                 drag_lat.append(t1 - t0)
         c.send_event("LeftUp", win, x, y)
+        if check_pixels:
+            _assert_pixels()
 
         # --- blur slider (full reblend + full-frame ship each)
         blur_lat = []
-        for v in BLUR_STEPS:
+        for v in blur_steps:
             t0 = time.perf_counter()
             c.send_event("BlurSlider", win, v)
             t1 = tc.await_refresh()
             tc.drain()
             blur_lat.append(t1 - t0)
+        if check_pixels:
+            _assert_pixels()
 
         c.send_event("AppClose")
         while c.running and c.handle_one():
@@ -470,30 +509,27 @@ def run_fast_session(W: int, H: int, label: str):
 
     dmed, dp95 = _stats(drag_lat)
     bmed, bp95 = _stats(blur_lat)
-    print(
-        json.dumps(
-            {
-                "metric": f"session_fast_{label}_drag_fps_at_client",
-                "value": round(1.0 / dmed, 1),
-                "unit": "fps",
-                "vs_baseline": round((1.0 / dmed) / 60.0, 3),
-                "extra": {
-                    "drag_latency_ms": {
-                        "median": round(dmed * 1e3, 2),
-                        "p95": round(dp95 * 1e3, 2),
-                    },
-                    "blur_slider_latency_ms": {
-                        "median": round(bmed * 1e3, 2),
-                        "p95": round(bp95 * 1e3, 2),
-                    },
-                    "first_paint_s": round(first_paint_s, 2),
-                    "drag_steps": N_DRAG,
-                    "resolution": f"{W}x{H}",
-                },
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": f"session_fast_{label}_drag_fps_at_client",
+        "value": round(1.0 / dmed, 1),
+        "unit": "fps",
+        "vs_baseline": round((1.0 / dmed) / 60.0, 3),
+        "extra": {
+            "drag_latency_ms": {
+                "median": round(dmed * 1e3, 2),
+                "p95": round(dp95 * 1e3, 2),
+            },
+            "blur_slider_latency_ms": {
+                "median": round(bmed * 1e3, 2),
+                "p95": round(bp95 * 1e3, 2),
+            },
+            "first_paint_s": round(first_paint_s, 2),
+            "drag_steps": n_drag,
+            "resolution": f"{W}x{H}",
+        },
+    }
+    print(json.dumps(result), flush=True)
+    return result
 
 if __name__ == "__main__":
     main()

@@ -547,6 +547,267 @@ def _c_misc(seed, compiled):
 
 
 # ---------------------------------------------------------------------------
+# General-renderer device programs (raster/region.py) — the scalar path every
+# non-fast scene, icon render and session.py engine mode runs on TPU.
+# Cross-backend: compiled on the default device vs the CPU oracle
+# (VERDICT r4 item 2a).
+# ---------------------------------------------------------------------------
+
+
+def _mk_sprite(box, mask, rgba):
+    import jax.numpy as jnp
+
+    from ..raster import region
+
+    m = region._pad_mask(mask)
+    H, W = m.shape
+    r = np.zeros((H, W, 4), np.int32)
+    r[: mask.shape[0], : mask.shape[1]] = rgba
+    return region.Sprite(box, m, jnp.asarray(r))
+
+
+@_check("region ops: caf/set-algebra/shift/morphology/flatten-pickup")
+def _c_region(seed, compiled):
+    import coherence_tpu.colour as C
+    from ..raster import fills as rfills, region
+
+    # Deterministic random content over FIXED overlapping boxes (the random
+    # placement of _seeded_sprites can miss, and several ops below require
+    # a non-empty intersection).
+    rng = np.random.default_rng(seed + 41)
+
+    def mk(box):
+        x0, y0, x1, y1 = box
+        h, w = y1 - y0 + 1, x1 - x0 + 1
+        mask = rng.random((h, w)) < 0.8
+        a = rng.integers(0, 256, (h, w, 1))
+        rgb = rng.integers(0, 256, (h, w, 3)) * a // 255
+        rgba = (np.concatenate([rgb, a], -1) * mask[..., None]).astype(np.int32)
+        return _mk_sprite(box, mask, rgba)
+
+    s0 = mk((5, 8, 150, 120))
+    s1 = mk((60, 40, 220, 170))  # overlaps s0
+    s2 = mk((-10, -6, 90, 80))  # negative origin: signed shift gathers
+    s3 = mk((30, 20, 140, 100))  # overlaps s2 and s3-translated
+    out = {}
+    # caf: compose-and-filter (sprite.ml:723-1170) — the renderobj hot op.
+    spr, fshape = region.caf("over", "opaque", s0, s1)
+    out["caf_over"] = {"rgba": spr.rgba, "mask": spr.mask, "f": fshape.mask}
+    spr2, fshape2 = region.caf("plus", "opaque", s2, s3)
+    out["caf_plus"] = {"rgba": spr2.rgba, "f": fshape2.mask}
+    # Set algebra + the dynamic-offset shift gathers underneath.
+    a, b = region.shape_of_sprite(s0), region.shape_of_sprite(s1)
+    out["union"] = region.shape_union(a, b).mask
+    out["diff"] = region.shape_difference(a, b).mask
+    out["inter"] = region.shape_intersection(a, b).mask
+    # portion + translated caf (different reproject offsets).
+    out["portion"] = region.portion(s0, b).rgba
+    t = region.translate_sprite(17, -9, s2)
+    spr3, _ = region.caf("over", "opaque", t, s3)
+    out["caf_translated"] = spr3.rgba
+    # Morphology (bloat/erode) with asymmetric radii.
+    out["bloat"] = region.bloat(3, 2, a).mask
+    out["erode"] = region.erode(2, 1, a).mask
+    # Tight-bounds recompute.
+    bs = region.boxsprite(s1)
+    if bs is not None:
+        out["boxsprite"] = bs.rgba
+    # flatten -> canvas -> pickup round trip (sprite.ml:1664-1739).
+    canvas = region.flatten_sprite(4, s0, C.white)
+    out["flatten"] = canvas.rgba
+    x0, y0, x1, y1 = s0.box
+    inner = region.shape_of_box((x0 + 2, y0 + 2, x1 - 2, y1 - 2))
+    out["pickup"] = region.pickup(inner, canvas).rgba
+    # fillshape with a gradient fill under a mask (_masked_rgba).
+    g = rfills.gradient((float(x0), float(y0)), (float(x1), float(y1)),
+                        True, True, C.red, C.blue)
+    out["fill_gradient"] = region.fillshape(a, g).rgba
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AA coverage GEMM (raster/aa.py) — bf16 on TPU vs f32 on CPU by an
+# import-time backend switch (aa.py:80): the one production program whose
+# TPU/CPU dtypes deliberately differ.  Verified against an independent
+# integer numpy oracle of the reference's table sums (polygon.ml:694-705),
+# so a silent bf16 precision loss fails here (VERDICT r4 item 2a).
+# ---------------------------------------------------------------------------
+
+
+def _aa_oracle(box, scaled):
+    """Exact integer table sums: cov[j,k] = sum over the 32x32 footprint of
+    t_mask[16j+v, 16k+u] * maintable[u, v]; opacity per polygon.ml:650-652."""
+    from ..raster import aa
+
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    Hs = aa._H
+    th, tw = Hs * h + Hs, Hs * w + Hs
+    tr0, tc0 = Hs * y0 - 2 * Hs, Hs * x0 - 2 * Hs
+    t = np.zeros((th, tw), bool)
+    rows, ss, ee = scaled
+    for row, s, e in zip(rows, ss, ee):
+        r = int(row) - tr0
+        if 0 <= r < th:
+            cs, ce = max(int(s) - tc0, 0), min(int(e) - tc0, tw - 1)
+            if cs <= ce:
+                t[r, cs : ce + 1] = True
+    k2 = aa.maintable.T.astype(np.int64)  # (v, u)
+    ti = t.astype(np.int64)
+    cov = np.zeros((h, w), np.int64)
+    for j in range(h):
+        for k in range(w):
+            cov[j, k] = (ti[Hs * j : Hs * j + 2 * Hs,
+                            Hs * k : Hs * k + 2 * Hs] * k2).sum()
+    return ((cov * 256 + aa.volume // 2) // aa.volume).astype(np.int32)
+
+
+@_check("AA coverage GEMM vs integer table oracle (bf16-on-TPU fork)",
+        self_check=True)
+def _c_aa(seed, compiled):
+    from ..geometry import path as gpath, shapes as gshapes
+    from ..geometry.path import edgelist_of_path
+    from ..raster import aa, scanline
+
+    rng = np.random.default_rng(seed + 43)
+    cases = []
+    # A circle (curved edges, even-odd) and a self-overlapping star
+    # (nonzero winding) at random subpixel positions.
+    cx, cy, r = 20 + rng.random() * 3, 18 + rng.random() * 3, 14.3
+    cases.append(gshapes.circle(cx, cy, r))
+    pts = []
+    for i in range(5):
+        ang = i * 4 * np.pi / 5
+        pts.append((24 + 17 * np.cos(ang) + rng.random(),
+                    22 + 17 * np.sin(ang) + rng.random()))
+    segs = tuple(
+        gpath.Straight(pts[i], pts[(i + 1) % 5]) for i in range(5)
+    )
+    cases.append(gpath.Path(gpath.NONZERO, (gpath.Subpath(False, True, segs),)))
+    got_last = None
+    for i, path in enumerate(cases):
+        edges = edgelist_of_path(path)
+        scaled = scanline.scaled_spans_of_edgelist(edges, path.winding, aa._H)
+        assert scaled is not None
+        xs = np.concatenate([np.asarray(edges)[:, 0], np.asarray(edges)[:, 2]])
+        ys = np.concatenate([np.asarray(edges)[:, 1], np.asarray(edges)[:, 3]])
+        # Pixel box with AA margin around the subpixel edge extent.
+        box = (
+            int(np.floor(xs.min() / 32)) - 2,
+            int(np.floor(ys.min() / 32)) - 2,
+            int(np.ceil(xs.max() / 32)) + 2,
+            int(np.ceil(ys.max() / 32)) + 2,
+        )
+        got = np.asarray(aa.coverage_opacity(box, scaled))
+        want = _aa_oracle(box, scaled)
+        if not np.array_equal(got, want):
+            n = int((got != want).sum())
+            raise AssertionError(
+                f"case {i}: {n} of {got.size} AA opacities diverge from the "
+                f"integer table oracle (max |d| = "
+                f"{int(np.abs(got.astype(np.int64) - want).max())}) — the "
+                f"{aa._MATMUL_DTYPE} coverage GEMM is not exact"
+            )
+        got_last = got
+    return got_last
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) program bodies on THIS device: a 1-device Mesh forces
+# the shard_map Pallas kernels through the real lowering (Mosaic on TPU) —
+# previously they only ever compiled on the virtual CPU mesh
+# (VERDICT r4 item 2b).  Oracle: the unsharded production pipeline.
+# ---------------------------------------------------------------------------
+
+
+@_check("sharded bodies (1-device mesh): render/dirty/banded-animated",
+        self_check=True)
+def _c_sharded(seed, compiled):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ..raster.tiled_scene import _render_tiles, render_sharded
+
+    interp = not compiled
+    mesh = Mesh(np.array(jax.devices()[:1]), ("y",))
+
+    # render_sharded vs the unsharded per-piece kernel.
+    ts, order, bg = _seeded_scene(seed + 53)
+    out = render_sharded(ts, bg, order, mesh, interpret=interp)
+    starts, idxs = ts.build_lists(order)
+    want = _render_tiles(
+        starts, idxs, bg, ts.atlas(), nty=ts.nty, ntx=ts.ntx, interpret=interp
+    )
+    _assert_equal("render_sharded vs unsharded", out, want)
+
+    # Production sharded view: full render + banded animated step with the
+    # live blur filter (render_dirty_sharded + BandedAtlas.update_inplace +
+    # the sharded blur blend) vs the identical unsharded run.
+    import coherence_tpu.colour as C
+    from .. import ident
+    from ..geometry import shapes as gshapes
+    from ..raster import fills as rfills
+    from ..raster.convolve import mkgaussian
+    from ..raster.pallas_compositor import TILE_H, TILE_W
+    from ..scene import render as R
+    from ..scene.fastframe import (
+        DeviceView,
+        FilteredDisplay,
+        alpha_plane_of_object,
+    )
+
+    def scene():
+        # Fresh idsets per run: the two views must not share cache entries.
+        blob = R.Obj(
+            ident.new_ids(),
+            R.Basic(
+                rfills.plain(C.dissolve(C.crimson, delta=170)),
+                R.PathShape(gshapes.circle(40.0, 30.0, 12.0)),
+            ),
+            (),
+            R.OVER,
+        )
+        rect = R.Obj(
+            ident.new_ids(),
+            R.Basic(rfills.plain(C.steelblue),
+                    R.rectangle(10.0, 10.0, 90.0, 100.0)),
+            (),
+            R.OVER,
+        )
+        f_geom = R.Obj(
+            ident.new_ids(),
+            R.Basic(rfills.plain(C.white), R.rectangle(8.0, 8.0, 100.0, 110.0)),
+            (),
+            R.OVER,
+        )
+        return [blob, rect], f_geom
+
+    def run_view(shard: bool):
+        objs, f_geom = scene()
+        view = DeviceView(TILE_W, 2 * TILE_H)
+        view.set_scene(objs)
+        if shard:
+            view.use_mesh(mesh, interpret=interp)
+        view.render(full=True)
+        view.make_animated(objs[0].idset)
+        f_alpha = alpha_plane_of_object(f_geom, view.width, view.height)
+        disp = FilteredDisplay(view, f_alpha, mkgaussian(2))
+        disp.full_refresh()
+        disp.step_animated(objs[0].idset, 5, TILE_H // 2)  # crosses the band
+        disp.step_animated(objs[0].idset, -3, 7)
+        return disp.read()
+
+    got, want = run_view(True), run_view(False)
+    if not np.array_equal(got, want):
+        raise AssertionError(
+            f"sharded animated pipeline diverges from unsharded: "
+            f"{int((got != want).any(-1).sum())} pixels"
+        )
+    return got
+
+
+# ---------------------------------------------------------------------------
 # Runner
 # ---------------------------------------------------------------------------
 
