@@ -6,8 +6,10 @@ CCITT, LZW, Flate predictors, AES) is built from scratch, and this closes
 the last third-party dependency in the core decode path (VERDICT r3 item 3).
 
 Supports baseline (SOF0), extended sequential (SOF1) and progressive (SOF2)
-Huffman JPEGs: restart intervals, arbitrary integral subsampling, 1/3/4
-components, Adobe APP14 colour transforms (YCbCr / YCCK per TN #5116).
+Huffman JPEGs plus sequential (SOF9) and progressive (SOF10)
+arithmetic-coded JPEGs (T.81 Annex D QM coder, DAC conditioning): restart
+intervals, arbitrary integral subsampling, 1/3/4 components, Adobe APP14
+colour transforms (YCbCr / YCCK per TN #5116).
 
 The arithmetic is libjpeg's, reproduced from its published algorithms so
 output is BYTE-IDENTICAL to PIL (which wraps libjpeg/-turbo — the test
@@ -230,6 +232,165 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
+# --- arithmetic entropy coding (T.81 Annex D/F, SOF9/SOF10) ---------------------
+
+# QM-coder probability estimation state machine, T.81 Table D.3 (the same
+# published table libjpeg ships as jpeg_aritab): (Qe, NMPS, NLPS, SWITCH).
+# Entry 113 is the non-adapting 0.5-probability state used for sign bits
+# ("fixed bin", F.1.4.4.1.1).
+_ARITAB = [
+    (0x5A1D,1,1,1), (0x2586,2,14,0), (0x1114,3,16,0), (0x080B,4,18,0),
+    (0x03D8,5,20,0), (0x01DA,6,23,0), (0x00E5,7,25,0), (0x006F,8,28,0),
+    (0x0036,9,30,0), (0x001A,10,33,0), (0x000D,11,35,0), (0x0006,12,9,0),
+    (0x0003,13,10,0), (0x0001,13,12,0), (0x5A7F,15,15,1), (0x3F25,16,36,0),
+    (0x2CF2,17,38,0), (0x207C,18,39,0), (0x17B9,19,40,0), (0x1182,20,42,0),
+    (0x0CEF,21,43,0), (0x09A1,22,45,0), (0x072F,23,46,0), (0x055C,24,48,0),
+    (0x0406,25,49,0), (0x0303,26,51,0), (0x0240,27,52,0), (0x01B1,28,54,0),
+    (0x0144,29,56,0), (0x00F5,30,57,0), (0x00B7,31,59,0), (0x008A,32,60,0),
+    (0x0068,33,62,0), (0x004E,34,63,0), (0x003B,35,32,0), (0x002C,9,33,0),
+    (0x5AE1,37,37,1), (0x484C,38,64,0), (0x3A0D,39,65,0), (0x2EF1,40,67,0),
+    (0x261F,41,68,0), (0x1F33,42,69,0), (0x19A8,43,70,0), (0x1518,44,72,0),
+    (0x1177,45,73,0), (0x0E74,46,74,0), (0x0BFB,47,75,0), (0x09F8,48,77,0),
+    (0x0861,49,78,0), (0x0706,50,79,0), (0x05CD,51,48,0), (0x04DE,52,50,0),
+    (0x040F,53,50,0), (0x0363,54,51,0), (0x02D4,55,52,0), (0x025C,56,53,0),
+    (0x01F8,57,54,0), (0x01A4,58,55,0), (0x0160,59,56,0), (0x0125,60,57,0),
+    (0x00F6,61,58,0), (0x00CB,62,59,0), (0x00AB,63,61,0), (0x008F,32,61,0),
+    (0x5B12,65,65,1), (0x4D04,66,80,0), (0x412C,67,81,0), (0x37D8,68,82,0),
+    (0x2FE8,69,83,0), (0x293C,70,84,0), (0x2379,71,86,0), (0x1EDF,72,87,0),
+    (0x1AA9,73,87,0), (0x174E,74,72,0), (0x1424,75,72,0), (0x119C,76,74,0),
+    (0x0F6B,77,74,0), (0x0D51,78,75,0), (0x0BB6,79,77,0), (0x0A40,48,77,0),
+    (0x5832,81,80,1), (0x4D1C,82,88,0), (0x438E,83,89,0), (0x3BDD,84,90,0),
+    (0x34EE,85,91,0), (0x2EAE,86,92,0), (0x299A,87,93,0), (0x2516,71,86,0),
+    (0x5570,89,88,1), (0x4CA9,90,95,0), (0x44D9,91,96,0), (0x3E22,92,97,0),
+    (0x3824,93,99,0), (0x32B4,94,99,0), (0x2E17,86,93,0), (0x56A8,96,95,1),
+    (0x4F46,97,101,0), (0x47E5,98,102,0), (0x41CF,99,103,0), (0x3C3D,100,104,0),
+    (0x375E,93,99,0), (0x5231,102,105,0), (0x4C0F,103,106,0), (0x4639,104,107,0),
+    (0x415E,99,103,0), (0x5627,106,105,1), (0x50E7,107,108,0), (0x4B85,103,109,0),
+    (0x5597,109,110,0), (0x504F,107,111,0), (0x5A10,111,110,1), (0x5522,109,112,0),
+    (0x59EB,111,112,1), (0x5A1D,113,113,0),
+]
+_AR_QE = [r[0] for r in _ARITAB]
+_AR_NMPS = [r[1] for r in _ARITAB]
+_AR_NLPS = [r[2] for r in _ARITAB]
+_AR_SW = [r[3] for r in _ARITAB]
+
+
+class ArithDecoder:
+    """T.81 F.2.2 QM decoder over entropy-coded data.
+
+    Register layout follows libjpeg's jdarith (the C register is compared
+    against ``(A - Qe) << ct``), which is arithmetically identical to the
+    Figure F.20 flowcharts.  Hitting a marker is legal mid-scan: the
+    decoder records it and feeds zero bytes until the scan logic stops.
+
+    Statistics areas are plain bytearrays holding ``index | mps << 7``;
+    ``decode(st, i)`` decodes one decision with the state at ``st[i]``.
+    """
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.reset()
+
+    def reset(self):
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # force loading two initial bytes
+        self.marker = -1
+
+    def _byte(self) -> int:
+        if self.marker >= 0:
+            return 0  # past a marker: feed zeros until the scan ends
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            self.marker = 0xD9
+            return 0
+        b = data[pos]
+        pos += 1
+        if b == 0xFF:
+            while pos < len(data) and data[pos] == 0xFF:
+                pos += 1  # swallow fill bytes
+            nxt = data[pos] if pos < len(data) else 0xD9
+            if nxt == 0x00:
+                pos += 1  # stuffed zero: the data byte is 0xFF
+            else:
+                self.marker = nxt  # stop BEFORE the marker
+                return 0
+        self.pos = pos
+        return b
+
+    def decode(self, st: bytearray, i: int) -> int:
+        # Renormalize + feed input (F.2.2.6).
+        a, c, ct = self.a, self.c, self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = ((c << 8) | self._byte()) & 0xFFFFFFFF
+                ct += 8
+                if ct < 0:
+                    ct += 1  # still loading the two initial bytes
+                    if ct == 0:
+                        a = 0x8000  # doubles to 0x10000 below
+            a <<= 1
+        sv = st[i]
+        mps = sv >> 7
+        idx = sv & 0x7F
+        qe = _AR_QE[idx]
+        a -= qe
+        temp = a << ct
+        if c >= temp:
+            c -= temp
+            # Code fell in the upper (LPS) subinterval; conditional
+            # exchange decodes the MPS instead when Qe grew past the MPS
+            # subinterval (F.2.2.2).
+            if a < qe:
+                bit = mps
+                st[i] = (mps << 7) | _AR_NMPS[idx]
+            else:
+                bit = mps ^ 1
+                st[i] = ((mps ^ _AR_SW[idx]) << 7) | _AR_NLPS[idx]
+            a = qe
+        elif a < 0x8000:
+            # MPS renormalization pending; conditional exchange (F.2.2.1)
+            if a < qe:
+                bit = mps ^ 1
+                st[i] = ((mps ^ _AR_SW[idx]) << 7) | _AR_NLPS[idx]
+            else:
+                bit = mps
+                st[i] = (mps << 7) | _AR_NMPS[idx]
+        else:
+            bit = mps
+        self.a, self.c, self.ct = a, c, ct
+        return bit
+
+    def restart(self):
+        """Consume the pending RSTn marker and reinitialize (F.2.1.3.4)."""
+        data = self.data
+        if self.marker < 0:
+            # The coder may not have pulled bytes up to the marker yet.
+            pos = self.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7
+            ):
+                pos += 1
+            if pos + 1 >= len(data):
+                raise JpegError("missing restart marker")
+            self.pos = pos + 2
+        else:
+            if not 0xD0 <= self.marker <= 0xD7:
+                raise JpegError("missing restart marker")
+            # self.pos sits just before the 0xFF of the marker: skip it.
+            pos = self.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] == self.marker
+            ):
+                pos += 1
+            self.pos = min(pos + 2, len(data))
+        self.reset()
+
+
 # --- frame / component state ---------------------------------------------------
 
 
@@ -245,6 +406,7 @@ class Component:
     ds_h: int = 0
     coefs: Optional[np.ndarray] = None  # (blocks_h, blocks_w, 64) int16
     dc_pred: int = 0
+    dc_ctx: int = 0  # arithmetic DC conditioning context (F.1.4.4.1.2)
     td: int = 0
     ta: int = 0
 
@@ -260,6 +422,7 @@ class Frame:
     vmax: int = 1
     mcus_x: int = 0
     mcus_y: int = 0
+    arith: bool = False
 
 
 @dataclass
@@ -282,6 +445,8 @@ def decode(data: bytes) -> Decoded:
     qtabs: Dict[int, np.ndarray] = {}
     dc_tabs: Dict[int, HuffTable] = {}
     ac_tabs: Dict[int, HuffTable] = {}
+    dc_cond: Dict[int, Tuple[int, int]] = {}  # DAC: (L, U), default (0, 1)
+    ac_cond: Dict[int, int] = {}  # DAC: Kx, default 5
     frame: Optional[Frame] = None
     restart_interval = 0
     adobe_transform: Optional[int] = None
@@ -338,7 +503,7 @@ def decode(data: bytes) -> Decoded:
             if len(seg) < 2:
                 raise JpegError("bad DRI")
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             if frame is not None:
                 raise JpegError("multiple frames")
             if len(seg) < 6:
@@ -350,7 +515,8 @@ def decode(data: bytes) -> Decoded:
                 raise JpegError("bad frame dims")
             if len(seg) < 6 + 3 * nc:
                 raise JpegError("bad SOF")
-            frame = Frame(marker == 0xC2, prec, w, h)
+            frame = Frame(marker in (0xC2, 0xCA), prec, w, h)
+            frame.arith = marker in (0xC9, 0xCA)
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comp = Component(cid, hv >> 4, hv & 15, tq)
@@ -367,9 +533,25 @@ def decode(data: bytes) -> Decoded:
                 c.ds_w = -(-w * c.h // frame.hmax)
                 c.ds_h = -(-h * c.v // frame.vmax)
                 c.coefs = np.zeros((c.blocks_h, c.blocks_w, 64), np.int16)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
-                        0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 15
+                cs = seg[i + 1]
+                if tb > 3:
+                    raise JpegError("bad DAC")
+                if tc == 0:
+                    lo, hi = cs & 0x0F, cs >> 4
+                    if lo > hi or hi > 15:
+                        raise JpegError("bad DAC DC conditioning")
+                    dc_cond[tb] = (lo, hi)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise JpegError("bad DAC AC conditioning")
+                    ac_cond[tb] = cs
+                i += 2
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
             saw_adobe = True
             if len(seg) >= 12:
@@ -392,10 +574,16 @@ def decode(data: bytes) -> Decoded:
                 scomps.append(comp)
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
-            pos = _decode_scan(
-                data, end, frame, scomps, dc_tabs, ac_tabs,
-                restart_interval, ss, se, ah, al,
-            )
+            if frame.arith:
+                pos = _decode_scan_arith(
+                    data, end, frame, scomps, dc_cond, ac_cond,
+                    restart_interval, ss, se, ah, al,
+                )
+            else:
+                pos = _decode_scan(
+                    data, end, frame, scomps, dc_tabs, ac_tabs,
+                    restart_interval, ss, se, ah, al,
+                )
             continue
         pos = end
 
@@ -623,6 +811,179 @@ def _prog_ac(r, c, ac_tabs, ri, ss, se, ah, al):
                     eobrun -= 1
             if togo > 0:
                 togo -= 1
+
+
+# --- arithmetic scan decoding (T.81 F.2.4, the jdarith statistics model) ---------
+
+
+def _decode_scan_arith(data, pos, frame, scomps, dc_cond, ac_cond, ri,
+                       ss, se, ah, al):
+    """Arithmetic-coded scan (SOF9 sequential / SOF10 progressive).
+
+    Statistics bins per T.81 F.2: DC area of 64 states per table
+    (contexts 0..19, magnitude categories X1.. at 20, mantissa at +14),
+    AC area of 256 states (3 per coefficient index, categories at
+    189/217 split by the Kx conditioning), one non-adapting state for
+    signs.  All areas reset at scan start and at every restart."""
+    dec = ArithDecoder(data, pos)
+    dc_stats: Dict[int, bytearray] = {}
+    ac_stats: Dict[int, bytearray] = {}
+    fixed = bytearray([113])
+
+    def reset_stats():
+        for c in scomps:
+            dc_stats[c.td] = bytearray(64)
+            ac_stats[c.ta] = bytearray(256)
+            c.dc_pred = 0
+            c.dc_ctx = 0
+        fixed[0] = 113
+
+    reset_stats()
+
+    def decode_dc(c: Component) -> int:
+        """One DC diff; updates c.dc_pred / c.dc_ctx; returns the new DC."""
+        st = dc_stats[c.td]
+        ctx = c.dc_ctx
+        if dec.decode(st, ctx) == 0:
+            c.dc_ctx = 0
+            return c.dc_pred
+        sign = dec.decode(st, ctx + 1)
+        i = ctx + 2 + sign
+        m = dec.decode(st, i)
+        if m:
+            i = 20  # Table F.4: X1
+            while dec.decode(st, i):
+                m <<= 1
+                if m == 0x8000:
+                    raise JpegError("arith DC magnitude overflow")
+                i += 1
+        lo, hi = dc_cond.get(c.td, (0, 1))
+        if m < (1 << lo) >> 1:
+            c.dc_ctx = 0
+        elif m > (1 << hi) >> 1:
+            c.dc_ctx = 12 + sign * 4
+        else:
+            c.dc_ctx = 4 + sign * 4
+        v = m
+        i += 14
+        m >>= 1
+        while m:
+            if dec.decode(st, i):
+                v |= m
+            m >>= 1
+        v += 1
+        c.dc_pred += -v if sign else v
+        return c.dc_pred
+
+    def decode_ac_run(c: Component, blk, kmin, kmax, shift):
+        """Sequential/first-pass AC coefficients kmin..kmax into blk."""
+        st = ac_stats[c.ta]
+        kx = ac_cond.get(c.ta, 5)
+        k = kmin
+        while k <= kmax:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):
+                return  # EOB
+            while dec.decode(st, base + 1) == 0:
+                k += 1
+                base += 3
+                if k > kmax:
+                    raise JpegError("arith AC index overflow")
+            sign = dec.decode(fixed, 0)
+            i = base + 2
+            m = dec.decode(st, i)
+            if m:
+                if dec.decode(st, i):
+                    m <<= 1
+                    i = 189 if k <= kx else 217
+                    while dec.decode(st, i):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise JpegError("arith AC magnitude overflow")
+                        i += 1
+            v = m
+            i += 14
+            m >>= 1
+            while m:
+                if dec.decode(st, i):
+                    v |= m
+                m >>= 1
+            v += 1
+            blk[ZIGZAG[k]] = (-v if sign else v) << shift
+            k += 1
+
+    def decode_ac_refine(c: Component, blk, kmin, kmax, p1, m1):
+        st = ac_stats[c.ta]
+        kex = kmax
+        while kex > 0 and blk[ZIGZAG[kex]] == 0:
+            kex -= 1
+        k = kmin
+        while k <= kmax:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):
+                return  # EOB
+            while True:
+                z = ZIGZAG[k]
+                if blk[z]:
+                    if dec.decode(st, base + 2):
+                        blk[z] += m1 if blk[z] < 0 else p1
+                    break
+                if dec.decode(st, base + 1):
+                    blk[z] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                k += 1
+                base += 3
+                if k > kmax:
+                    raise JpegError("arith AC refine overflow")
+            k += 1
+
+    slots, gw, gh = _mcu_layout(frame, scomps)
+    interleaved = len(scomps) > 1
+    dc_scan = not frame.progressive or ss == 0
+    ac_scan = not frame.progressive or ss > 0
+    if frame.progressive and ss > 0 and len(scomps) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    if frame.progressive and ss == 0 and se != 0:
+        raise JpegError("progressive DC scan with Se != 0")
+    if not frame.progressive and (ss != 0 or se != 63):
+        raise JpegError("bad sequential scan header")
+    first = ah == 0
+    p1 = 1 << al
+    m1 = (-1) << al
+    togo = ri if ri else -1
+    for my in range(gh):
+        for mx in range(gw):
+            if togo == 0:
+                dec.restart()
+                reset_stats()
+                togo = ri
+            for c, offs in slots:
+                for oy, ox in offs:
+                    by = my * (c.v if interleaved else 1) + oy
+                    bx = mx * (c.h if interleaved else 1) + ox
+                    blk = c.coefs[by, bx]
+                    if dc_scan:
+                        if first:
+                            dc = decode_dc(c)
+                            blk[0] = dc << al if frame.progressive else dc
+                        elif dec.decode(fixed, 0):
+                            blk[0] = blk[0] | p1
+                    if ac_scan:
+                        if first:
+                            decode_ac_run(
+                                c, blk, ss if frame.progressive else 1,
+                                se, al if frame.progressive else 0,
+                            )
+                        else:
+                            decode_ac_refine(c, blk, ss, se, p1, m1)
+            if togo > 0:
+                togo -= 1
+
+    # Skip to the next marker for the segment walker.
+    p = dec.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
 
 
 # --- IDCT (vectorized islow) ----------------------------------------------------
