@@ -210,7 +210,11 @@ class MQEncoder:
                 self.c &= 0x7FFFF
                 self.ct = 8
 
-    def flush(self) -> bytes:
+    def flush(self, marker: bool = True) -> bytes:
+        """Terminate (E.2.9 SETBITS + byteouts).  ``marker`` appends the
+        JBIG2 0xFF 0xAC convention; JPEG 2000 terminations (io/jp2enc.py)
+        pass False and drop a trailing 0xFF instead (T.800 forbids a
+        terminated segment ending in 0xFF)."""
         # SETBITS
         tempc = self.c + self.a - 1
         self.c |= 0xFFFF
@@ -223,7 +227,10 @@ class MQEncoder:
         if self.b is not None:
             self.out.append(self.b)
             self.b = None
-        self.out += b"\xff\xac"
+        if marker:
+            self.out += b"\xff\xac"
+        elif self.out and self.out[-1] == 0xFF:
+            self.out.pop()
         return bytes(self.out)
 
 

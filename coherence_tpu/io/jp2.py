@@ -9,20 +9,26 @@ in tests (as libjpeg is for io/jpeg.py and libtiff for io/ccitt.py).
 
 Scope (everything PDF-embedded JP2/J2K files from mainstream encoders
 use; unsupported exotica raise ValueError so callers fail cleanly):
- - JP2 container boxes (jp2h/ihdr/colr/cdef) and raw J2K codestreams
+ - JP2 container boxes (jp2h/ihdr/colr/cdef, pclr/cmap palettes) and
+   raw J2K codestreams
  - multiple tiles and tile-parts; LRCP / RLCP / RPCL progressions
- - tier-2: tag-tree packet headers, precincts, SOP/EPH, quality layers
+ - component subsampling (XRsiz/YRsiz per B.2, sample-replicated onto
+   the reference grid for display)
+ - tier-2: tag-tree packet headers, precincts, SOP/EPH, quality layers,
+   per-terminated-segment lengths (B.10.7.5)
  - tier-1: EBCOT (significance / refinement / cleanup passes) on the
-   shared T.88 MQ coder from io/jbig2.py; SEGSYM codeblock style
+   shared T.88 MQ coder from io/jbig2.py; ALL codeblock styles —
+   arithmetic bypass (raw segments), reset-contexts, termall,
+   vertically stripe-causal contexts, predictable termination, SEGSYM
  - 5/3 reversible and 9/7 irreversible inverse DWT (arbitrary region
    parity per T.800 F.3.7), no-quant / derived / expounded dequant
  - RCT and ICT inverse multi-component transforms, DC level shift
 
 The EBCOT context tables are T.800 Tables D.1-D.3; coordinates follow
 the ceil-division band/resolution formulas of B.5.  Raises ValueError
-on POC, component subsampling, palettes, and the arithmetic-bypass /
-termall / vsc / pterm codeblock styles (not produced by libopenjpeg or
-Kakadu defaults).
+on POC (progression-order changes) only — true exotica no mainstream
+encoder emits.  Oracle test vectors for the features PIL cannot encode
+come from the first-party encoder in io/jp2enc.py.
 """
 
 from __future__ import annotations
@@ -183,14 +189,38 @@ _CTX_UNI = 18
 _N_CTX = 19
 
 
+class _Raw:
+    """Raw (arithmetic-bypass) bit reader, D.8.1: MSB-first, 7 payload
+    bits after a 0xFF byte; reads past the segment end yield 1s."""
+
+    __slots__ = ("data", "pos", "buf", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            prev = self.buf
+            if self.pos >= len(self.data):
+                self.buf, self.ct = 0xFF, 8 if prev != 0xFF else 7
+            else:
+                self.buf = self.data[self.pos]
+                self.pos += 1
+                self.ct = 7 if prev == 0xFF else 8
+        self.ct -= 1
+        return (self.buf >> self.ct) & 1
+
+
 def _t1_decode(
-    data: bytes,
+    segs: List[_Seg],
     w: int,
     h: int,
-    npasses: int,
     numbps: int,
     orient: str,
-    segsym: bool,
+    cbstyle: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one codeblock; returns (magnitudes int32, signs bool, last).
 
@@ -200,13 +230,27 @@ def _t1_decode(
     ``last`` undecoded; the dequantizer reconstructs at the bin midpoint
     ``mag + 0.5 * 2**last`` (E.1.1.2) — OpenJPEG does the same
     incrementally via its ``one | half`` / ``±poshalf`` updates.
+
+    ``segs`` holds the terminated coder segments (one for the plain
+    style); BYPASS passes use the raw reader, every other pass the MQ
+    coder, each segment with a fresh coder.  Styles: 0x01 bypass, 0x02
+    reset contexts each pass, 0x04 termall, 0x08 vertically stripe-
+    causal contexts, 0x10 predictable termination (decode no-op), 0x20
+    segmentation symbols.
     """
-    mq = MQDecoder(data)
-    cx = Contexts(_N_CTX)
-    # Initial states (D.2 init table): all 0 except RL=3, UNI=46, ctx0=4.
-    cx.i[0] = 4
-    cx.i[_CTX_RL] = 3
-    cx.i[_CTX_UNI] = 46
+    segsym = bool(cbstyle & 0x20)
+    vsc = bool(cbstyle & 0x08)
+    resetctx = bool(cbstyle & 0x02)
+
+    def fresh_contexts():
+        cx = Contexts(_N_CTX)
+        # Initial states (D.2 init table): all 0 except RL=3, UNI=46, ctx0=4.
+        cx.i[0] = 4
+        cx.i[_CTX_RL] = 3
+        cx.i[_CTX_UNI] = 46
+        return cx
+
+    cx = fresh_contexts()
     sig = np.zeros((h + 2, w + 2), dtype=np.uint8)  # 1-px apron
     sgn = np.zeros((h + 2, w + 2), dtype=np.uint8)  # 1 = negative
     mag = np.zeros((h, w), dtype=np.int32)
@@ -216,114 +260,160 @@ def _t1_decode(
     zc = _ZC_HH if orient == "HH" else _ZC_LL
     swap = orient == "HL"
 
-    def zc_ctx(y, x):  # y, x are apron coords (sample at y+? ) -- pass apron idx
+    # Coder for the pass at hand: set per segment in the pass loop.
+    mq: Optional[MQDecoder] = None
+    raw: Optional[_Raw] = None
+
+    def zc_ctx(y, x, masked=False):
+        """Zero-coding context at apron coords; ``masked`` drops the
+        south neighbors (VSC: the sample sits on a stripe bottom)."""
         hsum = sig[y, x - 1] + sig[y, x + 1]
-        vsum = sig[y - 1, x] + sig[y + 1, x]
-        d = (
-            sig[y - 1, x - 1]
-            + sig[y - 1, x + 1]
-            + sig[y + 1, x - 1]
-            + sig[y + 1, x + 1]
-        )
+        vsum = sig[y - 1, x] + (0 if masked else sig[y + 1, x])
+        d = sig[y - 1, x - 1] + sig[y - 1, x + 1]
+        if not masked:
+            d += sig[y + 1, x - 1] + sig[y + 1, x + 1]
         if swap:
             hsum, vsum = vsum, hsum
         return zc[hsum, vsum, d]
 
-    def decode_sign(y, x):
+    def decode_sign(y, x, masked=False):
+        if raw is not None:
+            return raw.bit()  # raw sign: no prediction (D.5)
+
         def contrib(yy, xx):
             if not sig[yy, xx]:
                 return 0
             return -1 if sgn[yy, xx] else 1
 
         hc = max(-1, min(1, contrib(y, x - 1) + contrib(y, x + 1)))
-        vc = max(-1, min(1, contrib(y - 1, x) + contrib(y + 1, x)))
+        south = 0 if masked else contrib(y + 1, x)
+        vc = max(-1, min(1, contrib(y - 1, x) + south))
         ctx, xor = _SC[(hc + 1, vc + 1)]
         return mq.decode(cx, ctx) ^ xor
 
+    # Global pass walk across segments.
+    p = 0
     bp = numbps - 1  # current magnitude bit position
     passtype = 2  # first pass is cleanup at the MSB
-    for _p in range(npasses):
-        if bp < 0:
-            break
-        if passtype == 0:  # significance propagation
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    for y in range(y0, min(y0 + 4, h)):
-                        ay, ax = y + 1, x + 1
-                        if sig[ay, ax] or visited[ay, ax]:
-                            continue
-                        c = zc_ctx(ay, ax)
-                        if c == 0:
-                            continue
-                        visited[ay, ax] = 1
-                        if mq.decode(cx, c):
+    for seg in segs:
+        data = bytes(seg.data)
+        is_raw = _pass_is_raw(cbstyle, seg.start)
+        if is_raw:
+            raw, mq = _Raw(data), None
+        else:
+            raw, mq = None, MQDecoder(data)
+        for _sp in range(seg.npasses):
+            if bp < 0:
+                break
+            if passtype == 0:  # significance propagation
+                for y0 in range(0, h, 4):
+                    for x in range(w):
+                        for y in range(y0, min(y0 + 4, h)):
+                            ay, ax = y + 1, x + 1
+                            if sig[ay, ax] or visited[ay, ax]:
+                                continue
+                            masked = vsc and (y & 3) == 3
+                            c = zc_ctx(ay, ax, masked)
+                            if c == 0:
+                                continue
+                            visited[ay, ax] = 1
+                            d = raw.bit() if raw is not None else mq.decode(cx, c)
+                            if d:
+                                sig[ay, ax] = 1
+                                sgn[ay, ax] = decode_sign(ay, ax, masked)
+                                mag[y, x] |= 1 << bp
+                                last[y, x] = bp
+            elif passtype == 1:  # magnitude refinement
+                for y0 in range(0, h, 4):
+                    for x in range(w):
+                        for y in range(y0, min(y0 + 4, h)):
+                            ay, ax = y + 1, x + 1
+                            if not sig[ay, ax] or visited[ay, ax]:
+                                continue
+                            if raw is not None:
+                                d = raw.bit()
+                            else:
+                                if refined[ay, ax]:
+                                    c = 16
+                                else:
+                                    nb = (
+                                        sig[ay, ax - 1] + sig[ay, ax + 1]
+                                        + sig[ay - 1, ax]
+                                        + sig[ay - 1, ax - 1]
+                                        + sig[ay - 1, ax + 1]
+                                    )
+                                    # VSC: a stripe-bottom sample never
+                                    # sees the stripe below, in ANY
+                                    # context (OpenJPEG suppresses the
+                                    # south bits at update time).
+                                    if not (vsc and (y & 3) == 3):
+                                        nb += (
+                                            sig[ay + 1, ax]
+                                            + sig[ay + 1, ax - 1]
+                                            + sig[ay + 1, ax + 1]
+                                        )
+                                    c = 15 if nb else 14
+                                d = mq.decode(cx, c)
+                            refined[ay, ax] = 1
+                            last[y, x] = bp
+                            if d:
+                                mag[y, x] |= 1 << bp
+            else:  # cleanup (always MQ)
+                for y0 in range(0, h, 4):
+                    for x in range(w):
+                        y = y0
+                        # Run-length mode: full stripe, all insignificant,
+                        # unvisited, zero context.
+                        if (
+                            y0 + 4 <= h
+                            and not any(
+                                sig[y0 + 1 + k, x + 1]
+                                or visited[y0 + 1 + k, x + 1]
+                                for k in range(4)
+                            )
+                            and all(
+                                zc_ctx(
+                                    y0 + 1 + k, x + 1, vsc and k == 3
+                                ) == 0
+                                for k in range(4)
+                            )
+                        ):
+                            if not mq.decode(cx, _CTX_RL):
+                                continue  # whole column stays zero
+                            r = (
+                                mq.decode(cx, _CTX_UNI) << 1
+                            ) | mq.decode(cx, _CTX_UNI)
+                            y = y0 + r
+                            ay, ax = y + 1, x + 1
                             sig[ay, ax] = 1
-                            sgn[ay, ax] = decode_sign(ay, ax)
+                            sgn[ay, ax] = decode_sign(
+                                ay, ax, vsc and (y & 3) == 3
+                            )
                             mag[y, x] |= 1 << bp
                             last[y, x] = bp
-        elif passtype == 1:  # magnitude refinement
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    for y in range(y0, min(y0 + 4, h)):
-                        ay, ax = y + 1, x + 1
-                        if not sig[ay, ax] or visited[ay, ax]:
-                            continue
-                        if refined[ay, ax]:
-                            c = 16
-                        else:
-                            nb = (
-                                sig[ay, ax - 1] + sig[ay, ax + 1]
-                                + sig[ay - 1, ax] + sig[ay + 1, ax]
-                                + sig[ay - 1, ax - 1] + sig[ay - 1, ax + 1]
-                                + sig[ay + 1, ax - 1] + sig[ay + 1, ax + 1]
-                            )
-                            c = 15 if nb else 14
-                        refined[ay, ax] = 1
-                        last[y, x] = bp
-                        if mq.decode(cx, c):
-                            mag[y, x] |= 1 << bp
-        else:  # cleanup
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    y = y0
-                    # Run-length mode: full stripe, all insignificant,
-                    # unvisited, zero context.
-                    if (
-                        y0 + 4 <= h
-                        and not any(
-                            sig[y0 + 1 + k, x + 1] or visited[y0 + 1 + k, x + 1]
-                            for k in range(4)
-                        )
-                        and all(zc_ctx(y0 + 1 + k, x + 1) == 0 for k in range(4))
-                    ):
-                        if not mq.decode(cx, _CTX_RL):
-                            continue  # whole column stays zero
-                        r = (mq.decode(cx, _CTX_UNI) << 1) | mq.decode(cx, _CTX_UNI)
-                        y = y0 + r
-                        ay, ax = y + 1, x + 1
-                        sig[ay, ax] = 1
-                        sgn[ay, ax] = decode_sign(ay, ax)
-                        mag[y, x] |= 1 << bp
-                        last[y, x] = bp
-                        y += 1
-                    for yy in range(y, min(y0 + 4, h)):
-                        ay, ax = yy + 1, x + 1
-                        if sig[ay, ax] or visited[ay, ax]:
-                            continue
-                        if mq.decode(cx, zc_ctx(ay, ax)):
-                            sig[ay, ax] = 1
-                            sgn[ay, ax] = decode_sign(ay, ax)
-                            mag[yy, x] |= 1 << bp
-                            last[yy, x] = bp
-            if segsym:
-                s = 0
-                for _ in range(4):
-                    s = (s << 1) | mq.decode(cx, _CTX_UNI)
-                if s != 0xA:
-                    raise ValueError("jp2: segmentation symbol mismatch")
-            visited[:] = 0
-            bp -= 1
-        passtype = (passtype + 1) % 3
+                            y += 1
+                        for yy in range(y, min(y0 + 4, h)):
+                            ay, ax = yy + 1, x + 1
+                            if sig[ay, ax] or visited[ay, ax]:
+                                continue
+                            masked = vsc and (yy & 3) == 3
+                            if mq.decode(cx, zc_ctx(ay, ax, masked)):
+                                sig[ay, ax] = 1
+                                sgn[ay, ax] = decode_sign(ay, ax, masked)
+                                mag[yy, x] |= 1 << bp
+                                last[yy, x] = bp
+                if segsym:
+                    s = 0
+                    for _ in range(4):
+                        s = (s << 1) | mq.decode(cx, _CTX_UNI)
+                    if s != 0xA:
+                        raise ValueError("jp2: segmentation symbol mismatch")
+                visited[:] = 0
+                bp -= 1
+            passtype = (passtype + 1) % 3
+            p += 1
+            if resetctx:
+                cx = fresh_contexts()
     return mag, sgn[1 : h + 1, 1 : w + 1].astype(bool), last
 
 
@@ -360,9 +450,10 @@ def _sr_1d(y: np.ndarray, i0: int, i1: int, reversible: bool) -> np.ndarray:
     if reversible:
         yext, o = _ext(y, i0, 3, 3)
         x = yext.astype(np.int64).copy()
-        # X(2n) = Y(2n) - floor((Y(2n-1) + Y(2n+1) + 2) / 4)
-        start = i0 if i0 % 2 == 0 else i0 + 1
-        ev = np.arange(start, i1 + 2, 2)  # one extra for the odd step
+        # X(2n) = Y(2n) - floor((Y(2n-1) + Y(2n+1) + 2) / 4), over every
+        # even position the odd step touches: [i0 - 1, i1 + 1].
+        start = i0 if i0 % 2 == 0 else i0 - 1
+        ev = np.arange(start, i1 + 2, 2)
         x[ev - o] = yext[ev - o] - ((yext[ev - 1 - o] + yext[ev + 1 - o] + 2) >> 2)
         # X(2n+1) = Y(2n+1) + floor((X(2n) + X(2n+2)) / 2)
         start = i0 if i0 % 2 == 1 else i0 + 1
@@ -458,6 +549,35 @@ class _Qcd:
 
 
 @dataclass
+class _Seg:
+    """One terminated coder segment of a codeblock (B.10.7.5)."""
+
+    start: int  # global index of its first pass
+    maxpasses: int
+    npasses: int = 0
+    data: bytearray = field(default_factory=bytearray)
+
+
+def _seg_maxpasses(cbstyle: int, start_pass: int) -> int:
+    """Passes per terminated segment for the segment starting at
+    ``start_pass`` (D.4.1/D.5): TERMALL terminates every pass; BYPASS
+    codes passes 0-9 with MQ then alternates raw (sig+ref) pairs with
+    MQ cleanups, terminating at every coder switch."""
+    if cbstyle & 0x04:  # termall
+        return 1
+    if cbstyle & 0x01:  # arithmetic bypass
+        if start_pass == 0:
+            return 10
+        return 1 if (start_pass - 1) % 3 == 2 else 2
+    return 109  # single segment: every pass any codeblock can have
+
+
+def _pass_is_raw(cbstyle: int, p: int) -> bool:
+    """BYPASS: significance + refinement passes from pass 10 on are raw."""
+    return bool(cbstyle & 0x01) and p >= 10 and (p - 1) % 3 != 2
+
+
+@dataclass
 class _Cblk:
     x0: int
     y0: int
@@ -467,7 +587,7 @@ class _Cblk:
     lblock: int = 3
     npasses: int = 0
     zbp: int = 0
-    data: bytearray = field(default_factory=bytearray)
+    segs: List[_Seg] = field(default_factory=list)
 
 
 @dataclass
@@ -546,11 +666,36 @@ class Jp2Image:
     planes: List[np.ndarray]  # int32, DC-shifted, clamped
     colorspace: str  # "rgb" | "gray" | "ycc" | "unknown"
     alpha_index: Optional[int] = None
+    subs: Optional[List[Tuple[int, int]]] = None  # per-plane (XRsiz, YRsiz)
+    offs: Tuple[int, int] = (0, 0)  # (XOsiz, YOsiz) reference-grid origin
+
+    def full_planes(self) -> List[np.ndarray]:
+        """Planes sample-replicated onto the (height, width) reference
+        grid: full pixel X maps to component sample floor(X/XRsiz)
+        (each sample covers an XRsiz x YRsiz reference-grid cell, B.2)."""
+        if not self.subs:
+            return self.planes
+        ox, oy = self.offs
+        out = []
+        for p, (xr, yr) in zip(self.planes, self.subs):
+            if xr == 1 and yr == 1:
+                out.append(p)
+                continue
+            xs = np.clip(
+                (np.arange(self.width) + ox) // xr - _ceil_div(ox, xr),
+                0, p.shape[1] - 1,
+            )
+            ys = np.clip(
+                (np.arange(self.height) + oy) // yr - _ceil_div(oy, yr),
+                0, p.shape[0] - 1,
+            )
+            out.append(p[np.ix_(ys, xs)])
+        return out
 
     def rgba8(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """(h, w, 3) float64 RGB in [0,1] plus optional alpha plane."""
         fl = []
-        for p, d in zip(self.planes, self.depths):
+        for p, d in zip(self.full_planes(), self.depths):
             fl.append(p.astype(np.float64) / float((1 << d) - 1))
         alpha = None
         color = fl
@@ -609,13 +754,14 @@ class _Decoder:
                     csiz,
                 ) = struct.unpack(">HIIIIIIIIH", body[:36])
                 self.ncomp = csiz
-                self.depths, self.signed = [], []
+                self.depths, self.signed, self.subs = [], [], []
                 for c in range(csiz):
                     ssiz, xr, yr = body[36 + 3 * c : 39 + 3 * c]
-                    if xr != 1 or yr != 1:
-                        raise ValueError("jp2: component subsampling unsupported")
+                    if xr == 0 or yr == 0:
+                        raise ValueError("jp2: zero subsampling factor")
                     self.depths.append((ssiz & 0x7F) + 1)
                     self.signed.append(bool(ssiz & 0x80))
+                    self.subs.append((xr, yr))
                 p += ln
             elif marker == 0xFF52:
                 self.cod = _parse_cod(body)
@@ -704,17 +850,29 @@ class _Decoder:
         nty = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
         h = self.ysiz - self.yosiz
         w = self.xsiz - self.xosiz
-        planes = [np.zeros((h, w), dtype=np.int32) for _ in range(self.ncomp)]
+        # Component planes live on their own subsampled grids (B.2):
+        # ceil(xsiz/xr) - ceil(xosiz/xr) samples wide.
+        planes = []
+        for c in range(self.ncomp):
+            xr, yr = self.subs[c]
+            wc = _ceil_div(self.xsiz, xr) - _ceil_div(self.xosiz, xr)
+            hc = _ceil_div(self.ysiz, yr) - _ceil_div(self.yosiz, yr)
+            planes.append(np.zeros((hc, wc), dtype=np.int32))
         for t in range(ntx * nty):
             tx0, ty0, tx1, ty1 = self._tile_rect(t)
             if tx1 <= tx0 or ty1 <= ty0:
                 continue
             comps = self._decode_tile(t, tx0, ty0, tx1, ty1)
-            ys, ye = ty0 - self.yosiz, ty1 - self.yosiz
-            xs, xe = tx0 - self.xosiz, tx1 - self.xosiz
             for c in range(self.ncomp):
-                planes[c][ys:ye, xs:xe] = comps[c]
-        return Jp2Image(w, h, self.depths, self.signed, planes, "unknown")
+                xr, yr = self.subs[c]
+                ys = _ceil_div(ty0, yr) - _ceil_div(self.yosiz, yr)
+                xs = _ceil_div(tx0, xr) - _ceil_div(self.xosiz, xr)
+                ch, cw = comps[c].shape
+                planes[c][ys : ys + ch, xs : xs + cw] = comps[c]
+        return Jp2Image(
+            w, h, self.depths, self.signed, planes, "unknown",
+            subs=list(self.subs), offs=(self.xosiz, self.yosiz),
+        )
 
     # -- per-tile -----------------------------------------------------------
 
@@ -769,19 +927,33 @@ class _Decoder:
             for px in range(px0, trx1, 1 << ppx):
                 out.append(
                     (
-                        max(px, trx0),
-                        max(py, try0),
-                        min(px + (1 << ppx), trx1),
-                        min(py + (1 << ppy), try1),
+                        (
+                            max(px, trx0),
+                            max(py, try0),
+                            min(px + (1 << ppx), trx1),
+                            min(py + (1 << ppy), try1),
+                        ),
+                        # The UNCLIPPED lattice cell: the band-grid mapping
+                        # divides this, not the clipped rect (B.7 — clipping
+                        # first loses a codeblock when the resolution rect
+                        # starts on an odd coordinate).
+                        (px, py, px + (1 << ppx), py + (1 << ppy)),
                     )
                 )
         return out
 
     def _decode_tile(self, t: int, tx0, ty0, tx1, ty1) -> List[np.ndarray]:
-        rect = (tx0, ty0, tx1, ty1)
         data = bytes(self.tiles.get(t, b""))
         ncomp = self.ncomp
-        allbands = [self._build_bands(t, c, rect) for c in range(ncomp)]
+        # Per-component tile rects on the subsampled grids (B.3).
+        rects = []
+        for c in range(ncomp):
+            xr, yr = self.subs[c]
+            rects.append((
+                _ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                _ceil_div(tx1, xr), _ceil_div(ty1, yr),
+            ))
+        allbands = [self._build_bands(t, c, rects[c]) for c in range(ncomp)]
         cods = [self._cod_for(t, c) for c in range(ncomp)]
         nlmax = max(cod.levels for cod in cods)
         layers = cods[0].layers
@@ -793,22 +965,23 @@ class _Decoder:
             cod = cods[c]
             nl = cod.levels
             for r in range(nl + 1):
-                precs = self._precincts(cod, r, nl, rect)
+                precs = self._precincts(cod, r, nl, rects[c])
                 prec_geo[(c, r)] = precs
                 for band in allbands[c][r]:
                     shift = 0 if r == 0 else 1
                     xcb = min(cod.xcb, cod.pp(r)[0] - shift)
                     ycb = min(cod.ycb, cod.pp(r)[1] - shift)
-                    for prect in precs:
-                        # precinct rect mapped onto the band grid
+                    for _prect, lat in precs:
+                        # Precinct LATTICE cell mapped onto the band grid,
+                        # then clipped to the band below (B.7).
                         if r == 0:
-                            pb = prect
+                            pb = lat
                         else:
                             pb = (
-                                _ceil_div(prect[0], 2),
-                                _ceil_div(prect[1], 2),
-                                _ceil_div(prect[2], 2),
-                                _ceil_div(prect[3], 2),
+                                _ceil_div(lat[0], 2),
+                                _ceil_div(lat[1], 2),
+                                _ceil_div(lat[2], 2),
+                                _ceil_div(lat[3], 2),
                             )
                         bx0, by0 = max(pb[0], band.x0), max(pb[1], band.y0)
                         bx1, by1 = min(pb[2], band.x1), min(pb[3], band.y1)
@@ -892,16 +1065,39 @@ class _Decoder:
                                     np_ = 37 + rd.bits(7)
                         while rd.bit():
                             cb.lblock += 1
-                        nbits = cb.lblock + int(math.floor(math.log2(np_)))
-                        nbytes = rd.bits(nbits)
-                        todo.append((cb, np_, nbytes))
+                        # Split the new passes over terminated segments;
+                        # one length per segment part (B.10.7.5).
+                        cbsty = cod.cbstyle
+                        remaining = np_
+                        while remaining:
+                            if (
+                                cb.segs
+                                and cb.segs[-1].npasses < cb.segs[-1].maxpasses
+                            ):
+                                seg = cb.segs[-1]
+                            else:
+                                seg = _Seg(
+                                    cb.npasses,
+                                    _seg_maxpasses(cbsty, cb.npasses),
+                                )
+                                cb.segs.append(seg)
+                            take = min(
+                                seg.maxpasses - seg.npasses, remaining
+                            )
+                            nbits = cb.lblock + int(
+                                math.floor(math.log2(take))
+                            )
+                            nbytes = rd.bits(nbits)
+                            todo.append((cb, seg, take, nbytes))
+                            seg.npasses += take
+                            cb.npasses += take
+                            remaining -= take
             rd.align()
             pos[0] = rd.pos
             if cod.eph and data[pos[0] : pos[0] + 2] == b"\xff\x92":
                 pos[0] += 2
-            for cb, np_, nbytes in todo:
-                cb.data.extend(data[pos[0] : pos[0] + nbytes])
-                cb.npasses += np_
+            for _cb, seg, _take, nbytes in todo:
+                seg.data.extend(data[pos[0] : pos[0] + nbytes])
                 pos[0] += nbytes
 
         maxprec = max(len(v) for v in prec_geo.values()) if prec_geo else 0
@@ -931,11 +1127,10 @@ class _Decoder:
         for c in range(ncomp):
             cod = cods[c]
             qcd = self._qcd_for(t, c)
-            if cod.cbstyle & ~0x20:
+            if cod.cbstyle & ~0x3F:
                 raise ValueError(
                     f"jp2: codeblock style 0x{cod.cbstyle:02x} unsupported"
                 )
-            segsym = bool(cod.cbstyle & 0x20)
             reversible = cod.transform == 1
             nl = cod.levels
             rb_extra = self.depths[c]
@@ -960,13 +1155,12 @@ class _Decoder:
                                 cw, ch = cb.x1 - cb.x0, cb.y1 - cb.y0
                                 numbps = mb - cb.zbp
                                 mag, neg, lastbp = _t1_decode(
-                                    bytes(cb.data),
+                                    cb.segs,
                                     cw,
                                     ch,
-                                    cb.npasses,
                                     numbps,
                                     band.orient,
-                                    segsym,
+                                    cod.cbstyle,
                                 )
                                 # Truncated blocks (quality layers) leave
                                 # planes below lastbp undecoded: reconstruct
@@ -992,12 +1186,13 @@ class _Decoder:
                                     cb.x0 - band.x0 : cb.x1 - band.x0,
                                 ] = vals
                     band.coeffs = coeffs
-            # IDWT
+            # IDWT over the component's own (subsampled) tile rect
+            tcx0, tcy0, tcx1, tcy1 = rects[c]
             ll = allbands[c][0][0].coeffs
             for r in range(1, nl + 1):
                 den = 1 << (nl - r)
-                u0, u1 = _ceil_div(tx0, den), _ceil_div(tx1, den)
-                v0, v1 = _ceil_div(ty0, den), _ceil_div(ty1, den)
+                u0, u1 = _ceil_div(tcx0, den), _ceil_div(tcx1, den)
+                v0, v1 = _ceil_div(tcy0, den), _ceil_div(tcy1, den)
                 hl, lh, hh = (b.coeffs for b in allbands[c][r])
                 ll = _sr_2d(ll, hl, lh, hh, u0, u1, v0, v1, reversible)
             out.append(ll)
@@ -1005,6 +1200,10 @@ class _Decoder:
         # Inverse MCT + DC shift + clamp.
         cod0 = cods[0]
         if cod0.mct and ncomp >= 3:
+            if not (out[0].shape == out[1].shape == out[2].shape):
+                raise ValueError(
+                    "jp2: MCT with mismatched component subsampling"
+                )
             y0_, y1_, y2_ = out[0], out[1], out[2]
             if cod0.transform == 1:  # RCT
                 g = y0_ - ((y1_ + y2_) >> 2)
@@ -1062,10 +1261,79 @@ def decode(data: bytes) -> Jp2Image:
         raise ValueError(f"jp2: corrupt stream ({e})") from e
 
 
+def _parse_pclr(data: bytes, s: int, e: int):
+    """Palette box (I.5.3.4): (entries (NE, NPC) int32 array, per-column
+    (depth, signed))."""
+    ne, npc = struct.unpack(">HB", data[s : s + 3])
+    if not (1 <= ne <= 1024 and 1 <= npc <= 255):
+        raise ValueError("jp2: bad pclr box")
+    cols = []
+    p = s + 3
+    for _ in range(npc):
+        b = data[p]
+        cols.append(((b & 0x7F) + 1, bool(b & 0x80)))
+        p += 1
+    ent = np.zeros((ne, npc), dtype=np.int64)
+    for i in range(ne):
+        for j, (depth, signed) in enumerate(cols):
+            nb = (depth + 7) // 8
+            if p + nb > e:
+                raise ValueError("jp2: truncated pclr box")
+            v = int.from_bytes(data[p : p + nb], "big")
+            if signed and v >= 1 << (depth - 1):
+                v -= 1 << depth
+            ent[i, j] = v
+            p += nb
+    return ent, cols
+
+
+def _parse_cmap(data: bytes, s: int, e: int):
+    """Component-mapping box (I.5.3.5): [(CMP, MTYP, PCOL)] per channel."""
+    out = []
+    p = s
+    while p + 4 <= e:
+        cmp_, mtyp, pcol = struct.unpack(">HBB", data[p : p + 4])
+        out.append((cmp_, mtyp, pcol))
+        p += 4
+    if not out:
+        raise ValueError("jp2: empty cmap box")
+    return out
+
+
+def _apply_palette(img: Jp2Image, pclr, cmap) -> Jp2Image:
+    """Map codestream components through pclr/cmap into output channels."""
+    ent, cols = pclr
+    planes, depths, signed, subs = [], [], [], []
+    for cmp_, mtyp, pcol in cmap:
+        if cmp_ >= len(img.planes):
+            raise ValueError("jp2: cmap names a missing component")
+        src = img.planes[cmp_]
+        if mtyp == 0:  # direct use
+            planes.append(src)
+            depths.append(img.depths[cmp_])
+            signed.append(img.signed[cmp_])
+        elif mtyp == 1:  # palette lookup
+            if pcol >= ent.shape[1]:
+                raise ValueError("jp2: cmap names a missing palette column")
+            idx = np.clip(src, 0, ent.shape[0] - 1)
+            planes.append(ent[idx, pcol].astype(np.int32))
+            depth, sgn = cols[pcol]
+            depths.append(depth)
+            signed.append(sgn)
+        else:
+            raise ValueError(f"jp2: unknown cmap mapping type {mtyp}")
+        subs.append(img.subs[cmp_] if img.subs else (1, 1))
+    return Jp2Image(
+        img.width, img.height, depths, signed, planes, img.colorspace,
+        subs=subs, offs=img.offs,
+    )
+
+
 def _decode(data: bytes) -> Jp2Image:
     colorspace = "unknown"
     alpha_index: Optional[int] = None
     cs = None
+    pclr = cmap = None
     if data[:2] == b"\xff\x4f":
         cs = data
     else:
@@ -1088,7 +1356,9 @@ def _decode(data: bytes) -> Jp2Image:
                             if typ_ in (1, 2):
                                 alpha_index = cn
                     elif t2 == b"pclr":
-                        raise ValueError("jp2: palettized images unsupported")
+                        pclr = _parse_pclr(data, s2, e2)
+                    elif t2 == b"cmap":
+                        cmap = _parse_cmap(data, s2, e2)
             elif typ == b"jp2c":
                 cs = data[s:e]
                 break
@@ -1096,6 +1366,12 @@ def _decode(data: bytes) -> Jp2Image:
         raise ValueError("jp2: no codestream found")
     img = _Decoder(cs).decode()
     img.colorspace = colorspace
+    if pclr is not None:
+        if cmap is None:
+            # I.5.3.5: cmap is required with pclr; tolerate its absence by
+            # expanding palette columns over component 0 in order.
+            cmap = [(0, 1, j) for j in range(pclr[0].shape[1])]
+        img = _apply_palette(img, pclr, cmap)
     if alpha_index is not None and alpha_index < len(img.planes):
         img.alpha_index = alpha_index
     elif img.colorspace in ("rgb", "unknown") and len(img.planes) == 4:

@@ -271,7 +271,9 @@ def _pil_rgb(codec: str, data: bytes, w: int, h: int):
             cm = np.stack(
                 [
                     p.astype(np.float64) / float((1 << d) - 1)
-                    for i, (p, d) in enumerate(zip(img.planes, img.depths))
+                    for i, (p, d) in enumerate(
+                        zip(img.full_planes(), img.depths)
+                    )
                     if i != img.alpha_index
                 ],
                 axis=-1,
