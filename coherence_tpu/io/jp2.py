@@ -703,7 +703,21 @@ class Jp2Image:
             alpha = fl[self.alpha_index]
             color = [p for i, p in enumerate(fl) if i != self.alpha_index]
         if len(color) >= 3:
-            rgb = np.stack(color[:3], axis=-1)
+            if self.colorspace == "ycc":
+                # sYCC (colr enum 18, IEC 61966-2-1 amendment: BT.601
+                # full-range matrix); chroma replicated by full_planes
+                # when subsampled, as OpenJPEG's sycc420/422_to_rgb do.
+                y, cb, cr = color[0], color[1] - 0.5, color[2] - 0.5
+                rgb = np.stack(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ],
+                    axis=-1,
+                ).clip(0.0, 1.0)
+            else:
+                rgb = np.stack(color[:3], axis=-1)
         else:
             rgb = np.repeat(color[0][..., None], 3, axis=-1)
         return rgb, alpha

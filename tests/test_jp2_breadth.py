@@ -224,6 +224,29 @@ def test_styled_streams_corruption_fails_cleanly():
             pass
 
 
+def test_sycc_converts_to_rgb():
+    # colr enum 18 (sYCC): rgba8 applies the BT.601 full-range matrix;
+    # OpenJPEG truncates where we round, so within 2 codes.
+    r = _rng(80)
+    y = r.integers(16, 240, (24, 32), np.uint8)
+    cb = r.integers(16, 240, (24, 32), np.uint8)
+    cr = r.integers(16, 240, (24, 32), np.uint8)
+    for subs, planes in [
+        (None, (y, cb, cr)),
+        ([(1, 1), (2, 2), (2, 2)], (y, cb[::2, ::2], cr[::2, ::2])),
+    ]:
+        data = E.encode(
+            [np.asarray(p, np.int64) for p in planes],
+            subs=subs, enum_cs=18,
+        )
+        img = J2.decode(data)
+        assert img.colorspace == "ycc"
+        rgb, _ = img.rgba8()
+        mine = np.round(rgb * 255).astype(np.int32)
+        ref = _pil(data, "RGB").astype(np.int32)
+        assert np.abs(mine - ref).max() <= 2
+
+
 def test_pdf_jpx_subsampled_paints():
     # A subsampled JPX through the PDF image path (pdfimages.rgba_of_image).
     from coherence_tpu.io import pdfimages as PI
