@@ -2134,14 +2134,48 @@ def _tiling_stream_obj(p: TilingPattern):
     return Stream(d, content.raw)
 
 
-def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
-    """Serialize path elements back to a one-page PDF."""
+def _copy_object(src: Pdf, obj, objects: dict, memo: dict):
+    """Deep-copy a source-document object graph into ``objects`` (the
+    output Pdf's object table), rewriting Refs to freshly allocated
+    numbers.  Shared refs copy once (memo)."""
+    if isinstance(obj, Ref):
+        if obj.num in memo:
+            return Ref(memo[obj.num])
+        n = (max(objects) + 1) if objects else 1
+        memo[obj.num] = n
+        objects[n] = None  # reserve before recursing (cycles)
+        objects[n] = _copy_object(src, src.resolve(obj), objects, memo)
+        return Ref(n)
+    if isinstance(obj, Stream):
+        return Stream(
+            {k: _copy_object(src, v, objects, memo) for k, v in obj.dict.items()},
+            obj.raw,
+        )
+    if isinstance(obj, dict):
+        return {k: _copy_object(src, v, objects, memo) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_copy_object(src, v, objects, memo) for v in obj]
+    return obj
+
+
+def page_of_graphic(
+    graphic: Graphic, mediabox=(0, 0, 612, 792), pdf: Pdf = None
+) -> Pdf:
+    """Serialize path elements back to a one-page PDF.
+
+    ``pdf`` is the optional SOURCE document: image XObject uses
+    (pdfgraphics.mli:139) referencing it by object number are copied
+    across — stream bytes untouched, their dependency graph (colourspace
+    arrays, /SMask, /DecodeParms) rewritten to fresh object numbers —
+    matching the reference's camlpdf object-copying writer.  Without it,
+    directly-embedded streams (objnum -1) still round-trip."""
     ops: List[str] = []
     shading_res: dict = {}
     pattern_res: dict = {}
     colourspace_res: dict = {}
     egs_res: dict = {}
     _egs_names: dict = {}
+    image_res: List[object] = []  # source Streams to copy, by emit order
     # Emitted-gstate tracking: (blend, ca, CA) per q-nesting level, so a gs
     # is written only when the needed state differs from the one in force
     # (and Q correctly reverts the tracked state).
@@ -2348,9 +2382,32 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
                     ops.append(" ".join(map(_fmt, el.transform)) + " cm")
                 ops.append(f"/{nm} sh")
                 pop_q()
-            # Image XObject uses need the source document's object copied
-            # across; like the rest of the writer this emits content only,
-            # so they are dropped here.
+            elif isinstance(el, Image):
+                a = el.attributes
+                st = el.stream
+                if st is None and pdf is not None and el.objnum >= 0:
+                    st = pdf.resolve(Ref(el.objnum))
+                if not isinstance(st, Stream):
+                    continue  # no source document to copy from
+                nm = f"Im{len(image_res)}"
+                image_res.append(st)
+                push_q()
+                set_gstate(a.image_blend, a.image_transparency,
+                           a.image_transparency)
+                if a.image_fill is not None:
+                    # Stencil masks paint the nonstroke colour at the Do.
+                    _cs, comps = a.image_fill
+                    op = {1: "g", 3: "rg", 4: "k"}.get(len(comps))
+                    if op:
+                        ops.append(
+                            " ".join(_fmt(v) for v in comps) + " " + op
+                        )
+                if a.image_transform != _ID:
+                    ops.append(
+                        " ".join(map(_fmt, a.image_transform)) + " cm"
+                    )
+                ops.append(f"/{nm} Do")
+                pop_q()
 
     walk(graphic.elements)
     resources = {}
@@ -2362,8 +2419,24 @@ def page_of_graphic(graphic: Graphic, mediabox=(0, 0, 612, 792)) -> Pdf:
         resources["ColorSpace"] = colourspace_res
     if egs_res:
         resources["ExtGState"] = egs_res
+    if image_res:
+        resources["XObject"] = {}  # filled with Refs below
     # latin1 inverts the latin1 decode used when capturing binary operands
     # (inline-image data, non-ASCII string bytes); utf-8 would widen them.
-    return mkpage(
+    out = mkpage(
         "\n".join(ops).encode("latin1"), mediabox=mediabox, resources=resources
     )
+    if image_res:
+        memo: dict = {}
+        page = out.resolve(out.resolve(out.objects[1]["Pages"])["Kids"][0])
+        xobjs = page["Resources"]["XObject"]
+        for i, st in enumerate(image_res):
+            n = max(out.objects) + 1
+            out.objects[n] = None  # reserve before the copy allocates more
+            out.objects[n] = (
+                _copy_object(pdf, st, out.objects, memo)
+                if pdf is not None
+                else st
+            )
+            xobjs[f"Im{i}"] = Ref(n)
+    return out

@@ -182,3 +182,63 @@ def test_bdc_properties_preserved():
     mc2 = g2.elements[0]
     assert isinstance(mc2, PG.MCSectionProperties)
     assert mc2.properties == {"MCID": 0}
+
+
+def test_writer_copies_image_xobjects_across():
+    """page_of_graphic(pdf=src) copies image XObjects into the output —
+    raw bytes untouched, the dependency graph (indirect /SMask here)
+    rewritten to fresh object numbers (the reference's camlpdf writer
+    copies objects the same way)."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (8, 6, 3), np.uint8).tobytes()
+    al = rng.integers(0, 256, (8, 6), np.uint8).tobytes()
+    res = {"XObject": {"ImA": P.Ref(5)}}
+    pdf = P.mkpage(b"q 60 0 0 80 10 700 cm /ImA Do Q", resources=res)
+    pdf.objects[6] = P.Stream(
+        {"Type": P.Name("XObject"), "Subtype": P.Name("Image"),
+         "Width": 6, "Height": 8, "BitsPerComponent": 8,
+         "ColorSpace": P.Name("DeviceGray"),
+         "Filter": P.Name("FlateDecode")},
+        zlib.compress(al),
+    )
+    pdf.objects[5] = P.Stream(
+        {"Type": P.Name("XObject"), "Subtype": P.Name("Image"),
+         "Width": 6, "Height": 8, "BitsPerComponent": 8,
+         "ColorSpace": P.Name("DeviceRGB"), "SMask": P.Ref(6),
+         "Filter": P.Name("FlateDecode")},
+        zlib.compress(px),
+    )
+    g = PG.graphic_of_page(pdf, _first_page(pdf))
+    assert sum(isinstance(el, PG.Image) for el in g.elements) == 1
+
+    out = PG.page_of_graphic(g, pdf=pdf)
+    data = P.pdf_to_bytes(out)
+    pdf2 = P.pdf_of_bytes(data)
+    g2 = PG.graphic_of_page(pdf2, _first_page(pdf2))
+    imgs = [el for el in g2.elements if isinstance(el, PG.Image)]
+    assert len(imgs) == 1
+    st = pdf2.resolve(P.Ref(imgs[0].objnum))
+    assert st.raw == zlib.compress(px)  # bytes copied untouched
+    sm = pdf2.resolve(st.dict["SMask"])
+    assert isinstance(sm, P.Stream) and sm.raw == zlib.compress(al)
+    # placement carried through
+    assert imgs[0].attributes.image_transform == (60.0, 0.0, 0.0, 80.0, 10.0, 700.0)
+
+
+def test_writer_drops_images_without_source_doc():
+    res = {"XObject": {"ImA": P.Ref(5)}}
+    pdf = P.mkpage(b"q 10 0 0 10 0 0 cm /ImA Do Q", resources=res)
+    pdf.objects[5] = P.Stream(
+        {"Type": P.Name("XObject"), "Subtype": P.Name("Image"),
+         "Width": 1, "Height": 1, "BitsPerComponent": 8,
+         "ColorSpace": P.Name("DeviceGray")},
+        b"\x80",
+    )
+    g = PG.graphic_of_page(pdf, _first_page(pdf))
+    out = PG.page_of_graphic(g)  # no pdf= -> image dropped, no crash
+    g2 = PG.graphic_of_page(out, _first_page(out))
+    assert not any(isinstance(el, PG.Image) for el in g2.elements)
