@@ -8,10 +8,12 @@ third-party decode dependency.  PIL remains the cross-validation oracle
 in tests (as libjpeg is for io/jpeg.py and libtiff for io/ccitt.py).
 
 Scope (everything PDF-embedded JP2/J2K files from mainstream encoders
-use; unsupported exotica raise ValueError so callers fail cleanly):
+use):
  - JP2 container boxes (jp2h/ihdr/colr/cdef, pclr/cmap palettes) and
-   raw J2K codestreams
- - multiple tiles and tile-parts; LRCP / RLCP / RPCL progressions
+   raw J2K codestreams; sYCC -> RGB conversion (colr enum 18)
+ - multiple tiles and tile-parts; ALL progressions (LRCP / RLCP /
+   RPCL / PCRL / CPRL) and POC progression-order changes (main and
+   tile header, B.12.2 no-packet-repeats semantics)
  - component subsampling (XRsiz/YRsiz per B.2, sample-replicated onto
    the reference grid for display)
  - tier-2: tag-tree packet headers, precincts, SOP/EPH, quality layers,
@@ -25,10 +27,9 @@ use; unsupported exotica raise ValueError so callers fail cleanly):
  - RCT and ICT inverse multi-component transforms, DC level shift
 
 The EBCOT context tables are T.800 Tables D.1-D.3; coordinates follow
-the ceil-division band/resolution formulas of B.5.  Raises ValueError
-on POC (progression-order changes) only — true exotica no mainstream
-encoder emits.  Oracle test vectors for the features PIL cannot encode
-come from the first-party encoder in io/jp2enc.py.
+the ceil-division band/resolution formulas of B.5.  Corruption raises
+ValueError (never a hang).  Oracle test vectors for the features PIL
+cannot encode come from the first-party encoder in io/jp2enc.py.
 """
 
 from __future__ import annotations
@@ -738,7 +739,31 @@ class _Decoder:
         self.tiles: Dict[int, bytearray] = {}
         self.tile_cod: Dict[int, _Cod] = {}
         self.tile_qcd: Dict[int, _Qcd] = {}
+        self.poc: List[Tuple[int, int, int, int, int, int]] = []
+        self.tile_poc: Dict[int, List] = {}
         self._parse_headers()
+
+    def _parse_poc(self, body: bytes) -> List[Tuple[int, int, int, int, int, int]]:
+        """POC entries (A.6.6): (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)."""
+        wide = self.ncomp >= 257
+        esz = 9 if wide else 7
+        out = []
+        p = 0
+        while p + esz <= len(body):
+            if wide:
+                rs, cs, lye, re_, ce, pp = struct.unpack(
+                    ">BHHBHB", body[p : p + 9]
+                )
+            else:
+                rs, cs, lye, re_, ce, pp = struct.unpack(
+                    ">BBHBBB", body[p : p + 7]
+                )
+            # CEpoc == 0 means "all components" (the 8-bit field wraps at 256)
+            out.append((rs, cs, lye, re_, ce if ce else self.ncomp, pp))
+            p += esz
+        if not out:
+            raise ValueError("jp2: empty POC marker")
+        return out
 
     def _parse_headers(self):
         cs = self.cs
@@ -799,7 +824,8 @@ class _Decoder:
                 self.qcc[c] = _parse_qcd(body[off:])
                 p += ln
             elif marker == 0xFF5F:  # POC
-                raise ValueError("jp2: progression order changes unsupported")
+                self.poc = self._parse_poc(body)
+                p += ln
             elif marker == 0xFF90:  # SOT
                 _lsot, isot, psot, _tpsot, _tnsot = struct.unpack(
                     ">HHIBB", cs[p : p + 10]
@@ -818,7 +844,7 @@ class _Decoder:
                     elif m2 == 0xFF5C:
                         self.tile_qcd[isot] = _parse_qcd(b2)
                     elif m2 == 0xFF5F:
-                        raise ValueError("jp2: POC unsupported")
+                        self.tile_poc[isot] = self._parse_poc(b2)
                     q += 2 + l2
                 if psot == 0:
                     end = len(cs)
@@ -1115,26 +1141,68 @@ class _Decoder:
                 pos[0] += nbytes
 
         maxprec = max(len(v) for v in prec_geo.values()) if prec_geo else 0
-        if prog == 0:  # LRCP
-            for layer in range(layers):
-                for r in range(nlmax + 1):
-                    for c in range(ncomp):
-                        for pi in range(len(prec_geo.get((c, r), []))):
-                            one_packet(c, r, pi, layer)
-        elif prog == 1:  # RLCP
-            for r in range(nlmax + 1):
-                for layer in range(layers):
-                    for c in range(ncomp):
-                        for pi in range(len(prec_geo.get((c, r), []))):
-                            one_packet(c, r, pi, layer)
-        elif prog == 2:  # RPCL
-            for r in range(nlmax + 1):
+        seen: set = set()
+
+        def iterate(prog_, l1, r0, r1, c0, c1):
+            """Emit the progression volume's packets in order, skipping
+            ones already emitted by an earlier POC entry (B.12.2: each
+            packet appears exactly once).  Position iteration (the P in
+            RPCL/PCRL/CPRL) walks precinct indices — exact for the
+            ubiquitous one-precinct-per-resolution layout."""
+
+            def emit(c, r, pi, layer):
+                key = (c, r, pi, layer)
+                if key not in seen:
+                    seen.add(key)
+                    one_packet(c, r, pi, layer)
+
+            def nprec(c, r):
+                return len(prec_geo.get((c, r), []))
+
+            r1_ = min(r1, nlmax + 1)
+            c1_ = min(c1, ncomp)
+            if prog_ == 0:  # LRCP
+                for layer in range(l1):
+                    for r in range(r0, r1_):
+                        for c in range(c0, c1_):
+                            for pi in range(nprec(c, r)):
+                                emit(c, r, pi, layer)
+            elif prog_ == 1:  # RLCP
+                for r in range(r0, r1_):
+                    for layer in range(l1):
+                        for c in range(c0, c1_):
+                            for pi in range(nprec(c, r)):
+                                emit(c, r, pi, layer)
+            elif prog_ == 2:  # RPCL
+                for r in range(r0, r1_):
+                    for pi in range(maxprec):
+                        for c in range(c0, c1_):
+                            if pi < nprec(c, r):
+                                for layer in range(l1):
+                                    emit(c, r, pi, layer)
+            elif prog_ == 3:  # PCRL
                 for pi in range(maxprec):
-                    for c in range(ncomp):
-                        for layer in range(layers):
-                            one_packet(c, r, pi, layer)
+                    for c in range(c0, c1_):
+                        for r in range(r0, r1_):
+                            if pi < nprec(c, r):
+                                for layer in range(l1):
+                                    emit(c, r, pi, layer)
+            elif prog_ == 4:  # CPRL
+                for c in range(c0, c1_):
+                    for pi in range(maxprec):
+                        for r in range(r0, r1_):
+                            if pi < nprec(c, r):
+                                for layer in range(l1):
+                                    emit(c, r, pi, layer)
+            else:
+                raise ValueError(f"jp2: progression order {prog_} unsupported")
+
+        poc = self.tile_poc.get(t) or self.poc
+        if poc:
+            for rs, cs, lye, re_, ce, pp in poc:
+                iterate(pp, min(lye, layers), rs, re_, cs, ce)
         else:
-            raise ValueError(f"jp2: progression order {prog} unsupported")
+            iterate(prog, layers, 0, nlmax + 1, 0, ncomp)
 
         # Tier-1 + dequant + IDWT per component.
         out = []

@@ -448,6 +448,8 @@ def encode(
     enum_cs: Optional[int] = None,
     palette: Optional[np.ndarray] = None,
     guard: int = 2,
+    prog: int = 0,
+    poc: Optional[List[Tuple[int, int, int, int, int, int]]] = None,
 ) -> bytes:
     """Lossless-encode component ``planes`` (each (hc, wc) unsigned ints).
 
@@ -458,7 +460,11 @@ def encode(
     pclr/cmap (requires ``container=True``).  ``mct`` applies the RCT
     (first three planes, equal sizes).  ``cbstyle`` takes the T.800 COD
     flags (0x01 bypass, 0x02 resetctx, 0x04 termall, 0x08 vsc, 0x10
-    pterm, 0x20 segsym).
+    pterm, 0x20 segsym).  ``prog`` is the COD progression (0 LRCP, 1
+    RLCP, 2 RPCL, 3 PCRL, 4 CPRL); ``poc`` optionally writes a POC
+    marker with (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) entries and
+    orders packets accordingly (A.6.6/B.12.2) — the entries must cover
+    every packet.
     """
     ncomp = len(planes)
     planes = [np.asarray(p) for p in planes]
@@ -488,10 +494,16 @@ def encode(
         siz += bytes([depths[c] - 1, subs[c][0], subs[c][1]])
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     xcb, ycb = cb_size[0].bit_length() - 1, cb_size[1].bit_length() - 1
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+    cod = bytes([0, prog]) + struct.pack(">H", 1) + bytes(
         [1 if mct else 0, levels, xcb - 2, ycb - 2, cbstyle, 1]
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    if poc:
+        pbody = b"".join(
+            struct.pack(">BBHBBB", rs, cs, lye, re_, ce, pp)
+            for rs, cs, lye, re_, ce, pp in poc
+        )
+        out += b"\xff\x5f" + struct.pack(">H", len(pbody) + 2) + pbody
     nsub = 3 * levels + 1
     qcd = bytes([0 | (guard << 5)])
     # One shared QCD: base the ranging exponent on the widest component
@@ -522,7 +534,7 @@ def encode(
         tx1, ty1 = min(tx0 + xtsiz, xsiz), min(ty0 + ytsiz, ysiz)
         body = _encode_tile(
             planes, depths, subs, levels, cbstyle, mct,
-            xcb, ycb, guard, qd, (tx0, ty0, tx1, ty1),
+            xcb, ycb, guard, qd, (tx0, ty0, tx1, ty1), prog, poc,
         )
         sot = struct.pack(">HHIBB", 10, t, 12 + 2 + len(body), 0, 1)
         out += b"\xff\x90" + sot + b"\xff\x93" + body
@@ -561,7 +573,7 @@ def encode(
 
 
 def _encode_tile(planes, depths, subs, levels, cbstyle, mct,
-                 xcb, ycb, guard, qd, rect) -> bytes:
+                 xcb, ycb, guard, qd, rect, prog=0, poc=None) -> bytes:
     tx0, ty0, tx1, ty1 = rect
     ncomp = len(planes)
     comps = []
@@ -652,8 +664,10 @@ def _encode_tile(planes, depths, subs, levels, cbstyle, mct,
                              gy1 - gy0, gx1 - gx0)
                         )
 
-    # Tier-2: one packet per (resolution, component) in LRCP (layer 0).
-    out = bytearray()
+    # Tier-2: one packet per (resolution, component) — single layer,
+    # whole-band precincts — built independently, then emitted in the
+    # COD progression's (or the POC entries') order.
+    pkts: dict = {}
     for r in range(levels + 1):
         for c in range(ncomp):
             # An empty resolution has no precinct, hence no packet (the
@@ -713,7 +727,36 @@ def _encode_tile(planes, depths, subs, levels, cbstyle, mct,
                         bw.bits(len(data), nbits)
                         bodies.append(data)
             bw.align()
-            out += bytes(bw.out)
-            for b in bodies:
-                out += b
-    return bytes(out)
+            pkts[(c, r)] = bytes(bw.out) + b"".join(bodies)
+
+    # Packet order: with one layer and one precinct, LRCP/RLCP/RPCL all
+    # reduce to resolution-major and PCRL/CPRL to component-major; POC
+    # entries emit their (not-yet-emitted) volume in entry order.
+    order: List[Tuple[int, int]] = []
+    seen: set = set()
+
+    def add(c, r):
+        if (c, r) in pkts and (c, r) not in seen:
+            seen.add((c, r))
+            order.append((c, r))
+
+    def volume(pp, r0, r1, c0, c1):
+        r1 = min(r1, levels + 1)
+        c1 = min(c1, ncomp)
+        if pp in (0, 1, 2):
+            for r in range(r0, r1):
+                for c in range(c0, c1):
+                    add(c, r)
+        else:
+            for c in range(c0, c1):
+                for r in range(r0, r1):
+                    add(c, r)
+
+    if poc:
+        for rs, cs, _lye, re_, ce, pp in poc:
+            volume(pp, rs, re_, cs, ce)
+    else:
+        volume(prog, 0, levels + 1, 0, ncomp)
+    if len(order) != len(pkts):
+        raise ValueError("jp2enc: POC entries do not cover every packet")
+    return b"".join(pkts[k] for k in order)

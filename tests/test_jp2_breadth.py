@@ -224,6 +224,24 @@ def test_styled_streams_corruption_fails_cleanly():
             pass
 
 
+@pytest.mark.parametrize("prog", [3, 4], ids=["PCRL", "CPRL"])
+def test_position_progressions(prog):
+    a = [_rng(90 + prog).integers(0, 256, (33, 40), np.uint8)
+         for _ in range(3)]
+    _check(a, prog=prog)
+
+
+def test_poc_progression_order_changes():
+    # Two POC entries: resolutions 0-1 CPRL first, the rest RLCP — the
+    # B.12.2 volume walk with the no-repeat rule; also by-component
+    # splits, tiles, and combined with bypass+vsc codeblock styles.
+    a = [_rng(91).integers(0, 256, (33, 40), np.uint8) for _ in range(3)]
+    _check(a, poc=[(0, 0, 1, 2, 3, 4), (2, 0, 1, 6, 3, 1)])
+    _check(a, poc=[(0, 0, 1, 6, 1, 0), (0, 1, 1, 6, 3, 4)])
+    _check(a, tile=(16, 16), poc=[(0, 0, 1, 3, 3, 2), (3, 0, 1, 6, 3, 0)])
+    _check(a, cbstyle=0x09, poc=[(0, 0, 1, 2, 3, 4), (2, 0, 1, 6, 3, 1)])
+
+
 def test_sycc_converts_to_rgb():
     # colr enum 18 (sYCC): rgba8 applies the BT.601 full-range matrix;
     # OpenJPEG truncates where we round, so within 2 codes.
