@@ -135,7 +135,7 @@ def engine_thread(conn, W, H, ready, fail, scene_override=None):
 class TimingClient:
     """HeadlessClient wrapper that timestamps pixel arrivals."""
 
-    def __init__(self, conn):
+    def __init__(self, conn, fail=None):
         from coherence_tpu.gui import client as cl
 
         outer = self
@@ -148,6 +148,7 @@ class TimingClient:
         self.c = _C(conn)
         self.refreshes = 0
         self.last_refresh = 0.0
+        self.fail = fail if fail is not None else []
 
     def await_refresh(self, min_new: int = 1) -> float:
         """Serve messages until >= min_new refreshes arrive; returns the
@@ -155,6 +156,12 @@ class TimingClient:
         target = self.refreshes + min_new
         while self.refreshes < target:
             if not self.c.handle_one():
+                # The engine thread sends AppClose from its finally BEFORE
+                # its except records the error — give it a moment.
+                for _ in range(50):
+                    if self.fail:
+                        raise self.fail[0]
+                    time.sleep(0.1)
                 raise RuntimeError("engine closed mid-session")
         return self.last_refresh
 
@@ -219,7 +226,7 @@ def run_session(W: int, H: int, label: str, n_drag: int = None,
         )
         eng_t.start()
 
-        tc = TimingClient(client_conn)
+        tc = TimingClient(client_conn, fail)
         c = tc.c
         tc.await_refresh()  # initial full paint landed client-side
         tc.drain()
@@ -433,7 +440,8 @@ def run_fast_session(W: int, H: int, label: str, n_drag: int = None,
                 from coherence_tpu.gui.fastserver import FastSession
 
                 sess = FastSession(
-                    ready["conn"], W, H, objs, blob, f_geom, blur_radius=3
+                    ready["conn"], W, H, objs, blob, f_geom, blur_radius=3,
+                    warm_blur_radii=sorted(set(blur_steps)),
                 )
                 ready["sess"] = sess
                 sess.run()
@@ -443,7 +451,7 @@ def run_fast_session(W: int, H: int, label: str, n_drag: int = None,
         srv_t = threading.Thread(target=server_thread)
         srv_t.start()
 
-        tc = TimingClient(client_conn)
+        tc = TimingClient(client_conn, fail)
         c = tc.c
         c.app_start()  # FastSession blocks on this handshake (fastserver.py:75)
         tc.await_refresh()  # initial full frame landed client-side

@@ -21,6 +21,7 @@ an animated object under a live filter — at device rate.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -69,6 +70,7 @@ class FastSession:
         atlas_cap: Optional[int] = None,
         staged=None,
         name: str = "coherence (tpu)",
+        warm_blur_radii=(),  # e.g. (1, 2, 3, 4, 5, 6) for a live slider
     ):
         self.width, self.height = width, height
         self.wx = W.WindowSystem(display=RemoteDisplay(connection))
@@ -87,11 +89,65 @@ class FastSession:
         view.make_animated(self.blob_key)
         self.view = view
         self.f_alpha = f_alpha
+        # Lens support box (1-based inclusive): a blur-radius change only
+        # alters pixels where the filter alpha is nonzero, so the slider
+        # reblends + ships THIS window, not the frame.
+        al = np.asarray(f_alpha) > 0
+        ys, xs = np.where(al.any(1))[0], np.where(al.any(0))[0]
+        self.lens_box = (
+            (int(xs[0]) + 1, int(ys[0]) + 1, int(xs[-1]) + 1, int(ys[-1]) + 1)
+            if ys.size
+            else None
+        )
         self.disp = FilteredDisplay(view, f_alpha, rconvolve.mkgaussian(blur_radius))
         self.disp.full_refresh()
         self.dragging = False
         self.last_xy = (0, 0)
         self.ship_full()
+        if warm_blur_radii and view.mesh is None:
+            self._warm_blur(tuple(warm_blur_radii))
+
+    def _warm_blur(self, radii) -> None:
+        """Load the per-radius blur-blend programs before serving starts:
+        each radius is a distinct XLA program (static conv weights +
+        bucketed window dims), and on the remote transport a first use
+        costs a 1-7 s program load — the slider's p95 without this.  One
+        short-lived thread per radius (loads from separate threads
+        overlap), all joined before the event loop runs; outputs are
+        discarded."""
+        from ..raster.framepath import blur_window
+        from ..scene.fastframe import _blur_blend_window_kernel
+
+        if self.lens_box is None:
+            return
+
+        def one(r):
+            try:
+                k = rconvolve.mkgaussian(max(1, int(r)))
+                got = blur_window(
+                    self.lens_box, (1, 1, self.width, self.height),
+                    k.radius, self.height, self.width,
+                )
+                if got is None:
+                    return
+                _d, oy, ox, ry0, rx0, h, w, hb, wb, d_box = got
+                # Throwaway operands: the kernel DONATES the display plane
+                # (feeding the live disp.rgba here would delete it).
+                _blur_blend_window_kernel(
+                    jnp.zeros_like(self.disp.rgba),
+                    jnp.zeros_like(self.view.frame),
+                    self.f_alpha,
+                    oy, ox, ry0, rx0, h, w, d_box, hb=hb, wb=wb,
+                    weights=tuple(k.values), total=k.total,
+                )
+            except Exception:  # noqa: BLE001 — warm-up must never kill serving
+                pass
+
+        ths = [threading.Thread(target=one, args=(r,)) for r in radii]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
 
     # --- pixel shipping -------------------------------------------------------
 
@@ -137,9 +193,13 @@ class FastSession:
         self.ship_window(x0, y0, x1, y1)
 
     def set_blur(self, v: int) -> None:
+        """Radius change: reblend + ship ONLY the lens window (content is
+        untouched; pixels outside the filter alpha cannot change)."""
         self.disp.kernel = rconvolve.mkgaussian(max(1, int(v)))
-        self.disp.full_refresh()
-        self.ship_full()
+        if self.lens_box is None:
+            return
+        self.disp.step(self.lens_box)
+        self.ship_window(*self.lens_box)
 
     def _hit_blob(self, x: int, y: int) -> bool:
         x0, y0, x1, y1 = self.view.sprites[self.blob_key].box
