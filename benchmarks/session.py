@@ -493,7 +493,18 @@ def run_fast_session(W: int, H: int, label: str, n_drag: int = None,
         if check_pixels:
             _assert_pixels()
 
-        # --- blur slider (full reblend + full-frame ship each)
+        # --- wire floor: event -> tiny-window readback -> pixels, no
+        # scene work (a 2x2 PaintRect).  The irreducible per-event cost
+        # of this transport; drag latency - floor = actual frame work.
+        floor_lat = []
+        for _ in range(11):
+            t0 = time.perf_counter()
+            c.paint(win, 0, 0, 2, 2)
+            t1 = tc.await_refresh()
+            tc.drain()
+            floor_lat.append(t1 - t0)
+
+        # --- blur slider (lens-window reblend + lens-window ship each)
         blur_lat = []
         for v in blur_steps:
             t0 = time.perf_counter()
@@ -517,6 +528,7 @@ def run_fast_session(W: int, H: int, label: str, n_drag: int = None,
 
     dmed, dp95 = _stats(drag_lat)
     bmed, bp95 = _stats(blur_lat)
+    fmed, _ = _stats(floor_lat)
     result = {
         "metric": f"session_fast_{label}_drag_fps_at_client",
         "value": round(1.0 / dmed, 1),
@@ -527,6 +539,7 @@ def run_fast_session(W: int, H: int, label: str, n_drag: int = None,
                 "median": round(dmed * 1e3, 2),
                 "p95": round(dp95 * 1e3, 2),
             },
+            "wire_floor_ms": round(fmed * 1e3, 2),
             "blur_slider_latency_ms": {
                 "median": round(bmed * 1e3, 2),
                 "p95": round(bp95 * 1e3, 2),
