@@ -255,6 +255,15 @@ def run_session(W: int, H: int, label: str, n_drag: int = None,
         c.send_event("LeftUp", win, x, y)
         tc.barrier(win)
 
+        # --- wire floor: 2x2 PaintRect round trips (see run_fast_session)
+        floor_lat = []
+        for _ in range(11):
+            t0 = time.perf_counter()
+            c.paint(win, 0, 0, 2, 2)
+            t1 = tc.await_refresh()
+            tc.drain()
+            floor_lat.append(t1 - t0)
+
         # --- phase 2: blur slider over the selection ----------------------
         blur_lat = []
         for v in blur_steps:
@@ -306,6 +315,7 @@ def run_session(W: int, H: int, label: str, n_drag: int = None,
 
     dmed, dp95 = _stats(drag_lat)
     bmed, bp95 = _stats(blur_lat)
+    fmed, _ = _stats(floor_lat)
     result = {
         "metric": f"session_{label}_drag_fps_at_client",
         "value": round(1.0 / dmed, 1),
@@ -316,6 +326,7 @@ def run_session(W: int, H: int, label: str, n_drag: int = None,
                 "median": round(dmed * 1e3, 2),
                 "p95": round(dp95 * 1e3, 2),
             },
+            "wire_floor_ms": round(fmed * 1e3, 2),
             "blur_slider_latency_ms": {
                 "median": round(bmed * 1e3, 2),
                 "p95": round(bp95 * 1e3, 2),
