@@ -105,29 +105,39 @@ def build_scene(W: int, H: int):
 
 
 def engine_thread(conn, W, H, ready, fail, scene_override=None):
-    """Engine endpoint: build the view, paint it, then serve events."""
+    """Engine endpoint: build the view, paint it, then serve events.
+
+    The WHOLE thread body runs under the host-compute placement policy
+    (utils/placement.py): over the tunneled device the scene build, the
+    first paint and every per-event dirty render execute on the in-process
+    CPU backend (Engine.run applies the policy too, but the build and first
+    paint happen before it).  Thread-local, so a fused fast session on the
+    accelerator can share the process."""
     try:
         from coherence_tpu.gui.app import Engine, background_obj
         from coherence_tpu.gui.window import RemoteDisplay
         from coherence_tpu.raster import region
         from coherence_tpu.scene import render as R
+        from coherence_tpu.utils import placement
 
-        eng = Engine(display=RemoteDisplay(conn))
-        if scene_override is not None:
-            scene = scene_override[0]
-        else:
-            scene, _ = build_scene(W, H)
-        view = R.View(
-            scene=scene,
-            pages=[],
-            background=[background_obj()],
-            master_update=region.shape_of_box((0, 0, W, H)),
-        )
-        eng.views.append(view)
-        view.window = eng.wx.make_window("session", W, H, 0, 0, 0, 0)
-        eng.force_update_whole(view)
-        ready["t_first_paint"] = time.perf_counter()
-        eng.run()
+        with placement.engine_host_compute() as on_host:
+            ready["engine_host_compute"] = bool(on_host)
+            eng = Engine(display=RemoteDisplay(conn))
+            if scene_override is not None:
+                scene = scene_override[0]
+            else:
+                scene, _ = build_scene(W, H)
+            view = R.View(
+                scene=scene,
+                pages=[],
+                background=[background_obj()],
+                master_update=region.shape_of_box((0, 0, W, H)),
+            )
+            eng.views.append(view)
+            view.window = eng.wx.make_window("session", W, H, 0, 0, 0, 0)
+            eng.force_update_whole(view)
+            ready["t_first_paint"] = time.perf_counter()
+            eng.run()
     except Exception as e:  # noqa: BLE001 — surfaced by the driver thread
         fail.append(e)
 
@@ -336,6 +346,10 @@ def run_session(W: int, H: int, label: str, n_drag: int = None,
             "first_paint_s": round(first_paint_s, 2),
             "drag_steps": n_drag,
             "resolution": f"{W}x{H}",
+            # True when the scalar renderer ran on the in-process CPU
+            # backend (utils/placement.py): the artifact must say which
+            # placement produced these numbers.
+            "host_compute": bool(ready.get("engine_host_compute", False)),
         },
     }
     print(json.dumps(result), flush=True)

@@ -1047,7 +1047,20 @@ class Engine:
         Unlike the reference — where any exception aborts the loop and kills
         both processes (engine.ml:1622-1627, SURVEY.md §5.3) — event-handler
         failures are contained by default: the event is dropped, drag state
-        resets, and the loop continues."""
+        resets, and the loop continues.
+
+        Over a tunneled accelerator the loop runs under the host-compute
+        placement policy (utils/placement.py): interactive per-event work is
+        dispatch-latency bound, so the scalar renderer's programs execute on
+        the in-process CPU backend; a host-attached deployment (default
+        backend "cpu" is impossible there, but dispatch is local) can turn
+        the policy off with COHERENCE_ENGINE_HOST_COMPUTE=0."""
+        from ..utils import placement
+
+        with placement.engine_host_compute():
+            self._run_loop(max_events, resilient)
+
+    def _run_loop(self, max_events, resilient):
         n = 0
         try:
             while max_events is None or n < max_events:

@@ -76,30 +76,54 @@ _WQ = np.stack(
     ],
     axis=1,
 )  # (256, 4): quadrant order (db, da) = (0,0), (0,1), (1,0), (1,1)
-_MATMUL_DTYPE = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-_WQ_DEV = jnp.asarray(_WQ, dtype=_MATMUL_DTYPE)
+def matmul_dtype(platform: Optional[str] = None):
+    """The coverage-GEMM input dtype for an execution platform: bf16 on an
+    accelerator (MXU-native; 0/1 masks and integer weights <= 255 are exact),
+    f32 on CPU (same exactness, faster there).  Resolved per CALL, not at
+    import: one process can run the scalar path on the host and the fused
+    path on the TPU at once (utils/placement.py)."""
+    if platform is None:
+        from ..utils import placement
+
+        platform = placement.compute_platform()
+    return jnp.float32 if platform == "cpu" else jnp.bfloat16
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def _coverage_counts(t_mask, *, h: int, w: int):
-    """Gaussian-table coverage sums of the scaled mask.
-
-    t_mask: bool (16h+16, 16w+16) — scaled samples with origin at scaled
-    coords (16*y0 - 32, 16*x0 - 32) for the pixel box origin (x0, y0).
-    Returns int32 (h, w) per-pixel opacities (0..255).
-    """
+@functools.partial(jax.jit, static_argnames=("h", "w", "bf16"))
+def _coverage_counts_jit(t_mask, *, h: int, w: int, bf16: bool):
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    # Trace-time constant: materializes on the executing device with the
+    # program, never transferred between backends.
+    wq = jnp.asarray(_WQ, dtype=dt)
     b = t_mask.reshape(h + 1, _H, w + 1, _H).transpose(0, 2, 1, 3)
     # Flatten the batch dims: XLA CPU compiles a (n, 256) @ (256, 4) GEMM in
     # seconds but takes ~100 s on the equivalent (h+1, w+1, 256) batched dot
     # (measured at h=w=128); same products, same per-element order, so
     # results are bit-identical.
-    b = b.reshape((h + 1) * (w + 1), _H * _H).astype(_MATMUL_DTYPE)
-    p = jnp.dot(b, _WQ_DEV, preferred_element_type=jnp.float32)
+    b = b.reshape((h + 1) * (w + 1), _H * _H).astype(dt)
+    p = jnp.dot(b, wq, preferred_element_type=jnp.float32)
     p = p.reshape(h + 1, w + 1, 4)
     cov = p[:h, :w, 0] + p[:h, 1:, 1] + p[1:, :w, 2] + p[1:, 1:, 3]
     counts = jnp.round(cov).astype(jnp.int32)
     # opacity_of_tableval fused in (polygon.ml:650-652).
     return (counts * 256 + volume // 2) // volume
+
+
+def _coverage_counts(t_mask, *, h: int, w: int, bf16: Optional[bool] = None):
+    """Gaussian-table coverage sums of the scaled mask.
+
+    t_mask: bool (16h+16, 16w+16) — scaled samples with origin at scaled
+    coords (16*y0 - 32, 16*x0 - 32) for the pixel box origin (x0, y0).
+    Returns int32 (h, w) per-pixel opacities (0..255).
+
+    The dtype flag resolves OUTSIDE the jit cache (here, at call/trace
+    time): a ``bf16=None`` default baked into the jit key would reuse a
+    stale program when the same process later dispatches on the other
+    backend.
+    """
+    if bf16 is None:
+        bf16 = matmul_dtype() == jnp.bfloat16
+    return _coverage_counts_jit(t_mask, h=h, w=w, bf16=bf16)
 
 
 # Cap on the conv input size before we fall back to row-band chunking.

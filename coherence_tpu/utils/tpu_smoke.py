@@ -706,7 +706,7 @@ def _c_aa(seed, compiled):
                 f"case {i}: {n} of {got.size} AA opacities diverge from the "
                 f"integer table oracle (max |d| = "
                 f"{int(np.abs(got.astype(np.int64) - want).max())}) — the "
-                f"{aa._MATMUL_DTYPE} coverage GEMM is not exact"
+                f"{aa.matmul_dtype()} coverage GEMM is not exact"
             )
         got_last = got
     return got_last
