@@ -18,6 +18,7 @@ via the Gaussian-matte MXU conv, composed with a single fused ``caf``
 from __future__ import annotations
 
 import math
+import weakref
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Tuple
 
@@ -459,8 +460,33 @@ def proper_bounds(o: Obj) -> Tuple[float, float, float, float]:
     return min(xs), max(xs), min(ys), max(ys)
 
 
+# Per-instance memo for bounds_of_basicshape.  The render fold consults the
+# bounds of EVERY scene object on EVERY render for the bbox trivial reject
+# (renderobj, render.ml:1268-1275); recomputing them walks the whole
+# transformed path in Python and dominates interactive per-event host time
+# (profiled: ~60% of a drag event on the host-compute path).  Obj is a
+# frozen dataclass, so (geometry, transform) can never change under a live
+# instance — keyed by identity, verified by a weakref, evicted on GC.
+_bounds_memo: dict = {}
+
+
 def bounds_of_basicshape(o: Obj) -> Tuple[int, int, int, int]:
-    """Integer (xmin, xmax, ymin, ymax) bounds (render.ml:368-437)."""
+    """Integer (xmin, xmax, ymin, ymax) bounds (render.ml:368-437), memoized
+    per Obj instance (immutable)."""
+    key = id(o)
+    hit = _bounds_memo.get(key)
+    if hit is not None and hit[0]() is o:
+        return hit[1]
+    val = _bounds_of_basicshape_impl(o)
+    try:
+        ref = weakref.ref(o, lambda _r, _k=key: _bounds_memo.pop(_k, None))
+    except TypeError:
+        return val
+    _bounds_memo[key] = (ref, val)
+    return val
+
+
+def _bounds_of_basicshape_impl(o: Obj) -> Tuple[int, int, int, int]:
     g = o.geometry
     if isinstance(g, FilterG):
         return bounds_of_basicshape(Obj(o.idset, g.filter.geometry, o.transform, o.compop))
