@@ -25,6 +25,14 @@ BASE_PORT = 50000
 class Connection:
     def __init__(self, sock: socket.socket):
         self.sock = sock
+        # The protocol is many small request/reply frames (events, synch
+        # RPCs, paint rects); Nagle + delayed-ACK turns each into a ~40 ms
+        # round trip even on loopback.  The reference never noticed (wx
+        # events are human-rate); an interactive latency benchmark does.
+        try:
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        except OSError:
+            pass  # non-TCP test doubles (socketpairs) lack the option
         self.buf = b""
         self.queue: deque = deque()
 
