@@ -192,27 +192,43 @@ def _setcanvas_xy(sums, total: int):
     return jnp.stack([tr, tg, tb, ta], axis=-1)
 
 
-def convolve_canvas(kernel: Kernel, canvas_rgba, shape_mask):
-    """Convolve within shape_mask (bool, same HxW) — convolve.ml:207-232."""
-    c = jnp.asarray(canvas_rgba, jnp.int32)
-    m = shape_mask[..., None]
-    if isinstance(kernel, FullKernel):
-        sums = _conv2d_exact(c, weights=kernel.values)
-        out = sums // kernel.total
-        return jnp.where(m, out, c)
-    if isinstance(kernel, XYKernel):
-        sums_x = _conv1d_exact(c, weights=kernel.values, axis=1)
-        cx = jnp.where(m, _setcanvas_xy(sums_x, kernel.total), c)
-        sums_y = _conv1d_exact(cx, weights=kernel.values, axis=0)
-        return jnp.where(m, _setcanvas_xy(sums_y, kernel.total), cx)
+@functools.partial(jax.jit, static_argnames=("kind", "weights", "radius", "total"))
+def _convolve_canvas_jit(c, mask_big, *, kind, weights, radius, total):
+    """The whole within-shape convolve as ONE program: the mask crop, the
+    conv passes, the integer divides/clamps and the where-combines all fuse
+    (eager, each combine materialized a full-bucket temporary — ~80 ms per
+    1080p-band blur event on the host path)."""
+    m = mask_big[: c.shape[0], : c.shape[1]][..., None]
+    if kind == "full":
+        sums = _conv2d_exact(c, weights=weights)
+        return jnp.where(m, sums // total, c)
+    if kind == "xy":
+        sums_x = _conv1d_exact(c, weights=weights, axis=1)
+        cx = jnp.where(m, _setcanvas_xy(sums_x, total), c)
+        sums_y = _conv1d_exact(cx, weights=weights, axis=0)
+        return jnp.where(m, _setcanvas_xy(sums_y, total), cx)
     # UnitKernel: box blur, plain integer division, no clamping
     # (convolve.ml:160-204 uses rgba tuples + div4).
-    n = 2 * kernel.radius + 1
+    n = 2 * radius + 1
     ones = tuple([1] * n)
     sums_x = _conv1d_exact(c, weights=ones, axis=1)
     cx = jnp.where(m, sums_x // n, c)
     sums_y = _conv1d_exact(cx, weights=ones, axis=0)
     return jnp.where(m, sums_y // n, cx)
+
+
+def convolve_canvas(kernel: Kernel, canvas_rgba, shape_mask):
+    """Convolve within shape_mask (bool, >= HxW) — convolve.ml:207-232."""
+    c = jnp.asarray(canvas_rgba, jnp.int32)
+    if isinstance(kernel, FullKernel):
+        kind, weights, radius, total = "full", kernel.values, 0, kernel.total
+    elif isinstance(kernel, XYKernel):
+        kind, weights, radius, total = "xy", kernel.values, 0, kernel.total
+    else:
+        kind, weights, radius, total = "unit", None, kernel.radius, 0
+    return _convolve_canvas_jit(
+        c, shape_mask, kind=kind, weights=weights, radius=radius, total=total
+    )
 
 
 def convolve_sprite(kernel: Kernel, sprite):
@@ -243,7 +259,9 @@ def _convolve_pickup(kernel: Kernel, canvas: Canvas, shape, pickup_shape):
     canvas_box = (ox, oy, ox + W - 1, oy + H - 1)
     wb, hb = region.box_wh(canvas_box)
     Hb, Wb = region.bucket_hw(hb, wb)
-    m = region._reproject_mask(shape, canvas_box, Hb, Wb)[:H, :W]
+    # Unsliced bucket mask: the crop to (H, W) happens inside the jitted
+    # convolve program, not as an eager full-bucket copy.
+    m = region._reproject_mask(shape, canvas_box, Hb, Wb)
     out = convolve_canvas(kernel, canvas.rgba, m)
     # Pickup shape must lie within the canvas (guaranteed by flatten border).
     ps = region.shape_intersection(pickup_shape, region.shape_of_box(canvas_box))

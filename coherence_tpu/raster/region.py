@@ -121,6 +121,14 @@ class Shape:
     # Memoized emptiness: None = unknown (computing it is a host<->device
     # sync, so it is deferred until control flow actually needs it).
     empty_known: Optional[bool] = None
+    # True when the mask is KNOWN to cover the whole box (a filled
+    # rectangle).  Window clips, master updates and bloated rectangles are
+    # all full boxes, so set algebra against them reduces to box algebra
+    # with no mask programs at all — the dense-raster answer to what the
+    # reference's span lists got structurally for free (a rectangle span
+    # list is O(rows)).  False merely means "unknown": every fast path
+    # keyed on it is conservative.
+    full_box: bool = False
 
     @property
     def wh(self) -> Tuple[int, int]:
@@ -172,7 +180,30 @@ def shape_of_mask(box: Box, mask: np.ndarray) -> Optional[Shape]:
 def shape_of_box(box: Box) -> Shape:
     """Fully-covered rectangular shape."""
     w, h = box_wh(box)
-    return Shape(box, _pad_mask(np.ones((h, w), dtype=bool)), empty_known=False)
+    return Shape(
+        box, _pad_mask(np.ones((h, w), dtype=bool)), empty_known=False, full_box=True
+    )
+
+
+@jax.jit
+def _covers_window(mask, h, w):
+    yy = jnp.arange(mask.shape[0]) < h
+    xx = jnp.arange(mask.shape[1]) < w
+    win = yy[:, None] & xx[None, :]
+    return jnp.all(mask | ~win)
+
+
+def mark_full_box(s):
+    """One-time device check: set ``full_box`` when the mask covers the whole
+    box (a rasterized axis-aligned rectangle — filter bands, backgrounds).
+    One sync per call; callers amortize it over a cache entry's lifetime so
+    every later set-algebra op against the shape is box math."""
+    if s is not None and not s.full_box:
+        w, h = box_wh(s.box)
+        if bool(_covers_window(s.mask, h, w)):
+            s.full_box = True
+            s.empty_known = False
+    return s
 
 
 def shapecheck(s) -> bool:
@@ -263,6 +294,11 @@ def _crop_embed_rgba(rgba, sy, sx, dy, dx, *, h, w, H, W):
 
 def _reproject_mask(s: Shape, box: Box, H: int, W: int):
     """s.mask expressed over `box`'s bucketed (H, W) array (crop + embed)."""
+    if s.box == box and s.mask.shape == (H, W):
+        # Identity reprojection — the accumulator case in every composite
+        # fold (its box IS the target box).  Safe by the padding invariant:
+        # mask content beyond the logical extent is always False.
+        return s.mask
     ib = box_intersect(s.box, box)
     if ib is None:
         return jnp.zeros((H, W), dtype=bool)
@@ -281,6 +317,8 @@ def _reproject_mask(s: Shape, box: Box, H: int, W: int):
 
 
 def _reproject_rgba(s: Sprite, box: Box, H: int, W: int):
+    if s.box == box and s.rgba.shape[:2] == (H, W):
+        return s.rgba  # identity (rgba is zero outside the mask)
     ib = box_intersect(s.box, box)
     if ib is None:
         return jnp.zeros((H, W, 4), dtype=jnp.int32)
@@ -335,12 +373,26 @@ def _maybe_null(box: Box, mask) -> Optional[Shape]:
     return Shape(box, mask)
 
 
+def _box_inside(inner: Box, outer: Box) -> bool:
+    return (
+        inner[0] >= outer[0]
+        and inner[1] >= outer[1]
+        and inner[2] <= outer[2]
+        and inner[3] <= outer[3]
+    )
+
+
 def shape_union(a, b):
     """a ||| b (ref sprite.ml:1172-1293)."""
     if a is None:
         return b
     if b is None:
         return a
+    # Full-box absorption: anything inside a filled rectangle adds nothing.
+    if a.full_box and _box_inside(b.box, a.box):
+        return a
+    if b.full_box and _box_inside(a.box, b.box):
+        return b
     box = box_union(a.box, b.box)
     ma, mb = _align_masks(a, b, box)
     return Shape(box, _or(ma, mb))
@@ -354,9 +406,23 @@ def shape_difference(a, b):
         return a
     if not box_overlap(a.box, b.box):
         return a
+    # Subtracting a filled rectangle that covers all of `a` empties it.
+    if b.full_box and _box_inside(a.box, b.box):
+        return NULL_SHAPE
     box = a.box
     ma, mb = _align_masks(a, b, box)
     return _maybe_null(box, _andnot(ma, mb))
+
+
+def _crop_shape(s, ibox: Box):
+    """s's mask restricted to ibox ⊆ s.box (no second operand)."""
+    if ibox == s.box:
+        return s
+    w, h = box_wh(ibox)
+    H, W = bucket_hw(h, w)
+    m = _extract_mask(s.mask, ibox[1] - s.box[1], ibox[0] - s.box[0], h=h, w=w, H=H, W=W)
+    return Shape(ibox, m, empty_known=False if s.full_box else None,
+                 full_box=s.full_box)
 
 
 def shape_intersection(a, b):
@@ -366,6 +432,12 @@ def shape_intersection(a, b):
     ibox = box_intersect(a.box, b.box)
     if ibox is None:
         return NULL_SHAPE
+    # Intersecting with a filled rectangle is a crop — the everyday case
+    # (window clips, master updates) costs box math + at most one shift.
+    if b.full_box:
+        return _crop_shape(a, ibox)
+    if a.full_box:
+        return _crop_shape(b, ibox)
     w, h = box_wh(ibox)
     H, W = bucket_hw(h, w)
     ma = _extract_mask(a.mask, ibox[1] - a.box[1], ibox[0] - a.box[0], h=h, w=w, H=H, W=W)
@@ -386,7 +458,9 @@ def translate_shape(dx: int, dy: int, s):
     if s is None:
         return NULL_SHAPE
     x0, y0, x1, y1 = s.box
-    return Shape((x0 + dx, y0 + dy, x1 + dx, y1 + dy), s.mask, s.empty_known)
+    return Shape(
+        (x0 + dx, y0 + dy, x1 + dx, y1 + dy), s.mask, s.empty_known, s.full_box
+    )
 
 
 def translate_sprite(dx: int, dy: int, s):
@@ -413,6 +487,9 @@ def boxshape(s):
     """Recompute a tight bounding box (ref sprite.ml:542-590)."""
     if s is None:
         return NULL_SHAPE
+    if s.full_box:  # already tight by definition
+        s.empty_known = False
+        return s
     bx0, by0, bx1, by1 = (int(v) for v in np.asarray(_tight_bounds(s.mask)))
     if bx1 < bx0:
         return NULL_SHAPE
@@ -638,6 +715,10 @@ def bloat(rx: int, ry: int, s):
         return s
     x0, y0, x1, y1 = s.box
     nbox = (x0 - rx, y0 - ry, x1 + rx, y1 + ry)
+    if s.full_box:
+        # Dilation of a filled rectangle by a box kernel is the expanded
+        # filled rectangle, exactly.
+        return shape_of_box(nbox)
     w, h = box_wh(nbox)
     H, W = bucket_hw(h, w)
     hs, ws = s.wh[1], s.wh[0]
