@@ -169,12 +169,19 @@ def is_null_sprite(s) -> bool:
 
 
 def shape_of_mask(box: Box, mask: np.ndarray) -> Optional[Shape]:
-    """Build a Shape from a host mask over `box` (tightening not applied)."""
+    """Build a Shape from a host mask over `box` (tightening not applied).
+
+    Rectangle detection is free here (host mask, one `all()`): every
+    scanline-rasterized axis-aligned rectangle — filter bands, backgrounds,
+    window-shaped paths — enters the set algebra flagged, so ops against it
+    are box math (never a device sync; see the full_box field)."""
     if mask.size == 0 or not mask.any():
         return NULL_SHAPE
     w, h = box_wh(box)
     assert mask.shape == (h, w), (mask.shape, box)
-    return Shape(box, _pad_mask(mask), empty_known=False)
+    return Shape(
+        box, _pad_mask(mask), empty_known=False, full_box=bool(mask.all())
+    )
 
 
 def shape_of_box(box: Box) -> Shape:
@@ -183,27 +190,6 @@ def shape_of_box(box: Box) -> Shape:
     return Shape(
         box, _pad_mask(np.ones((h, w), dtype=bool)), empty_known=False, full_box=True
     )
-
-
-@jax.jit
-def _covers_window(mask, h, w):
-    yy = jnp.arange(mask.shape[0]) < h
-    xx = jnp.arange(mask.shape[1]) < w
-    win = yy[:, None] & xx[None, :]
-    return jnp.all(mask | ~win)
-
-
-def mark_full_box(s):
-    """One-time device check: set ``full_box`` when the mask covers the whole
-    box (a rasterized axis-aligned rectangle — filter bands, backgrounds).
-    One sync per call; callers amortize it over a cache entry's lifetime so
-    every later set-algebra op against the shape is box math."""
-    if s is not None and not s.full_box:
-        w, h = box_wh(s.box)
-        if bool(_covers_window(s.mask, h, w)):
-            s.full_box = True
-            s.empty_known = False
-    return s
 
 
 def shapecheck(s) -> bool:

@@ -172,11 +172,6 @@ def addshape(idset: ident.IdSet, shp, minshp):
     """Add shape+minshape; keeps any existing shape (cache.ml:280-324)."""
     if not usecache:
         return
-    # One-time rectangle detection: a cached shape is consulted by every
-    # later render, so flagging filled rectangles here turns their set
-    # algebra into box math for the entry's whole lifetime.
-    region.mark_full_box(shp)
-    region.mark_full_box(minshp)
     size = region.shapesize(shp) + region.shapesize(minshp)
     if size > properties.cachemaxsize // 2:
         return
